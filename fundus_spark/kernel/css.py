@@ -1,0 +1,153 @@
+"""Minimal CSS selector engine (the subset publisher rules use).
+
+Mirrors the role of ``lxml.cssselect.CSSSelector`` in the reference
+(e.g. ``src/fundus/publishers/shared/euronews.py:21-23``): compound
+selectors of tag / ``.class`` / ``#id`` / ``[attr]`` / ``[attr=value]``,
+the descendant (whitespace) and child (``>``) combinators, and comma
+groups. Matching starts at the context element's descendants-or-self,
+like CSSSelector's ``descendant-or-self::`` translation.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from .dom import Comment, Element
+from .xpath import _document_sort
+
+__all__ = ["CSSSelector"]
+
+_TOKEN = re.compile(
+    r"""
+    (?P<name>[A-Za-z][\w-]*)
+  | (?P<cls>\.[\w-]+)
+  | (?P<id>\#[\w-]+)
+  | (?P<attr>\[\s*[\w:-]+\s*(?:=\s*(?:'[^']*'|"[^"]*"|[\w-]+))?\s*\])
+  | (?P<star>\*)
+  | (?P<child>\s*>\s*)
+  | (?P<comma>\s*,\s*)
+  | (?P<ws>\s+)
+    """,
+    re.VERBOSE,
+)
+
+_ATTR_RE = re.compile(r"\[\s*(?P<name>[\w:-]+)\s*(?:=\s*(?P<val>'[^']*'|\"[^\"]*\"|[\w-]+))?\s*\]")
+
+
+class _Simple:
+    __slots__ = ("tag", "classes", "id", "attrs")
+
+    def __init__(self) -> None:
+        self.tag: Optional[str] = None
+        self.classes: List[str] = []
+        self.id: Optional[str] = None
+        self.attrs: List[Tuple[str, Optional[str]]] = []
+
+    def matches(self, el: Element) -> bool:
+        if isinstance(el, Comment):
+            return False
+        if self.tag is not None and el.tag != self.tag:
+            return False
+        if self.classes:
+            el_classes = el.classes()
+            if not all(c in el_classes for c in self.classes):
+                return False
+        if self.id is not None and el.get("id") != self.id:
+            return False
+        for name, value in self.attrs:
+            actual = el.get(name)
+            if actual is None:
+                return False
+            if value is not None and actual != value:
+                return False
+        return True
+
+
+def _parse_group(selector: str) -> List[List[Tuple[str, _Simple]]]:
+    """Returns a list of compound chains; each chain is a list of
+    (combinator, simple) with combinator in {'descendant', 'child'}."""
+    groups: List[List[Tuple[str, _Simple]]] = []
+    chain: List[Tuple[str, _Simple]] = []
+    current: Optional[_Simple] = None
+    pending_combinator = "descendant"
+    pos = 0
+    s = selector.strip()
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            raise ValueError(f"Cannot parse CSS selector at {s[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "comma":
+            if current is not None:
+                chain.append((pending_combinator, current))
+            groups.append(chain)
+            chain, current, pending_combinator = [], None, "descendant"
+        elif kind == "child":
+            if current is not None:
+                chain.append((pending_combinator, current))
+                current = None
+            pending_combinator_next = "child"
+            pending_combinator = pending_combinator_next
+        elif kind == "ws":
+            if current is not None:
+                chain.append((pending_combinator, current))
+                current = None
+                pending_combinator = "descendant"
+        else:
+            if current is None:
+                current = _Simple()
+            if kind == "name":
+                current.tag = text
+            elif kind == "cls":
+                current.classes.append(text[1:])
+            elif kind == "id":
+                current.id = text[1:]
+            elif kind == "star":
+                pass
+            elif kind == "attr":
+                am = _ATTR_RE.match(text)
+                assert am is not None
+                val = am.group("val")
+                if val and val[0] in "'\"":
+                    val = val[1:-1]
+                current.attrs.append((am.group("name"), val))
+    if current is not None:
+        chain.append((pending_combinator, current))
+    if chain:
+        groups.append(chain)
+    return groups
+
+
+class CSSSelector:
+    def __init__(self, selector: str):
+        self.selector = selector
+        self._groups = _parse_group(selector)
+
+    def __call__(self, context: Element) -> List[Element]:
+        results: List[Element] = []
+        for chain in self._groups:
+            candidates: List[Element] = [n for n in context.iter() if not isinstance(n, Comment)]
+            first = True
+            for combinator, simple in chain:
+                if first:
+                    candidates = [el for el in candidates if simple.matches(el)]
+                    first = False
+                    continue
+                next_candidates: List[Element] = []
+                if combinator == "child":
+                    for el in candidates:
+                        next_candidates.extend(c for c in el.children if simple.matches(c))
+                else:  # descendant
+                    for el in candidates:
+                        it = el.iter()
+                        next(it)
+                        next_candidates.extend(c for c in it if simple.matches(c))
+                candidates = next_candidates
+            results.extend(candidates)
+        return _document_sort(results)  # type: ignore[return-value]
+
+    def __repr__(self) -> str:
+        return f"CSSSelector({self.selector!r})"
