@@ -213,7 +213,12 @@ class _TreeBuilder(HTMLParser):
         root = self._ensure_root()
         if self._head is None:
             self._head = Element("head")
-            root.insert(0, self._head)
+            if self._body is not None:
+                root.insert(root.index(self._body), self._head)
+            else:
+                # after any pre-head comments (libxml2 keeps document
+                # order: <html><!--c--><head> indexes the comment first)
+                root.append(self._head)
         self._phase = "head"
         return self._head
 
@@ -347,13 +352,21 @@ class _TreeBuilder(HTMLParser):
             parent.text = (parent.text or "") + data
 
     def handle_comment(self, data: str) -> None:
-        if self._phase in ("initial", "head", "initial-after-head"):
-            # comments outside body are not indexed by the extraction
-            # kernel; keep head-phase comments in head if it exists
-            if self._head is not None and self._phase == "head":
-                self._head.append(Comment(data))
+        if self._phase == "body":
+            self._insertion_parent().append(Comment(data))
             return
-        self._insertion_parent().append(Comment(data))
+        if self.root is None:
+            # pre-<html> comments live outside the root in libxml2 and
+            # are not reachable from root.iter() — drop
+            return
+        if self._stack and self._stack[-1] not in (self.root, self._head):
+            # inside an open head element (e.g. <noscript> in head)
+            self._stack[-1].append(Comment(data))
+        elif self._phase == "head" and self._head is not None:
+            self._head.append(Comment(data))
+        else:
+            # between <html> and <head>, or between </head> and <body>
+            self.root.append(Comment(data))
 
     def handle_decl(self, decl: str) -> None:
         pass

@@ -1,0 +1,79 @@
+"""Golden-corpus loader: wraps the reference's stored test resources
+(HTML snapshots + expected JSON + meta.info) as fixtures.
+
+Data files only are read from the reference (allowed as fixtures per
+FIXTURES.md §6); no reference code is imported.
+"""
+
+from __future__ import annotations
+
+import datetime
+import gzip
+import json
+from pathlib import Path
+from typing import Any, Dict, Iterator, NamedTuple
+
+REFERENCE_TEST_DATA = Path("/root/reference/tests/resources/parser/test_data")
+
+# (publisher_key, country_dir, snapshot_prefix)
+GOLDEN_PUBLISHERS = [
+    ("us.APNews", "us", "APNews"),
+    ("us.Reuters", "us", "Reuters"),
+    ("de.MDR", "de", "MDR"),
+    ("de.Golem", "de", "Golem"),
+    ("uk.EuronewsEN", "uk", "EuronewsEN"),
+    ("de.EuronewsDE", "de", "EuronewsDE"),
+    ("fr.EuronewsFR", "fr", "EuronewsFR"),
+]
+
+
+class GoldenCase(NamedTuple):
+    publisher_key: str
+    version: str
+    snapshot: str
+    html: str
+    url: str
+    crawl_date: datetime.datetime
+    expected: Dict[str, Any]
+
+
+def _load_meta(country_dir: Path) -> Dict[str, Dict[str, str]]:
+    return json.loads((country_dir / "meta.info").read_text())
+
+
+def iter_golden_cases() -> Iterator[GoldenCase]:
+    from fundus_spark.rules import REGISTRY
+
+    for publisher_key, cc, prefix in GOLDEN_PUBLISHERS:
+        country = REFERENCE_TEST_DATA / cc
+        expected_by_version = json.loads((country / f"{prefix}.json").read_text())
+        meta = _load_meta(country)
+        spec = REGISTRY[publisher_key]
+        for snapshot_path in sorted(country.glob(f"{prefix}_*.html.gz")):
+            info = meta[snapshot_path.name]
+            crawl_date = datetime.datetime.fromisoformat(info["crawl_date"])
+            version = spec.version_for(crawl_date).name
+            if version not in expected_by_version:
+                continue
+            html = gzip.decompress(snapshot_path.read_bytes()).decode("utf-8")
+            yield GoldenCase(
+                publisher_key=publisher_key,
+                version=version,
+                snapshot=snapshot_path.name,
+                html=html,
+                url=info["url"],
+                crawl_date=crawl_date,
+                expected=expected_by_version[version],
+            )
+
+
+def normalize_extraction(extraction: Dict[str, Any]) -> Dict[str, Any]:
+    """Make an extraction dict JSON-comparable with golden files:
+    datetimes -> str(datetime) (the goldens store str())."""
+    out = {}
+    for key, value in extraction.items():
+        if isinstance(value, datetime.datetime):
+            out[key] = str(value)
+        else:
+            out[key] = value
+    return out

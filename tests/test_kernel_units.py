@@ -1,0 +1,192 @@
+"""Unit tests for kernel primitives, modeled on the reference's own
+unit coverage (``tests/test_parser.py:277-310``, ``tests/test_filter``)
+plus engine-specific cases for the from-scratch DOM/XPath/CSS stack.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from fundus_spark.kernel import (
+    CSSSelector,
+    LinkedData,
+    XPath,
+    assemble_body,
+    body_to_plaintext,
+    generic_author_parsing,
+    generic_date_parsing,
+    generic_topic_parsing,
+    harvest_meta,
+    normalize_whitespace,
+    parse_html,
+    parse_srcset,
+    parse_title_from_root,
+)
+
+
+def test_normalize_whitespace_char_class():
+    assert normalize_whitespace("a b​c") == "a b c"
+    assert normalize_whitespace("  a \t\n b  ") == "a b"
+    assert normalize_whitespace("﻿x‌‍y") == "x y"
+
+
+def test_dom_text_tail_model():
+    doc = parse_html("<html><body><p>a<b>b</b>c</p></body></html>")
+    p = XPath("//p")(doc)[0]
+    assert p.text == "a"
+    assert p.children[0].tag == "b"
+    assert p.children[0].tail == "c"
+    assert p.text_content() == "abc"
+
+
+def test_dom_implied_p_close():
+    doc = parse_html("<body><p>one<div>two</div></body>")
+    p = XPath("//p")(doc)[0]
+    assert p.text_content() == "one"
+    assert XPath("//div")(doc)[0].text_content() == "two"
+
+
+def test_dom_void_elements_and_br_depth():
+    doc = parse_html("<body><p>a<br>b<span>c<br>d</span></p></body>")
+    p = XPath("//p")(doc)[0]
+    from fundus_spark.kernel import break_preserved_text
+
+    # direct-child <br> does NOT newline (reference selects only *//br);
+    # nested <br> does
+    assert break_preserved_text(p) == "ab" + "c\nd"
+
+
+def test_xpath_predicates_and_position():
+    doc = parse_html("<body><div id='x'><p>1</p><p>2</p><p>3</p></div></body>")
+    assert [n.text_content() for n in XPath("(//p)[position() > 1]")(doc)] == ["2", "3"]
+    assert [n.text_content() for n in XPath("(//p)[1]")(doc)] == ["1"]
+    assert [n.text_content() for n in XPath("//div[@id='x']/p[3]")(doc)] == ["3"]
+
+
+def test_xpath_preceding_sibling_reverse_order():
+    doc = parse_html("<body><div><h2>___</h2><p>drop</p><p>keep</p></div></body>")
+    sel = XPath("//div/p[not(preceding-sibling::*[1][self::h2 and text()='___'])]")
+    assert [n.text_content() for n in sel(doc)] == ["keep"]
+
+
+def test_xpath_union_and_contains():
+    doc = parse_html("<body><article><p class=''>a</p><ul><li>b</li></ul><blockquote>c</blockquote></article></body>")
+    sel = XPath("//article/p[string-length(@class)<1 and text()] | //article/ul/li[text()] |//article/blockquote")
+    assert [n.text_content() for n in sel(doc)] == ["a", "b", "c"]
+
+
+def test_xpath_re_test():
+    doc = parse_html("<body><section><p>content</p><p>dpa</p></section></body>")
+    sel = XPath(r"//section/p[not(re:test(string(), '^dpa$'))]")
+    assert [n.text_content() for n in sel(doc)] == ["content"]
+
+
+def test_css_selector_subset():
+    doc = parse_html(
+        "<body><div class='c-article-content'><h2>h</h2><p>p1</p><span><p>deep</p></span></div>"
+        "<p class='c-article-summary extra'>s</p></body>"
+    )
+    assert [n.text_content() for n in CSSSelector("div.c-article-content > p")(doc)] == ["p1"]
+    assert [n.text_content() for n in CSSSelector("p.c-article-summary")(doc)] == ["s"]
+    assert len(CSSSelector("div > h2, p")(doc)) == 4
+
+
+def test_meta_harvest_namespacing_and_joining():
+    doc = parse_html(
+        "<html><head>"
+        "<meta charset='utf-8'>"
+        "<meta name='keywords' content='a,b'>"
+        "<meta class='swiftype' name='author' content='X'>"
+        "<meta property='og:title' content='T'>"
+        "<meta name='dup' content='1'><meta name='dup' content='2'>"
+        "</head><body></body></html>"
+    )
+    meta = harvest_meta(doc)
+    assert meta["charset"] == "utf-8"
+    assert meta["keywords"] == "a,b"
+    assert meta["swiftype:author"] == "X"
+    assert meta["og:title"] == "T"
+    assert meta["dup"] == "1,2"
+
+
+def test_linked_data_graph_flatten_and_bf_search():
+    ld = LinkedData(
+        [
+            {"@graph": [{"@type": "NewsArticle", "headline": "H", "author": {"name": "A"}}]},
+            {"@type": "WebPage", "isAccessibleForFree": "false"},
+        ]
+    )
+    assert ld.bf_search("headline") == "H"
+    assert ld.bf_search("isAccessibleForFree") == "false"
+    assert ld.bf_search("nope", default="d") == "d"
+    assert ld.xpath_search("NewsArticle/headline", scalar=True) == "H"
+    assert ld.xpath_search("NewsArticle/author/name") == ["A"]
+
+
+def test_linked_data_type_collision_becomes_list():
+    ld = LinkedData([{"@type": "T", "k": 1}, {"@type": "T", "k": 2}])
+    assert ld.xpath_search("T/k") == ["1", "2"]
+
+
+def test_author_parsing_polymorphism():
+    assert generic_author_parsing(None) == []
+    assert generic_author_parsing("A, B und C") == ["A", "B", "C"]
+    assert generic_author_parsing({"name": "X"}) == ["X"]
+    assert generic_author_parsing([{"name": "X"}, {"givenName": "G", "familyName": "F"}]) == ["X", "G F"]
+    assert generic_author_parsing("A | B") == ["A", "B"]
+    assert generic_author_parsing(["dup", "dup"]) == ["dup"]
+
+
+def test_topic_parsing_delimiters_and_filter():
+    import re
+
+    assert generic_topic_parsing("a, b,c") == ["a", "b", "c"]
+    assert generic_topic_parsing("x;y", delimiter=";") == ["x", "y"]
+    assert generic_topic_parsing("keep, drop news", result_filter=re.compile(r" news")) == ["keep"]
+    assert generic_topic_parsing("A, a, B", result_filter={"b"}) == ["A", "a"]
+
+
+def test_date_parsing_german_months_and_tz():
+    d = generic_date_parsing("28. März 2023 14:00 CEST")
+    assert d is not None and (d.month, d.day) == (3, 28)
+    assert d.utcoffset() == datetime.timedelta(seconds=7200)
+    assert generic_date_parsing(None) is None
+
+
+def test_srcset_parsing_sorted_by_descriptor():
+    srcset = "u1 480w, u2 1024w, u3 2x"
+    assert parse_srcset(srcset) == {"2x": "u3", "480w": "u1", "1024w": "u2"}
+
+
+def test_body_assembly_shapes():
+    doc = parse_html(
+        "<body><article>"
+        "<p class='summary'>S</p>"
+        "<p class='p'>p1</p><h2 class='h'>H1</h2><p class='p'>p2</p><p class='p'>p3</p>"
+        "</article></body>"
+    )
+    body = assemble_body(
+        doc,
+        paragraph_selector=XPath("//p[@class='p']"),
+        summary_selector=XPath("//p[@class='summary']"),
+        subheadline_selector=XPath("//h2"),
+    )
+    assert body == {
+        "summary": ["S"],
+        "sections": [
+            {"headline": [], "paragraphs": ["p1"]},
+            {"headline": ["H1"], "paragraphs": ["p2", "p3"]},
+        ],
+    }
+    assert body_to_plaintext(body) == "S\n\np1\n\nH1\n\np2\n\np3"
+
+
+def test_body_trailing_em_cleanup():
+    doc = parse_html("<body><div><p>text</p><p><em>credit</em></p></div></body>")
+    body = assemble_body(doc, paragraph_selector=XPath("//div/p"))
+    assert body == {"summary": [], "sections": [{"headline": [], "paragraphs": ["text"]}]}
+
+
+def test_title_from_root():
+    assert parse_title_from_root(parse_html("<html><head><title> T </title></head><body></body></html>")) == "T"
+    assert parse_title_from_root(parse_html("<html><body></body></html>")) is None
