@@ -1,0 +1,14 @@
+from .assemble import assemble_conversations, ordered_turns
+from .extract_stage import EXTRACTION_SCHEMA, extract_articles
+from .job import JobResult, run_extraction_job
+from .session import build_session
+
+__all__ = [
+    "EXTRACTION_SCHEMA",
+    "JobResult",
+    "assemble_conversations",
+    "build_session",
+    "extract_articles",
+    "ordered_turns",
+    "run_extraction_job",
+]

@@ -1,0 +1,140 @@
+"""End-to-end Spark pipeline tests: transcripts table -> mapInPandas
+extraction -> ordered reassembly -> lineage/metrics -> resume.
+
+The golden transcript rows must extract to byte-identical values vs the
+reference golden corpus under stable (conv_id, turn_idx) ordering —
+the north_rule per-turn text-equality gate, exercised through Spark
+rather than the kernel directly.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fundus_spark.plans import (
+    assemble_conversations,
+    extract_articles,
+    ordered_turns,
+    run_extraction_job,
+)
+from fundus_spark.sources.transcripts import build_transcripts
+
+from .golden import iter_golden_cases, normalize_extraction
+
+
+@pytest.fixture(scope="module")
+def transcripts_df(spark):
+    rows = build_transcripts(n_bulk_turns=60, seed=42)
+    df = spark.createDataFrame(rows)
+    return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").cache()
+
+
+@pytest.fixture(scope="module")
+def extracted_df(spark, transcripts_df):
+    return extract_articles(transcripts_df, salt_partitions=8).cache()
+
+
+def test_extraction_schema_and_counts(transcripts_df, extracted_df):
+    n_in = transcripts_df.count()
+    n_out = extracted_df.count()
+    assert n_out == n_in
+    assert extracted_df.where(~F.col("parse_ok")).count() == 0
+
+
+def test_golden_rows_match_reference_through_spark(extracted_df):
+    from fundus_spark.kernel import run_extraction
+    from fundus_spark.rules import REGISTRY
+
+    expected_by_turn = {}
+    for case in iter_golden_cases():
+        # index golden expectations by (conv_id, snapshot order)
+        expected_by_turn.setdefault(case.publisher_key, []).append(case)
+
+    rows = (
+        extracted_df.where(F.col("conv_id").startswith("golden-"))
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert rows, "no golden rows present"
+    checked = 0
+    for row in rows:
+        publisher_key = row["tool"]
+        cases = expected_by_turn[publisher_key]
+        case = cases[row["turn_idx"]]
+        expected = case.expected
+        if "title" in expected:
+            assert row["title"] == expected["title"], (publisher_key, "title")
+        if "body" in expected:
+            assert json.loads(row["body_json"]) == expected["body"], (publisher_key, "body")
+        if "authors" in expected:
+            assert row["authors"] == expected["authors"], (publisher_key, "authors")
+        if "topics" in expected:
+            assert row["topics"] == expected["topics"], (publisher_key, "topics")
+        if "publishing_date" in expected:
+            assert row["publishing_date"] == expected["publishing_date"], (publisher_key, "date")
+        if "images" in expected:
+            assert json.loads(row["images_json"]) == expected["images"], (publisher_key, "images")
+        assert row["parser_version"] == case.version
+        checked += 1
+    assert checked >= 10
+
+
+def test_ordered_turns_window(extracted_df):
+    ranked = ordered_turns(extracted_df)
+    rows = ranked.where(F.col("conv_id") == "conv-000000").orderBy("turn_rank").select("turn_idx", "turn_rank").collect()
+    assert [r["turn_idx"] for r in rows] == sorted(r["turn_idx"] for r in rows)
+    assert [r["turn_rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_assemble_conversations_order_and_content(spark, extracted_df):
+    # small chunk forces the two-level merge path
+    conversations = assemble_conversations(extracted_df, chunk=4).cache()
+    row = conversations.where(F.col("conv_id") == "conv-000000").collect()[0]
+    per_turn = (
+        extracted_df.where(F.col("conv_id") == "conv-000000")
+        .orderBy("turn_idx")
+        .select("plaintext")
+        .collect()
+    )
+    expected_doc = "\n\n".join(r["plaintext"] for r in per_turn if r["plaintext"] is not None)
+    assert row["document"] == expected_doc
+    assert row["n_turns"] == len([r for r in per_turn if r["plaintext"] is not None])
+
+
+def test_job_resume_skips_committed_buckets(spark, transcripts_df, tmp_path):
+    out = str(tmp_path / "out")
+    metrics = str(tmp_path / "metrics")
+    manifest = str(tmp_path / "manifest")
+
+    first = run_extraction_job(
+        spark, transcripts_df, out, metrics, manifest, run_id="testrun", n_buckets=4, salt_partitions=8
+    )
+    assert sorted(first.buckets_run) == [0, 1, 2, 3]
+    assert first.input_turns == transcripts_df.count()
+    assert first.parse_failures == 0
+
+    second = run_extraction_job(
+        spark, transcripts_df, out, metrics, manifest, run_id="testrun", n_buckets=4, salt_partitions=8
+    )
+    assert second.buckets_run == []
+    assert sorted(second.buckets_skipped) == [0, 1, 2, 3]
+
+    # lineage rows exist per partition with sane counts
+    m = spark.read.parquet(metrics)
+    assert m.agg(F.sum("input_turns")).collect()[0][0] == transcripts_df.count()
+    assert m.where(F.col("bytes_processed") <= 0).count() == 0
+
+
+def test_malformed_html_degrades_not_fails(spark):
+    rows = [
+        {"conv_id": "c", "turn_idx": 0, "role": "tool", "text": "<<<not html>>>", "tool": "generic", "ts": None},
+        {"conv_id": "c", "turn_idx": 1, "role": "tool", "text": "", "tool": "generic", "ts": None},
+    ]
+    df = spark.createDataFrame(
+        rows, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = extract_articles(df).collect()
+    assert len(out) == 2  # rows survive; no task failure
