@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full extraction pipeline over a
+transcripts table synthesized deterministically from the sf0.001
+``documents`` parquet.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2 + the training-data ops), each with a DuckDB-runnable
+ANSI-SQL oracle unless genuinely non-SQL-expressible (those are marked
+rows-only below).
 """
 
 from __future__ import annotations
@@ -12,27 +15,575 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """documents -> synthetic HTML transcripts -> mapInPandas extraction."""
+    return _q_extract_documents(spark, SF_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# extraction queries (kernel end-to-end with closed-form SQL oracles)
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.plans import extract_articles
+    from fundus_spark.sources.doc_html import documents_as_transcripts
+
+    docs = _read(spark, sf_dir, "documents")
+    transcripts = documents_as_transcripts(docs)
+    extracted = extract_articles(transcripts.drop("doc_id"))
+    # join doc_id back via (conv_id, turn_idx) for the oracle key
+    keys = transcripts.select("conv_id", "turn_idx", "doc_id")
+    return (
+        extracted.join(keys, ["conv_id", "turn_idx"])
+        .select(
+            "doc_id",
+            "title",
+            "plaintext",
+            F.col("authors")[0].alias("author0"),
+            "publishing_date",
+            "free_access",
+        )
+    )
+
+
+_EXTRACT_DOCUMENTS_SQL = """
+SELECT doc_id,
+       'Document ' || CAST(doc_id AS VARCHAR) AS title,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS plaintext,
+       'Author ' || CAST(doc_id % 5 AS VARCHAR) AS author0,
+       strftime(DATE '2024-01-01' + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d') || ' 00:00:00+00:00'
+           AS publishing_date,
+       true AS free_access
+FROM documents
+"""
+
+
+def _q_extract_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _q_extract_documents_full(spark, sf_dir)
+    return df.select("doc_id", F.explode("topics").alias("topic"))
+
+
+def _q_extract_documents_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.plans import extract_articles
+    from fundus_spark.sources.doc_html import documents_as_transcripts
+
+    docs = _read(spark, sf_dir, "documents")
+    transcripts = documents_as_transcripts(docs)
+    extracted = extract_articles(transcripts.drop("doc_id"))
+    keys = transcripts.select("conv_id", "turn_idx", "doc_id")
+    return extracted.join(keys, ["conv_id", "turn_idx"])
+
+
+_EXTRACT_TOPICS_SQL = """
+SELECT doc_id, topic FROM (
+    SELECT doc_id, 'k' || CAST(doc_id % 7 AS VARCHAR) AS topic FROM documents
+    UNION ALL
+    SELECT doc_id, 'shared' AS topic FROM documents
+)
+"""
+
+
+def _q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.plans import assemble_conversations, extract_articles
+    from fundus_spark.sources.doc_html import documents_as_transcripts
+
+    docs = _read(spark, sf_dir, "documents")
+    transcripts = documents_as_transcripts(docs).drop("doc_id")
+    extracted = extract_articles(transcripts)
+    return assemble_conversations(extracted, chunk=8).select("conv_id", "n_turns", "document")
+
+
+_ASSEMBLE_SQL = """
+SELECT source AS conv_id,
+       COUNT(*) AS n_turns,
+       string_agg(trim(regexp_replace(text, '\\s+', ' ', 'g')), chr(10) || chr(10) ORDER BY doc_id)
+           AS document
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operators (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("source", "doc_id", "n_chars", "rank")
+    )
+
+
+_GROUPED_TOPK_SQL = """
+SELECT source, doc_id, n_chars, rank FROM (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank
+    FROM documents
+) WHERE rank <= 3
+"""
+
+
+def _q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import first_wins_dedup
+
+    events = _read(spark, sf_dir, "events")
+    return first_wins_dedup(events, ["user_id", "event_type"], "event_id").select(
+        "user_id", "event_type", "event_id"
+    )
+
+
+_FIRST_WINS_SQL = """
+SELECT user_id, event_type, event_id FROM (
+    SELECT user_id, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def _q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import regex_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return regex_filter(docs, "source", r"src1[0-9]").select("doc_id", "source")
+
+
+_REGEX_FILTER_SQL = """
+SELECT doc_id, source FROM documents WHERE NOT regexp_matches(source, 'src1[0-9]')
+"""
+
+
+def _q_requires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import requires
+
+    docs = _read(spark, sf_dir, "documents")
+    return requires(docs, ["text", "lang"]).where(F.col("n_chars") > 200).select("doc_id", "lang", "n_chars")
+
+
+_REQUIRES_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE text IS NOT NULL AND length(text) > 0 AND lang IS NOT NULL AND length(lang) > 0
+  AND n_chars > 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavored relational coverage (joins / aggregations / pruning)
+# ---------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order")
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("n_name", "revenue")
+    )
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select("day", "event_type", "n", "total_value")
+    )
+
+
+_EVENTS_DAILY_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n, round(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 3).alias("avg_k"))
+        .select("event_type", "n", "avg_k")
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       round(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup suite
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_perm=8, k=4)
+    return sig.select("doc_id", F.posexplode("signature").alias("perm", "minhash"))
+
+
+def _minhash_oracle_sql(n_perm: int = 8, k: int = 4) -> str:
+    shingle_rel = f"""
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i) t
+    """
+    perms = ",\n".join(
+        f"MIN(CAST('0x' || substr(md5('p{j}:' || shingle), 1, 8) AS BIGINT)) AS h{j}" for j in range(n_perm)
+    )
+    unions = "\nUNION ALL\n".join(f"SELECT doc_id, {j} AS perm, h{j} AS minhash FROM sig" for j in range(n_perm))
+    return f"WITH shingles AS ({shingle_rel}), sig AS (SELECT doc_id, {perms} FROM shingles GROUP BY doc_id)\n{unions}"
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=2, threshold=0.05)
+
+
+def _ngram_jaccard_sql(k: int = 2, threshold: float = 0.05) -> str:
+    return f"""
+WITH shingles AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i) t
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inters AS (
+    SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+    FROM shingles l JOIN shingles r USING (shingle)
+    WHERE l.doc_id < r.doc_id
+    GROUP BY 1, 2
+)
+SELECT a, b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+FROM inters
+JOIN sizes sa ON inters.a = sa.doc_id
+JOIN sizes sb ON inters.b = sb.doc_id
+WHERE round(inter / (sa.n + sb.n - inter), 4) >= {threshold}
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import simhash
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash(docs, bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ",\n".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    recompose = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+),
+hashed AS (
+    SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM toks
+),
+agg AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+_COSINE_TOPK_SQL = """
+WITH unnested AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           SUM(q.v * c.v) / (sqrt(SUM(q.v * q.v)) * sqrt(SUM(c.v * c.v))) AS cos
+    FROM unnested q JOIN unnested c USING (i)
+    WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, rank, cand_id FROM (
+    SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+    FROM pairs
+) WHERE rank <= 5
+"""
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import lsh_bucketed_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return lsh_bucketed_topk(emb, k=3, n_planes=4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import token_count
+
+    return token_count(_read(spark, sf_dir, "documents"))
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+_EN_LIST_SQL = "('the','a','of','and','to','in','is','it','that','was')"
+_DE_LIST_SQL = "('der','die','das','und','ist','ein','zu','den','von','mit')"
+_ES_LIST_SQL = "('el','la','de','que','y','en','un','es','se','no')"
+
+_QUALITY_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS punct
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, len(toks) AS n_tokens, n_chars, punct,
+           len(list_filter(toks, x -> x IN {_EN_LIST_SQL})) AS stop_hits
+    FROM base
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_chars / n_tokens, 4) AS mean_token_len,
+       round(punct / n_chars, 4) AS punct_ratio,
+       round(stop_hits / n_tokens, 4) AS stopword_ratio,
+       (n_tokens >= 10 AND n_chars / n_tokens <= 12.0 AND stop_hits / n_tokens >= 0.01) AS passes_quality
+FROM scored
+"""
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import language_id
+
+    return language_id(_read(spark, sf_dir, "documents"))
+
+
+_LANGUAGE_ID_SQL = f"""
+WITH hits AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN {_EN_LIST_SQL})) AS en_hits,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN {_DE_LIST_SQL})) AS de_hits,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN {_ES_LIST_SQL})) AS es_hits
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(en_hits, de_hits, es_hits) = 0 THEN 'und'
+            WHEN en_hits = greatest(en_hits, de_hits, es_hits) THEN 'en'
+            WHEN de_hits = greatest(en_hits, de_hits, es_hits) THEN 'de'
+            ELSE 'es' END AS lang_pred,
+       CAST(en_hits AS BIGINT) AS en_hits, CAST(de_hits AS BIGINT) AS de_hits,
+       CAST(es_hits AS BIGINT) AS es_hits
+FROM hits
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary columns; deterministic fake decode)
+# ---------------------------------------------------------------------------
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import media_features
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    return media_features(media).select("media_id", "kind", "n_bytes", "content_digest")
+
+
+_MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_digest
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_documents": _q_extract_documents,
+        "extract_topics": _q_extract_topics,
+        "assemble_conversations": _q_assemble_conversations,
+        "grouped_topk": _q_grouped_topk,
+        "first_wins_dedup": _q_first_wins_dedup,
+        "regex_filter": _q_regex_filter,
+        "requires_filter": _q_requires,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_daily": _q_events_daily,
+        "events_json": _q_events_json,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_signatures": _q_minhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_ann": _q_lsh_ann,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "language_id": _q_language_id,
+        "fingerprint": _q_fingerprint,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_documents": _EXTRACT_DOCUMENTS_SQL,
+        "extract_topics": _EXTRACT_TOPICS_SQL,
+        "assemble_conversations": _ASSEMBLE_SQL,
+        "grouped_topk": _GROUPED_TOPK_SQL,
+        "first_wins_dedup": _FIRST_WINS_SQL,
+        "regex_filter": _REGEX_FILTER_SQL,
+        "requires_filter": _REQUIRES_SQL,
+        "pricing_summary": _PRICING_SUMMARY_SQL,
+        "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+        "events_daily": _EVENTS_DAILY_SQL,
+        "events_json": _EVENTS_JSON_SQL,
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "minhash_signatures": _minhash_oracle_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "simhash": _simhash_sql(),
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # lsh_ann: hyperplane sketch not SQL-expressible -> rows-only check
+        "token_count": _TOKEN_COUNT_SQL,
+        "quality_score": _QUALITY_SQL,
+        "language_id": _LANGUAGE_ID_SQL,
+        "fingerprint": _FINGERPRINT_SQL,
+        "media_features": _MEDIA_FEATURES_SQL,
+    }

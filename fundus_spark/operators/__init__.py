@@ -1,0 +1,32 @@
+from .dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .multimodal import media_features
+from .relational import first_wins_dedup, grouped_topk, regex_filter, requires
+from .similarity import cosine_topk, lsh_bucketed_topk
+from .textstats import fingerprint, language_id, quality_score, token_count
+
+__all__ = [
+    "cosine_topk",
+    "exact_dedup",
+    "exact_dup_groups",
+    "fingerprint",
+    "first_wins_dedup",
+    "grouped_topk",
+    "language_id",
+    "lsh_bucketed_topk",
+    "lsh_candidate_pairs",
+    "media_features",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "regex_filter",
+    "requires",
+    "simhash",
+    "token_count",
+]

@@ -1,0 +1,55 @@
+"""Relational operators mirroring the reference's aggregation-like
+behaviors (SURVEY.md §2.5) as native DataFrame plans:
+
+* grouped top-k (``max_articles_per_publisher`` cutoff) — window
+  row_number, shuffle keyed on the group only;
+* first-wins dedup (``only_unique``) — groupBy + min tiebreak (map-side
+  combinable, preferred over dropDuplicates for determinism);
+* Requires/RequiresAll predicate filters — pure Column algebra;
+* regex URL-ish filters.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_topk(df: DataFrame, group_cols: Sequence[str], order_col: str, k: int, desc: bool = True) -> DataFrame:
+    order = F.desc(order_col) if desc else F.asc(order_col)
+    w = Window.partitionBy(*group_cols).orderBy(order, *[F.asc(c) for c in df.columns if c not in group_cols][:1])
+    return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def first_wins_dedup(df: DataFrame, key_cols: Sequence[str], tiebreak_col: str) -> DataFrame:
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(tiebreak_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def regex_filter(df: DataFrame, col: str, pattern: str, keep_matching: bool = False) -> DataFrame:
+    """URLFilter semantics (reference ``filter.py:57-82``): True = drop."""
+    predicate = F.col(col).rlike(pattern)
+    return df.where(predicate if keep_matching else ~predicate)
+
+
+def requires(df: DataFrame, attrs: Sequence[str], eval_booleans: bool = True) -> DataFrame:
+    """``Requires(*attrs)`` semantics (reference ``filter.py:128-161``):
+    drop rows whose named attrs are null/empty/falsy."""
+    conditions: List[Column] = []
+    for name in attrs:
+        col = F.col(name)
+        dtype = dict(df.dtypes)[name]
+        cond = col.isNotNull()
+        if dtype.startswith("array"):
+            cond = cond & (F.size(col) > 0)
+        elif dtype == "string":
+            cond = cond & (F.length(col) > 0)
+        elif dtype == "boolean" and eval_booleans:
+            cond = cond & col
+        conditions.append(cond)
+    combined = conditions[0]
+    for c in conditions[1:]:
+        combined = combined & c
+    return df.where(combined)

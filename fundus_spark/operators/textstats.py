@@ -1,0 +1,82 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table — all pure ``pyspark.sql.functions`` column
+algebra (JVM-side, whole-stage-codegen friendly; no Python UDFs).
+
+Each operator has an exact ANSI-SQL oracle (see ``__spark_entry__``):
+token counting, quality scoring (length/punct/stopword ratios),
+n-gram-free language ID (stopword-hit heuristic), and deterministic
+document fingerprinting (md5 of whitespace-normalized text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"]
+ES_STOPWORDS = ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"]
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_actual"),
+    )
+
+
+def _hits(toks: Column, words) -> Column:
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(lit_words, x)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword heuristics (the classic pre-training
+    quality gates, cf. Gopher/C4 rules)."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(text_col, r"[^.!?,;]", ""))
+    stop_hits = _hits(toks, EN_STOPWORDS)
+    return df.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_chars / n_tokens, 4).alias("mean_token_len"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+        (
+            (n_tokens >= F.lit(10))
+            & (n_chars / n_tokens <= F.lit(12.0))
+            & (stop_hits / n_tokens >= F.lit(0.01))
+        ).alias("passes_quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic — deterministic, SQL-portable."""
+    toks = tokens(F.col(text_col))
+    en, de, es = (_hits(toks, ws) for ws in (EN_STOPWORDS, DE_STOPWORDS, ES_STOPWORDS))
+    best = F.greatest(en, de, es)
+    return df.select(
+        "doc_id",
+        F.when(best == F.lit(0), F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("es"))
+        .alias("lang_pred"),
+        en.cast("long").alias("en_hits"),
+        de.cast("long").alias("de_hits"),
+        es.cast("long").alias("es_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic content fingerprint: md5 of the
+    whitespace-normalized text (portable across engines)."""
+    normalized = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select("doc_id", F.md5(normalized).alias("fp"))

@@ -135,13 +135,15 @@ def extract_articles(transcripts: DataFrame, salt_partitions: Optional[int] = No
     """transcripts (conv_id, turn_idx, role, text, tool, ts) ->
     extraction DataFrame.
 
-    Skew handling: extraction is per-turn embarrassingly parallel, so we
-    hash-repartition on (conv_id, turn_idx) — a perfectly uniform key
-    even when one conv_id owns most turns (the north_rule's salted
-    repartition; the turn index IS the salt).
+    Skew handling: extraction is per-turn embarrassingly parallel, so
+    when ``salt_partitions`` is set we hash-repartition on
+    (conv_id, turn_idx) — a perfectly uniform key even when one conv_id
+    owns most turns (the north_rule's salted repartition; the turn
+    index IS the salt). When the input's own partitioning is already
+    uniform (e.g. a bucketed table scan), pass None: the stage is then
+    a pure narrow map over the scan — no shuffle at all, which is the
+    plan you want at 100 TB.
     """
     if salt_partitions:
         transcripts = transcripts.repartition(salt_partitions, F.col("conv_id"), F.col("turn_idx"))
-    else:
-        transcripts = transcripts.repartition(F.col("conv_id"), F.col("turn_idx"))
     return transcripts.mapInPandas(_extract_batches, schema=EXTRACTION_SCHEMA)

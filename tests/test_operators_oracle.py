@@ -1,0 +1,77 @@
+"""Driver-gate mimic: every queries() entry must match its DuckDB
+oracle at sf0.001 (row count + columns + order-insensitive values).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    if isinstance(v, list):
+        return tuple(_normalize(x) for x in v)
+    return v
+
+
+def _multiset(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out: dict = {}
+    for row in rows:
+        key = tuple(_normalize(row[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _entry_module():
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+    spec = importlib.util.spec_from_file_location("spark_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ENTRY = _entry_module()
+QUERY_NAMES = sorted(ENTRY.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    fn = ENTRY.queries()[name]
+    sdf = fn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    oracles = ENTRY.oracle_sql()
+    if name not in oracles:
+        assert len(srows) >= 0  # rows-only contract
+        return
+    cur = duck.execute(oracles[name])
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _multiset(srows, sdf.columns) == _multiset(drows, dcols)
+
+
+def test_entry_smoke(spark):
+    df = ENTRY.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) >= {"doc_id", "title", "plaintext"}

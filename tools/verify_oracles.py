@@ -1,0 +1,102 @@
+"""Local mimic of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir;
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/verify_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(normalize_cell(x) for x in v)
+    return v
+
+
+def rows_to_multiset(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = {}
+    for row in rows:
+        key = tuple(normalize_cell(row[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from fundus_spark.plans import build_session
+
+    spark = build_session(app_name="verify-oracles", cores=8, shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(srows)} rows) [no oracle]")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns differ: spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"row count: spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sm = rows_to_multiset(srows, scols)
+            dm = rows_to_multiset(drows, dcols)
+            if sm != dm:
+                extra_s = [k for k in sm if sm[k] != dm.get(k, 0)][:3]
+                extra_d = [k for k in dm if dm[k] != sm.get(k, 0)][:3]
+                problems.append(f"values differ; spark-only sample={extra_s} duck-only sample={extra_d}")
+        if problems:
+            failures += 1
+            print(f"{name}: FAIL ({len(srows)} rows)")
+            for p in problems:
+                print(f"    {p}")
+        else:
+            print(f"{name}: OK ({len(srows)} rows)")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
