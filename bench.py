@@ -80,27 +80,114 @@ def _materialize_scaled_transcripts(sf_dir: str, replicas: int, path: str) -> in
         spark.stop()
 
 
-def _extraction_throughput(cores: int, transcripts_path: str, n_turns: int) -> float:
-    """Turns/sec of the scan->mapInPandas extraction stage at a given
-    parallelism (fresh session per level so executor pools are
-    isolated; no shuffle in the timed plan)."""
+# The scaled corpus is 256 small files; with the default
+# maxPartitionBytes=128MB the scan packs them into exactly `cores`
+# splits -> one task wave, so the slowest task gates the stage and
+# ~20% of the machine idles in the tail. Sizing splits so the stage
+# runs ~4 waves/core hides stragglers (measured 25.3 -> 29.1 of 32
+# cores busy). At 100 TB the same knob sizes row-group splits of
+# 128MB-1GB files; the default is already thousands of waves there.
+_SCAN_SPLIT_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(512 * 1024),
+    "spark.sql.files.openCostInBytes": "65536",
+}
+
+
+def _scaling_run(cores: int, transcripts_path: str, n_turns: int, timed_runs: int, warm: bool) -> list:
+    """One visit to a parallelism level: fresh SparkContext at
+    local[cores], optional full warm-up pass (JIT + Python worker spawn
+    + kernel import + page cache), then `timed_runs` timed passes of
+    the scan->mapInPandas extraction stage (no shuffle in the plan).
+    Returns turns/sec per timed pass."""
     from fundus_spark.plans import build_session, extract_articles
 
-    spark = build_session(app_name=f"bench-scaling-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    spark = build_session(
+        app_name=f"bench-scaling-{cores}",
+        cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_conf=_SCAN_SPLIT_CONF,
+    )
     try:
         transcripts = spark.read.parquet(transcripts_path)
-        # warm-up: spin up every Python worker + import the kernel once
-        extract_articles(transcripts.sample(0.05, seed=1)).count()
-        best = 0.0
-        for _ in range(2):  # best-of-2 damps JVM/GC noise
+        if warm:
+            extract_articles(transcripts).count()
+        rates = []
+        for _ in range(timed_runs):
             started = time.time()
             n_out = extract_articles(transcripts).count()
             elapsed = time.time() - started
             assert n_out == n_turns
-            best = max(best, n_turns / elapsed)
-        return best
+            rates.append(n_turns / elapsed)
+        return rates
     finally:
         spark.stop()
+
+
+def _median(xs: list) -> float:
+    xs = sorted(xs)
+    mid = len(xs) // 2
+    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+
+def _hw_control(transcripts_path: str, procs: int) -> float:
+    """Same kernel + same payloads in a plain multiprocessing.Pool (no
+    Spark at all) — measures the HOST's own scaling ceiling. Run as a
+    subprocess so the fork doesn't inherit this process's JVM."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve().parent / "tools" / "hw_control.py"), transcripts_path, str(procs)],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=300,
+    )
+    return float(json.loads(out.stdout.strip().splitlines()[-1])["docs_per_sec"])
+
+
+def _measure_scaling(cores_lo: int, cores_hi: int, transcripts_path: str, n_turns: int) -> dict:
+    """North-rule scaling evidence: the same job at N and 4N cores on
+    identical input, PLUS a no-Spark hardware control at the same
+    process counts.
+
+    Two confounds on a single shared-tenancy box, and how each is
+    handled:
+    * the host drifts (steal bursts, ±10-20% between minutes) — the two
+      levels are visited interleaved lo,hi,lo,hi and summarized by
+      median so drift cancels in the ratio;
+    * the host itself scales sub-linearly for ANY CPU-bound work (DVFS /
+      memory bandwidth: per-core throughput of the kernel under plain
+      multiprocessing drops ~30-35% from 8 -> 32 busy cores, no Spark
+      involved) — the control measures that ceiling, and
+      `normalized_efficiency` = spark_efficiency / hw_efficiency is the
+      pipeline-attributable number. On a real N -> 4N *multi-machine*
+      cluster the control is ~1.0 by construction and the raw and
+      normalized numbers coincide.
+    """
+    rates_lo = _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2, warm=True)
+    rates_hi = _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2, warm=True)
+    hw_lo = _hw_control(transcripts_path, cores_lo)
+    hw_hi = _hw_control(transcripts_path, cores_hi)
+    rates_lo += _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2, warm=False)
+    rates_hi += _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2, warm=False)
+    tps_lo = _median(rates_lo)
+    tps_hi = _median(rates_hi)
+    ratio = cores_hi / cores_lo
+    efficiency = (tps_hi / tps_lo) / ratio
+    hw_efficiency = (hw_hi / hw_lo) / ratio
+    return {
+        "cores_lo": cores_lo,
+        "cores_hi": cores_hi,
+        "turns_per_sec_lo": round(tps_lo, 2),
+        "turns_per_sec_hi": round(tps_hi, 2),
+        "runs_lo": [round(r, 1) for r in rates_lo],
+        "runs_hi": [round(r, 1) for r in rates_hi],
+        "efficiency": round(efficiency, 3),
+        "hw_control_docs_per_sec_lo": round(hw_lo, 1),
+        "hw_control_docs_per_sec_hi": round(hw_hi, 1),
+        "hw_control_efficiency": round(hw_efficiency, 3),
+        "normalized_efficiency": round(efficiency / hw_efficiency, 3),
+    }
 
 
 def main() -> None:
@@ -112,9 +199,7 @@ def main() -> None:
     cores_lo = max(CPUS // 4, 1)
     scaled_path = os.path.join(os.environ.get("TMPDIR", "/tmp"), "fundus_spark_bench_transcripts")
     n_turns = _materialize_scaled_transcripts(SF_DIR, REPLICAS, scaled_path)
-    tps_hi = _extraction_throughput(cores_hi, scaled_path, n_turns)
-    tps_lo = _extraction_throughput(cores_lo, scaled_path, n_turns)
-    efficiency = (tps_hi / tps_lo) / (cores_hi / cores_lo)
+    scaling = _measure_scaling(cores_lo, cores_hi, scaled_path, n_turns)
 
     spark = build_session(app_name="bench", cores=CPUS)
     timings = _run_headline(spark, SF_DIR)
@@ -129,13 +214,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-                "scaling": {
-                    "cores_lo": cores_lo,
-                    "cores_hi": cores_hi,
-                    "turns_per_sec_lo": round(tps_lo, 2),
-                    "turns_per_sec_hi": round(tps_hi, 2),
-                    "efficiency": round(efficiency, 3),
-                },
+                "scaling": scaling,
             }
         )
     )
