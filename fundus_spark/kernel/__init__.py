@@ -28,6 +28,7 @@ from .text import (
     normalize_whitespace,
     strip_nodes_to_text,
 )
+from .transform import serialize_html, transform_breaks_to_tag
 from .xpath import XPath
 
 __all__ = [
@@ -63,5 +64,7 @@ __all__ = [
     "parse_srcset",
     "parse_title_from_root",
     "run_extraction",
+    "serialize_html",
     "strip_nodes_to_text",
+    "transform_breaks_to_tag",
 ]

@@ -20,10 +20,11 @@ __all__ = ["CSSSelector"]
 
 _TOKEN = re.compile(
     r"""
-    (?P<name>[A-Za-z][\w-]*)
+    (?P<not>:not\(\s*[^()]*\s*\))
+  | (?P<name>[A-Za-z][\w-]*)
   | (?P<cls>\.[\w-]+)
   | (?P<id>\#[\w-]+)
-  | (?P<attr>\[\s*[\w:-]+\s*(?:=\s*(?:'[^']*'|"[^"]*"|[\w-]+))?\s*\])
+  | (?P<attr>\[\s*[\w:-]+\s*(?:[*^$~]?=\s*(?:'[^']*'|"[^"]*"|[\w-]+))?\s*\])
   | (?P<star>\*)
   | (?P<child>\s*>\s*)
   | (?P<comma>\s*,\s*)
@@ -32,20 +33,23 @@ _TOKEN = re.compile(
     re.VERBOSE,
 )
 
-_ATTR_RE = re.compile(r"\[\s*(?P<name>[\w:-]+)\s*(?:=\s*(?P<val>'[^']*'|\"[^\"]*\"|[\w-]+))?\s*\]")
+_ATTR_RE = re.compile(r"\[\s*(?P<name>[\w:-]+)\s*(?:(?P<op>[*^$~]?=)\s*(?P<val>'[^']*'|\"[^\"]*\"|[\w-]+))?\s*\]")
 
 
 class _Simple:
-    __slots__ = ("tag", "classes", "id", "attrs")
+    __slots__ = ("tag", "classes", "id", "attrs", "negations")
 
     def __init__(self) -> None:
         self.tag: Optional[str] = None
         self.classes: List[str] = []
         self.id: Optional[str] = None
-        self.attrs: List[Tuple[str, Optional[str]]] = []
+        self.attrs: List[Tuple[str, str, Optional[str]]] = []  # (name, op, value)
+        self.negations: List["_Simple"] = []
 
     def matches(self, el: Element) -> bool:
         if isinstance(el, Comment):
+            return False
+        if any(neg.matches(el) for neg in self.negations):
             return False
         if self.tag is not None and el.tag != self.tag:
             return False
@@ -55,11 +59,25 @@ class _Simple:
                 return False
         if self.id is not None and el.get("id") != self.id:
             return False
-        for name, value in self.attrs:
+        for name, op, value in self.attrs:
             actual = el.get(name)
             if actual is None:
                 return False
-            if value is not None and actual != value:
+            if value is None:
+                continue
+            if op == "=":
+                ok = actual == value
+            elif op == "*=":
+                ok = value in actual
+            elif op == "^=":
+                ok = actual.startswith(value)
+            elif op == "$=":
+                ok = actual.endswith(value)
+            elif op == "~=":
+                ok = value in actual.split()
+            else:
+                ok = False
+            if not ok:
                 return False
         return True
 
@@ -113,7 +131,13 @@ def _parse_group(selector: str) -> List[List[Tuple[str, _Simple]]]:
                 val = am.group("val")
                 if val and val[0] in "'\"":
                     val = val[1:-1]
-                current.attrs.append((am.group("name"), val))
+                current.attrs.append((am.group("name"), am.group("op") or "=", val))
+            elif kind == "not":
+                inner = text[len(":not(") : -1].strip()
+                neg_groups = _parse_group(inner)
+                if len(neg_groups) != 1 or len(neg_groups[0]) != 1:
+                    raise ValueError(f":not() takes one simple selector, got {inner!r}")
+                current.negations.append(neg_groups[0][0][1])
     if current is not None:
         chain.append((pending_combinator, current))
     if chain:

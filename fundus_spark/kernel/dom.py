@@ -34,13 +34,16 @@ VOID_ELEMENTS = frozenset(
     "area base basefont bgsound br col command embed frame hr img input keygen link meta param source track wbr".split()
 )
 
-# Start tags that imply </p> when a <p> is open (HTML5 spec 13.1.2,
-# "closing elements that have implied end tags"; libxml2 keeps an
-# equivalent start-close table).
+# Tags whose start auto-closes an open <p>. Parity note: this is the
+# HTML 4.01 block set that libxml2 (the reference's lxml backend) uses —
+# NOT the HTML5 list. HTML5-only elements (section, article, aside,
+# figure, header, footer, nav, ...) are unknown to libxml2 and stay
+# NESTED inside <p>, and golden bodies rely on that (e.g. RollingStone
+# embeds a <section> "Trending" module inside a body paragraph).
 _P_CLOSERS = frozenset(
     (
-        "address article aside blockquote center details dialog dir div dl fieldset figcaption figure footer form "
-        "h1 h2 h3 h4 h5 h6 header hgroup hr main menu nav ol p pre section summary table ul"
+        "address blockquote center dir div dl fieldset form "
+        "h1 h2 h3 h4 h5 h6 hr menu ol p pre table ul"
     ).split()
 )
 
@@ -63,8 +66,6 @@ _SIBLING_CLOSERS: Dict[str, frozenset] = {
 
 # Elements whose open presence bounds sibling auto-closing (scope
 # boundaries): never auto-close past these.
-_SCOPE_BOUNDARIES = frozenset("html body table td th caption applet object template marquee".split())
-
 _HEAD_TAGS = frozenset("title meta link base basefont style script noscript template isindex".split())
 
 
@@ -238,22 +239,22 @@ class _TreeBuilder(HTMLParser):
 
     # --- implied end tags --------------------------------------------------
     def _imply_end_tags(self, tag: str) -> None:
-        if tag in _P_CLOSERS:
-            # close an open <p> unless a scope boundary intervenes
-            for node in reversed(self._stack):
-                if node.tag == "p":
-                    self._pop_to(node)
-                    break
-                if node.tag in _SCOPE_BOUNDARIES:
-                    break
+        # libxml2 parity (the reference's lxml backend): auto-close only
+        # while the CURRENT node (stack top) is closed by the new tag —
+        # an intervening element (even an unknown one like <section>)
+        # shields everything beneath it. HTML5's scope-based algorithm
+        # would close an open <p> across unknown elements; libxml2 does
+        # not, and golden bodies depend on the difference.
         closers = _SIBLING_CLOSERS.get(tag)
-        if closers:
-            for node in reversed(self._stack):
-                if node.tag in closers:
-                    self._pop_to(node)
-                    break
-                if node.tag in _SCOPE_BOUNDARIES or node.tag in ("ul", "ol", "dl", "select") and tag not in closers:
-                    break
+        while len(self._stack) > 1:
+            top = self._stack[-1].tag
+            if tag in _P_CLOSERS and top == "p":
+                self._stack.pop()
+                continue
+            if closers and top in closers:
+                self._stack.pop()
+                continue
+            break
 
     def _pop_to(self, node: Element) -> None:
         while self._stack and self._stack[-1] is not node:

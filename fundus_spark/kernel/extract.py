@@ -102,7 +102,11 @@ def run_extraction(
     html: str,
     ts: Optional[datetime] = None,
     error_handling: Literal["suppress", "catch", "raise"] = "raise",
+    failures: Optional[List[str]] = None,
 ) -> Dict[str, Any]:
+    """``failures``: optional collector; under ``suppress`` each failing
+    attribute appends ``"name: ExcType"`` (the reference logs these at
+    debug level, ``base_parser.py:300-305``; we surface them as lineage)."""
     version = spec.version_for(ts)
     ctx = build_context(html)
     day = ts.date() if isinstance(ts, datetime) else ts
@@ -116,6 +120,8 @@ def run_extraction(
         except Exception as err:  # noqa: BLE001 — parity with reference error handling
             if error_handling == "suppress":
                 out[step.name] = step.default() if callable(step.default) else step.default
+                if failures is not None:
+                    failures.append(f"{step.name}: {type(err).__name__}")
             elif error_handling == "catch":
                 out[step.name] = err
             else:

@@ -94,6 +94,11 @@ def generic_nodes_to_text(nodes: Sequence[Union[Element, str]], normalize: bool 
             text = node.text_content()
         elif isinstance(node, str):
             text = node
+        elif hasattr(node, "value"):
+            # XPath text()/attribute results (lxml returns these as str
+            # subclasses — _ElementUnicodeResult — so they take the str
+            # branch there; our engine models them as nodes)
+            text = node.value
         else:
             raise TypeError(f"Unexpected type {type(node)}")
         if normalize:

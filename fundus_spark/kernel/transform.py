@@ -1,0 +1,137 @@
+"""DOM rewrite helpers used by ``@function`` rule steps.
+
+``transform_breaks_to_tag`` mirrors the reference's
+``src/fundus/parser/utility.py:315-376``: serialize the element,
+split its inner HTML on literal ``<br>`` tags, and re-attach each
+fragment wrapped in a new tag (default ``<p class='br-wrap'>``) —
+either appended to the cleared element or replacing it in its parent.
+Used by 9 reference publisher parsers (e.g.
+``publishers/de/berliner_zeitung.py``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+from .dom import Comment, Element, parse_html
+
+__all__ = ["serialize_html", "transform_breaks_to_tag"]
+
+# void elements per the HTML spec (serialized without a closing tag,
+# matching lxml's method="html" output, where <br/> prints as "<br>")
+_VOID = {
+    "area",
+    "base",
+    "br",
+    "col",
+    "embed",
+    "hr",
+    "img",
+    "input",
+    "link",
+    "meta",
+    "param",
+    "source",
+    "track",
+    "wbr",
+}
+
+_TEXT_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
+
+
+def _escape_text(s: str) -> str:
+    return re.sub(r"[&<>]", lambda m: _TEXT_ESCAPES[m.group()], s)
+
+
+def _escape_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace('"', "&quot;")
+
+
+def serialize_html(el: Element) -> str:
+    """Outer-HTML serialization (lxml ``tostring(method='html')``
+    equivalent for the subset our DOM represents)."""
+    parts: List[str] = []
+
+    def walk(node: Element) -> None:
+        if isinstance(node, Comment):
+            parts.append(f"<!--{node.text or ''}-->")
+            if node.tail:
+                parts.append(_escape_text(node.tail))
+            return
+        attrs = "".join(f' {name}="{_escape_attr(value)}"' for name, value in node.attrib.items())
+        parts.append(f"<{node.tag}{attrs}>")
+        if node.tag not in _VOID:
+            if node.text:
+                parts.append(_escape_text(node.text))
+            for child in node.children:
+                walk(child)
+            parts.append(f"</{node.tag}>")
+        if node.tail:
+            parts.append(_escape_text(node.tail))
+
+    tail, el.tail = el.tail, None  # outer serialization excludes the tail
+    try:
+        walk(el)
+    finally:
+        el.tail = tail
+    return "".join(parts)
+
+
+def _fragment(html: str) -> Optional[Element]:
+    """Parse an HTML fragment and return its first element (the
+    ``lxml.html.fromstring`` analogue for single-rooted fragments)."""
+    doc = parse_html(html)
+    for node in doc.iter():
+        if node.tag == "body":
+            return node.children[0] if node.children else None
+    return None
+
+
+_INNER_RE = re.compile(r"^<[^>]*?>\s*(?P<content>.*?)\s*<[^>]*?>\s*$", re.S)
+_DUNDER_RE = re.compile(r"^__(.*?)__$")
+
+
+def transform_breaks_to_tag(element: Element, tag: str = "p", replace: bool = False, **attribs: str) -> None:
+    # NOTE: despite the reference docstring's claim of a br-wrap default,
+    # its code adds NO attributes when none are passed — match the code.
+    if attribs:
+        attribs = {_DUNDER_RE.sub(r"\1", key): value for key, value in attribs.items()}
+
+    raw_html = serialize_html(element)
+    match = _INNER_RE.match(raw_html)
+    if not match:
+        return None
+    content = match.group("content")
+    paragraphs = [text.strip() for text in content.split("<br>") if text.strip()]
+    if not paragraphs:
+        return None
+
+    attr_str = " ".join(f"{name}='{value}'" for name, value in attribs.items()) if attribs else ""
+    wrapped = [f"<{tag}{' ' + attr_str}>{paragraph}</{tag}>" for paragraph in paragraphs]
+
+    if replace:
+        parent = element.getparent()
+        if parent is None:
+            raise NotImplementedError("Cannot replace elements without parent element")
+        previous_attrs = dict(element.attrib)
+        previous_index = parent.index(element)
+        parent.remove(element)
+        for new_index, paragraph in enumerate(wrapped, previous_index):
+            new_paragraph = _fragment(paragraph)
+            if new_paragraph is None:
+                continue
+            new_paragraph.attrib.update(previous_attrs)
+            new_paragraph.tail = None
+            parent.insert(new_index, new_paragraph)
+    else:
+        for child in list(element.children):
+            element.remove(child)
+        element.tail = None
+        element.text = None
+        for paragraph in wrapped:
+            new_paragraph = _fragment(paragraph)
+            if new_paragraph is not None:
+                new_paragraph.tail = None
+                element.append(new_paragraph)
+    return None

@@ -107,9 +107,14 @@ def _row_extract(conv_id, turn_idx, role, tool, ts, html, partition_id):
     free_access = None
     version_name = None
     ok = True
+    attr_failures: list = []
     try:
         version_name = spec.version_for(ts).name
-        extraction = run_extraction(spec, html, ts, error_handling="raise")
+        # "suppress" matches the reference's production path
+        # (crawler.py default): a failing attribute degrades to its
+        # typed default, the row survives with the rest extracted.
+        # Failed attribute names land in `error` as lineage.
+        extraction = run_extraction(spec, html, ts, error_handling="suppress", failures=attr_failures)
         title = extraction.get("title")
         if (body := extraction.get("body")) is not None:
             body_json = json.dumps(body, ensure_ascii=False, sort_keys=False)
@@ -125,6 +130,8 @@ def _row_extract(conv_id, turn_idx, role, tool, ts, html, partition_id):
     except Exception as err:  # noqa: BLE001 — failure degrades to a flagged row
         ok = False
         error = f"{type(err).__name__}: {err}"
+    if attr_failures and error is None:
+        error = "; ".join(attr_failures)
     return (
         conv_id,
         turn_idx,

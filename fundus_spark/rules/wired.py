@@ -1,0 +1,98 @@
+"""Wired rule spec — semantics per reference
+``src/fundus/publishers/us/wired.py`` (single V1).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Dict, List, Optional
+
+from ..kernel import (
+    CSSSelector,
+    Extractor,
+    ParseContext,
+    PublisherSpec,
+    VersionSpec,
+    XPath,
+    assemble_body,
+    free_access_from_ld,
+    generic_author_parsing,
+    generic_date_parsing,
+    generic_topic_parsing,
+    image_extraction,
+)
+
+_SUMMARY = XPath("//div[contains(@class, 'ContentHeaderDek')]")
+_PARAGRAPH = CSSSelector(".body__inner-container > p")
+_SUBHEAD = CSSSelector(".body__inner-container h2")
+
+_IMAGE = XPath("//figure//img|//div[contains(@class, 'ProductEmbedWrapper')]//img")
+_CAPTION = XPath(
+    "./ancestor::*[self::figure or (self::div and contains(@class, 'ProductEmbedWrapper'))]"
+    "//*[contains(@class, 'caption__text') or contains(@class, 'ProductEmbedHed-')]"
+)
+_CREDIT = XPath(
+    "./ancestor::*[self::figure or (self::div and contains(@class, 'ProductEmbedWrapper'))]"
+    "//*[contains(@class, 'caption__credit') or contains(@class, 'CreditWrapper')]"
+)
+
+
+def _body(ctx: ParseContext) -> Optional[Dict[str, Any]]:
+    return assemble_body(
+        ctx.doc,
+        paragraph_selector=_PARAGRAPH,
+        subheadline_selector=_SUBHEAD,
+        summary_selector=_SUMMARY,
+    )
+
+
+def _authors(ctx: ParseContext) -> List[str]:
+    return generic_author_parsing(ctx.ld.bf_search("author"))
+
+
+def _publishing_date(ctx: ParseContext) -> Optional[datetime.datetime]:
+    return generic_date_parsing(ctx.ld.bf_search("datePublished"))
+
+
+def _title(ctx: ParseContext) -> Optional[str]:
+    return ctx.ld.bf_search("headline")
+
+
+def _topics(ctx: ParseContext) -> List[str]:
+    return generic_topic_parsing(ctx.meta.get("keywords"))
+
+
+def _images(ctx: ParseContext) -> List[Dict[str, Any]]:
+    return [
+        img.serialize()
+        for img in image_extraction(
+            doc=ctx.doc,
+            paragraph_selector=_PARAGRAPH,
+            image_selector=_IMAGE,
+            caption_selector=_CAPTION,
+            author_selector=_CREDIT,
+        )
+    ]
+
+
+def _free_access(ctx: ParseContext) -> bool:
+    return free_access_from_ld(ctx.ld)
+
+
+WIRED = PublisherSpec(
+    key="us.Wired",
+    versions=(
+        VersionSpec(
+            name="V1",
+            extractors=(
+                Extractor("body", _body),
+                Extractor("authors", _authors, default=list),
+                Extractor("publishing_date", _publishing_date),
+                Extractor("title", _title),
+                Extractor("topics", _topics, default=list),
+                Extractor("images", _images, default=list),
+                Extractor("free_access", _free_access, default=False),
+            ),
+        ),
+    ),
+)

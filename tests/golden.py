@@ -19,8 +19,22 @@ REFERENCE_TEST_DATA = Path("/root/reference/tests/resources/parser/test_data")
 GOLDEN_PUBLISHERS = [
     ("us.APNews", "us", "APNews"),
     ("us.Reuters", "us", "Reuters"),
+    ("us.TechCrunch", "us", "TechCrunch"),
+    ("us.Wired", "us", "Wired"),
+    ("us.FoxNews", "us", "FoxNews"),
+    ("us.TheIntercept", "us", "TheIntercept"),
+    ("us.VoiceOfAmerica", "us", "VoiceOfAmerica"),
+    ("us.CNBC", "us", "CNBC"),
+    ("us.LATimes", "us", "LATimes"),
+    ("us.TheNewYorker", "us", "TheNewYorker"),
+    ("us.RollingStone", "us", "RollingStone"),
+    ("us.BusinessInsider", "us", "BusinessInsider"),
+    ("uk.TheGuardian", "uk", "TheGuardian"),
+    ("uk.BBC", "uk", "BBC"),
     ("de.MDR", "de", "MDR"),
     ("de.Golem", "de", "Golem"),
+    ("de.BerlinerZeitung", "de", "BerlinerZeitung"),
+    ("de.DW", "de", "DW"),
     ("uk.EuronewsEN", "uk", "EuronewsEN"),
     ("de.EuronewsDE", "de", "EuronewsDE"),
     ("fr.EuronewsFR", "fr", "EuronewsFR"),
