@@ -531,6 +531,52 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# PDF extraction (from-scratch content-stream parser; north_rule
+# "PDF/layout parse")
+# ---------------------------------------------------------------------------
+
+
+def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import pdf_extract_text
+    from fundus_spark.sources.pdf_docs import documents_as_pdfs
+
+    docs = _read(spark, sf_dir, "documents")
+    pdfs = documents_as_pdfs(docs)
+    # n_pdf_bytes depends on zlib output size — lineage only, not
+    # oracle-comparable; project it away here.
+    return pdf_extract_text(pdfs).select("doc_id", "pdf_text")
+
+
+_PDF_EXTRACT_SQL = """
+SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS pdf_text FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# generic boilerplate strip (jusText-style node classifier; north_star
+# "tokenize+classify DOM nodes into content/boilerplate")
+# ---------------------------------------------------------------------------
+
+
+def _q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import boilerplate_page, boilerplate_strip
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", boilerplate_page(F.col("doc_id"), F.col("text")).alias("html"))
+    # nav=1 block, aside=2 link blocks, footer=1 block -> 4 boilerplate
+    return boilerplate_strip(pages).select("doc_id", "main_text", "n_content_blocks", "n_boilerplate_blocks")
+
+
+_BOILERPLATE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text,
+       CAST(1 AS BIGINT) AS n_content_blocks,
+       CAST(3 AS BIGINT) AS n_boilerplate_blocks
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -559,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
+        "pdf_extract": _q_pdf_extract,
+        "boilerplate_strip": _q_boilerplate_strip,
     }
 
 
@@ -586,4 +634,6 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _LANGUAGE_ID_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
+        "pdf_extract": _PDF_EXTRACT_SQL,
+        "boilerplate_strip": _BOILERPLATE_SQL,
     }

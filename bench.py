@@ -25,6 +25,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "extract_documents",
     "assemble_conversations",
+    "boilerplate_strip",
+    "pdf_extract",
     "minhash_signatures",
     "ngram_jaccard",
     "simhash",

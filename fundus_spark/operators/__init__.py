@@ -1,3 +1,4 @@
+from .boilerplate import boilerplate_page, boilerplate_strip
 from .dedup import (
     exact_dedup,
     exact_dup_groups,
@@ -7,11 +8,14 @@ from .dedup import (
     simhash,
 )
 from .multimodal import media_features
+from .pdf import pdf_extract_text
 from .relational import first_wins_dedup, grouped_topk, regex_filter, requires
 from .similarity import cosine_topk, lsh_bucketed_topk
 from .textstats import fingerprint, language_id, quality_score, token_count
 
 __all__ = [
+    "boilerplate_page",
+    "boilerplate_strip",
     "cosine_topk",
     "exact_dedup",
     "exact_dup_groups",
@@ -24,6 +28,7 @@ __all__ = [
     "media_features",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "pdf_extract_text",
     "quality_score",
     "regex_filter",
     "requires",

@@ -190,3 +190,90 @@ def test_body_trailing_em_cleanup():
 def test_title_from_root():
     assert parse_title_from_root(parse_html("<html><head><title> T </title></head><body></body></html>")) == "T"
     assert parse_title_from_root(parse_html("<html><body></body></html>")) is None
+
+
+# --- PDF kernel -------------------------------------------------------------
+
+
+def test_pdf_roundtrip_multipage():
+    from fundus_spark.kernel.pdf import extract_pdf_text
+    from fundus_spark.sources.pdf_gen import build_pdf
+
+    pdf = build_pdf([["Hello (world) \\ test", "second line"], ["page two here"]])
+    assert extract_pdf_text(pdf) == "Hello (world) \\ test\nsecond line\npage two here"
+
+
+def test_pdf_operators_tj_array_hex_octal():
+    from fundus_spark.kernel.pdf import extract_pdf_text
+
+    # uncompressed stream exercising TJ arrays (kerning ignored), hex
+    # strings, octal escapes, quote operator (new line), Tm line break
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(Hel) -20 (lo)] TJ "
+        b"<20776F726C64> Tj "
+        b"0 -14 TD (line\\062) Tj "
+        b"(next) ' "
+        b"ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(pdf) == "Hello world\nline2\nnext"
+
+
+def test_pdf_degenerate_inputs():
+    from fundus_spark.kernel.pdf import extract_pdf_text
+
+    assert extract_pdf_text(b"") == ""
+    assert extract_pdf_text(b"not a pdf") == ""
+    assert extract_pdf_text(b"%PDF-1.4 truncated") == ""
+    # corrupt flate payload is skipped, not raised
+    bad = b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length 5 >>\nstream\nxxxxx\nendstream\nendobj"
+    assert extract_pdf_text(bad) == ""
+
+
+# --- boilerplate classifier ---------------------------------------------------
+
+
+def test_boilerplate_strip_basic():
+    from fundus_spark.kernel.boilerplate import extract_main_text
+
+    html = (
+        "<html><body>"
+        "<nav><a href='/'>Home</a> <a href='/n'>News</a></nav>"
+        "<div><p>This is a long enough paragraph with many plain words to count as content here.</p>"
+        "<p><a href='/x'>Click here for more</a></p>"  # link-only -> boilerplate
+        "<h2>A heading</h2>"
+        "<p>Another long paragraph of body text with enough words to pass the content threshold.</p></div>"
+        "<footer>© 2024 <a href='/imp'>Imprint</a></footer>"
+        "</body></html>"
+    )
+    out = extract_main_text(html)
+    assert out == (
+        "This is a long enough paragraph with many plain words to count as content here."
+        "\n\nA heading\n\nAnother long paragraph of body text with enough words to pass the content threshold."
+    )
+
+
+def test_boilerplate_heading_without_content_dropped():
+    from fundus_spark.kernel.boilerplate import extract_main_text
+
+    html = "<body><h2>Lonely heading</h2><p><a href='/'>nav nav nav</a></p></body>"
+    assert extract_main_text(html) is None
+
+
+def test_boilerplate_link_density():
+    from fundus_spark.kernel.boilerplate import classify_blocks
+    from fundus_spark.kernel.dom import parse_html
+
+    html = (
+        "<body><p>plain words only in this long block so it stays content for sure honestly</p>"
+        "<p><a>link text dominating here</a> tiny tail</p></body>"
+    )
+    labels = [b["label"] for b in classify_blocks(parse_html(html))]
+    assert labels == ["content", "boilerplate"]
