@@ -323,21 +323,23 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, k=2, threshold=0.05)
+    # within-source pairing: the scale-bounded regime (a hot shingle
+    # costs |bucket within source|^2, not |bucket|^2)
+    return ngram_jaccard_pairs(docs, k=2, threshold=0.05, partition_col="source")
 
 
 def _ngram_jaccard_sql(k: int = 2, threshold: float = 0.05) -> str:
     return f"""
 WITH shingles AS (
-    SELECT DISTINCT doc_id,
+    SELECT DISTINCT doc_id, source,
            array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
          LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i) t
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
 inters AS (
     SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
-    FROM shingles l JOIN shingles r USING (shingle)
+    FROM shingles l JOIN shingles r USING (source, shingle)
     WHERE l.doc_id < r.doc_id
     GROUP BY 1, 2
 )

@@ -118,23 +118,46 @@ def ngram_jaccard_pairs(
     k: int = 4,
     threshold: float = 0.8,
     candidates: Optional[DataFrame] = None,
+    partition_col: Optional[str] = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word k-gram shingles for pairs above
-    ``threshold``. If ``candidates`` (a,b) is given, verify only those
-    (the LSH two-phase path); otherwise verify pairs sharing any
-    shingle (exact, still sub-O(n²) on sparse overlap)."""
+    ``threshold``.
+
+    Scale shape — three regimes, most-scalable first:
+    * ``candidates`` (a, b) given (the LSH two-phase path): the
+      intersection is computed FROM the candidate list (join each side
+      to its shingles, count matches) — never from a shingle self-join,
+      so hot shingles cannot blow up the plan.
+    * ``partition_col`` given: pairs are formed only within a partition
+      value (dedup within a domain / crawl batch — how a 100 TB job is
+      sharded anyway); the self-join keys on (partition, shingle), so
+      a globally hot shingle costs |bucket∩partition|² not |bucket|².
+    * neither: unrestricted shingle self-join — exact, but quadratic in
+      per-shingle document frequency. Small corpora only.
+    """
     shingles = shingle_relation(df, text_col, id_col, k).distinct()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    pair_intersections = (
-        shingles.alias("l")
-        .join(shingles.alias("r"), "shingle")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        pair_intersections = pair_intersections.join(candidates, ["a", "b"])
+        sa = shingles.select(F.col("doc_id").alias("a"), "shingle")
+        sb = shingles.select(F.col("doc_id").alias("b"), "shingle")
+        pair_intersections = (
+            candidates.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        join_keys = ["shingle"]
+        left = shingles
+        if partition_col is not None:
+            parts = df.select(F.col(id_col).alias("doc_id"), F.col(partition_col).alias("_part"))
+            left = shingles.join(parts, "doc_id")
+            join_keys = ["_part", "shingle"]
+        pair_intersections = (
+            left.alias("l")
+            .join(left.alias("r"), join_keys)
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     joined = (
         pair_intersections.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
