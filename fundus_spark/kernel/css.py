@@ -21,6 +21,7 @@ __all__ = ["CSSSelector"]
 _TOKEN = re.compile(
     r"""
     (?P<not>:not\(\s*[^()]*\s*\))
+  | (?P<has>:has\(\s*[^()]*\s*\))
   | (?P<name>[A-Za-z][\w-]*)
   | (?P<cls>\.[\w-]+)
   | (?P<id>\#[\w-]+)
@@ -37,7 +38,7 @@ _ATTR_RE = re.compile(r"\[\s*(?P<name>[\w:-]+)\s*(?:(?P<op>[*^$~]?=)\s*(?P<val>'
 
 
 class _Simple:
-    __slots__ = ("tag", "classes", "id", "attrs", "negations")
+    __slots__ = ("tag", "classes", "id", "attrs", "negations", "has")
 
     def __init__(self) -> None:
         self.tag: Optional[str] = None
@@ -45,12 +46,22 @@ class _Simple:
         self.id: Optional[str] = None
         self.attrs: List[Tuple[str, str, Optional[str]]] = []  # (name, op, value)
         self.negations: List["_Simple"] = []
+        self.has: List[Tuple[str, "_Simple"]] = []  # (relation 'child'|'descendant', simple)
 
     def matches(self, el: Element) -> bool:
         if isinstance(el, Comment):
             return False
         if any(neg.matches(el) for neg in self.negations):
             return False
+        for relation, inner in self.has:
+            if relation == "child":
+                if not any(inner.matches(c) for c in el.children):
+                    return False
+            else:
+                it = el.iter()
+                next(it)
+                if not any(inner.matches(d) for d in it):
+                    return False
         if self.tag is not None and el.tag != self.tag:
             return False
         if self.classes:
@@ -138,6 +149,16 @@ def _parse_group(selector: str) -> List[List[Tuple[str, _Simple]]]:
                 if len(neg_groups) != 1 or len(neg_groups[0]) != 1:
                     raise ValueError(f":not() takes one simple selector, got {inner!r}")
                 current.negations.append(neg_groups[0][0][1])
+            elif kind == "has":
+                inner = text[len(":has(") : -1].strip()
+                relation = "descendant"
+                if inner.startswith(">"):
+                    relation = "child"
+                    inner = inner[1:].strip()
+                has_groups = _parse_group(inner)
+                if len(has_groups) != 1 or len(has_groups[0]) != 1:
+                    raise ValueError(f":has() takes one simple selector, got {inner!r}")
+                current.has.append((relation, has_groups[0][0][1]))
     if current is not None:
         chain.append((pending_combinator, current))
     if chain:

@@ -525,7 +525,12 @@ class _Evaluator:
                 root: XNode = node
                 while isinstance(root, Element) and root.getparent() is not None:
                     root = root.getparent()  # type: ignore[assignment]
-                current = [root]
+                # XPath '/' is the DOCUMENT node sitting above <html>
+                # (lxml resolves '/html/body/...' that way); our tree
+                # root IS <html>, so wrap it in a virtual document node.
+                doc_node = Element("#document")
+                doc_node._children = [root]  # noqa: SLF001 — root keeps _parent=None
+                current = [doc_node]
             else:
                 current = [node]
         for step in steps:

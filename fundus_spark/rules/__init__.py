@@ -16,19 +16,31 @@ from .ap_news import AP_NEWS
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .business_insider import BUSINESS_INSIDER
 from .cnbc import CNBC
+from .daily_mail import DAILY_MAIL
+from .daily_star import DAILY_STAR
 from .dw import DW
 from .euronews import EURONEWS
+from .evening_standard import EVENING_STANDARD
+from .express import EXPRESS
 from .fox_news import FOX_NEWS
 from .generic import GENERIC
 from .golem import GOLEM
+from .i_news import I_NEWS
 from .la_times import LA_TIMES
 from .mdr import MDR
+from .nature import NATURE
+from .metro import METRO
 from .the_new_yorker import THE_NEW_YORKER
 from .reuters import REUTERS
 from .rolling_stone import ROLLING_STONE
 from .techcrunch import TECHCRUNCH
+from .techradar import TECHRADAR
 from .the_bbc import THE_BBC
 from .the_guardian import THE_GUARDIAN
+from .the_independent import THE_INDEPENDENT
+from .the_mirror import THE_MIRROR
+from .the_sun import THE_SUN
+from .the_telegraph import THE_TELEGRAPH
 from .the_intercept import THE_INTERCEPT
 from .voice_of_america import VOICE_OF_AMERICA
 from .wired import WIRED
@@ -40,19 +52,31 @@ REGISTRY: Dict[str, PublisherSpec] = {
         BERLINER_ZEITUNG,
         BUSINESS_INSIDER,
         CNBC,
+        DAILY_MAIL,
+        DAILY_STAR,
         DW,
         EURONEWS,
+        EVENING_STANDARD,
+        EXPRESS,
         FOX_NEWS,
         GOLEM,
+        I_NEWS,
         LA_TIMES,
         MDR,
+        NATURE,
+        METRO,
         THE_NEW_YORKER,
         REUTERS,
         ROLLING_STONE,
         TECHCRUNCH,
+        TECHRADAR,
         THE_BBC,
         THE_GUARDIAN,
+        THE_INDEPENDENT,
+        THE_MIRROR,
         THE_INTERCEPT,
+        THE_SUN,
+        THE_TELEGRAPH,
         VOICE_OF_AMERICA,
         WIRED,
         GENERIC,

@@ -31,6 +31,18 @@ GOLDEN_PUBLISHERS = [
     ("us.BusinessInsider", "us", "BusinessInsider"),
     ("uk.TheGuardian", "uk", "TheGuardian"),
     ("uk.BBC", "uk", "BBC"),
+    ("uk.TheTelegraph", "uk", "TheTelegraph"),
+    ("uk.TheIndependent", "uk", "TheIndependent"),
+    ("uk.DailyMail", "uk", "DailyMail"),
+    ("uk.TheSun", "uk", "TheSun"),
+    ("uk.Metro", "uk", "Metro"),
+    ("uk.Express", "uk", "Express"),
+    ("uk.iNews", "uk", "iNews"),
+    ("uk.Nature", "uk", "Nature"),
+    ("uk.TechRadar", "uk", "TechRadar"),
+    ("uk.EveningStandard", "uk", "EveningStandard"),
+    ("uk.DailyStar", "uk", "DailyStar"),
+    ("uk.TheMirror", "uk", "TheMirror"),
     ("de.MDR", "de", "MDR"),
     ("de.Golem", "de", "Golem"),
     ("de.BerlinerZeitung", "de", "BerlinerZeitung"),
