@@ -184,6 +184,22 @@ class Comment(Element):
         return f"<Comment at 0x{id(self):x}>"
 
 
+class ProcessingInstruction(Comment):
+    """``<?...?>`` node. libxml2 keeps PIs in the tree and ``iter()``
+    yields them, so they count toward document-order positions (golden
+    image positions depend on this); like comments they contribute no
+    text and match no tag test."""
+
+    __slots__ = ()
+
+    def __init__(self, text: str = ""):
+        super().__init__(text)
+        self.tag = "#pi"
+
+    def __repr__(self) -> str:
+        return f"<PI at 0x{id(self):x}>"
+
+
 def document_order_index(root: Element) -> Dict[int, int]:
     """Depth-first index keyed by ``id(node)`` (elements are not hashable
     by value). Mirrors the reference's DF indexing of ``doc.iter()``."""
@@ -311,8 +327,9 @@ class _TreeBuilder(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "br":
-            # </br> acts like <br> in browsers & libxml2
-            self.handle_starttag("br", [])
+            # browsers turn a stray </br> into <br>, but libxml2 (the
+            # reference's parser) just drops it — golden document-order
+            # positions (NTV) depend on libxml2's behavior
             return
         if tag in VOID_ELEMENTS:
             return
@@ -353,21 +370,27 @@ class _TreeBuilder(HTMLParser):
             parent.text = (parent.text or "") + data
 
     def handle_comment(self, data: str) -> None:
+        self._append_non_element(Comment(data))
+
+    def handle_pi(self, data: str) -> None:
+        self._append_non_element(ProcessingInstruction(data))
+
+    def _append_non_element(self, node: "Comment") -> None:
         if self._phase == "body":
-            self._insertion_parent().append(Comment(data))
+            self._insertion_parent().append(node)
             return
         if self.root is None:
-            # pre-<html> comments live outside the root in libxml2 and
-            # are not reachable from root.iter() — drop
+            # pre-<html> comments/PIs live outside the root in libxml2
+            # and are not reachable from root.iter() — drop
             return
         if self._stack and self._stack[-1] not in (self.root, self._head):
             # inside an open head element (e.g. <noscript> in head)
-            self._stack[-1].append(Comment(data))
+            self._stack[-1].append(node)
         elif self._phase == "head" and self._head is not None:
-            self._head.append(Comment(data))
+            self._head.append(node)
         else:
             # between <html> and <head>, or between </head> and <body>
-            self.root.append(Comment(data))
+            self.root.append(node)
 
     def handle_decl(self, decl: str) -> None:
         pass

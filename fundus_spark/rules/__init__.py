@@ -14,14 +14,19 @@ from typing import Dict, Optional
 from ..kernel import PublisherSpec
 from .ap_news import AP_NEWS
 from .berliner_zeitung import BERLINER_ZEITUNG
+from .bild import BILD
 from .business_insider import BUSINESS_INSIDER
 from .cnbc import CNBC
 from .daily_mail import DAILY_MAIL
 from .daily_star import DAILY_STAR
+from .die_welt import DIE_WELT
+from .die_zeit import DIE_ZEIT
 from .dw import DW
 from .euronews import EURONEWS
 from .evening_standard import EVENING_STANDARD
 from .express import EXPRESS
+from .faz import FAZ
+from .focus import FOCUS
 from .fox_news import FOX_NEWS
 from .generic import GENERIC
 from .golem import GOLEM
@@ -29,6 +34,10 @@ from .i_news import I_NEWS
 from .la_times import LA_TIMES
 from .mdr import MDR
 from .nature import NATURE
+from .ntv import NTV
+from .spon import SPON
+from .stern import STERN
+from .tagesschau import TAGESSCHAU
 from .metro import METRO
 from .the_new_yorker import THE_NEW_YORKER
 from .reuters import REUTERS
@@ -50,20 +59,29 @@ REGISTRY: Dict[str, PublisherSpec] = {
     for spec in (
         AP_NEWS,
         BERLINER_ZEITUNG,
+        BILD,
         BUSINESS_INSIDER,
         CNBC,
         DAILY_MAIL,
         DAILY_STAR,
+        DIE_WELT,
+        DIE_ZEIT,
         DW,
         EURONEWS,
         EVENING_STANDARD,
         EXPRESS,
+        FAZ,
+        FOCUS,
         FOX_NEWS,
         GOLEM,
         I_NEWS,
         LA_TIMES,
         MDR,
         NATURE,
+        NTV,
+        SPON,
+        STERN,
+        TAGESSCHAU,
         METRO,
         THE_NEW_YORKER,
         REUTERS,

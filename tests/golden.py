@@ -47,6 +47,15 @@ GOLDEN_PUBLISHERS = [
     ("de.Golem", "de", "Golem"),
     ("de.BerlinerZeitung", "de", "BerlinerZeitung"),
     ("de.DW", "de", "DW"),
+    ("de.DieWelt", "de", "DieWelt"),
+    ("de.DieZeit", "de", "DieZeit"),
+    ("de.FAZ", "de", "FAZ"),
+    ("de.Bild", "de", "Bild"),
+    ("de.Tagesschau", "de", "Tagesschau"),
+    ("de.SpiegelOnline", "de", "SpiegelOnline"),
+    ("de.NTV", "de", "NTV"),
+    ("de.Focus", "de", "Focus"),
+    ("de.Stern", "de", "Stern"),
     ("uk.EuronewsEN", "uk", "EuronewsEN"),
     ("de.EuronewsDE", "de", "EuronewsDE"),
     ("fr.EuronewsFR", "fr", "EuronewsFR"),
