@@ -396,7 +396,12 @@ def image_extraction(
     if relative_urls:
         selector = _OG_URL if isinstance(relative_urls, bool) else relative_urls
         matches = selector(doc)
-        value = matches[0].value if matches and isinstance(matches[0], AttrNode) else (matches[0] if matches else "")
+        if isinstance(matches, str):
+            # selectors like string(//link[@rel='canonical']/@href)
+            # return a plain string, not a node list
+            value: Any = matches
+        else:
+            value = matches[0].value if matches and isinstance(matches[0], AttrNode) else (matches[0] if matches else "")
         if not value:
             raise ValueError("Could not determine domain")
         domain = value if isinstance(value, str) else value.text_content()

@@ -143,9 +143,22 @@ class LinkedData:
 
     # --- path search (observable parity with data.py:151-224) -----------
     def xpath_search(self, query: str, scalar: bool = False) -> Any:
-        anywhere = query.startswith("//")
-        segments = [s for s in query.strip("/").split("/") if s]
-        matches = _path_matches(self._by_type, segments, anywhere)
+        # parenthesized unions: "(//Article | //NewsArticle) /author"
+        # (used by e.g. the NDR parser) — fan out each alternative with
+        # the shared tail
+        union = re.match(r"^\(\s*(?P<alts>[^()]+\|[^()]+)\s*\)\s*(?P<tail>/.*)?$", query.strip())
+        if union:
+            tail = union.group("tail") or ""
+            matches = []
+            for alt in union.group("alts").split("|"):
+                sub = alt.strip() + tail
+                anywhere = sub.startswith("//")
+                segments = [s for s in sub.strip("/").split("/") if s]
+                matches.extend(_path_matches(self._by_type, segments, anywhere))
+        else:
+            anywhere = query.startswith("//")
+            segments = [s for s in query.strip("/").split("/") if s]
+            matches = _path_matches(self._by_type, segments, anywhere)
         values = [v for v in (_stringify(m) for m in matches) if v]
         if scalar:
             if not values:

@@ -30,14 +30,20 @@ from .focus import FOCUS
 from .fox_news import FOX_NEWS
 from .generic import GENERIC
 from .golem import GOLEM
+from .heise import HEISE
+from .hessenschau import HESSENSCHAU
 from .i_news import I_NEWS
+from .kicker import KICKER
 from .la_times import LA_TIMES
 from .mdr import MDR
+from .merkur import MERKUR
 from .nature import NATURE
+from .ndr import NDR
 from .ntv import NTV
 from .spon import SPON
 from .stern import STERN
 from .tagesschau import TAGESSCHAU
+from .taz import TAZ
 from .metro import METRO
 from .the_new_yorker import THE_NEW_YORKER
 from .reuters import REUTERS
@@ -52,6 +58,7 @@ from .the_sun import THE_SUN
 from .the_telegraph import THE_TELEGRAPH
 from .the_intercept import THE_INTERCEPT
 from .voice_of_america import VOICE_OF_AMERICA
+from .wdr import WDR
 from .wired import WIRED
 
 REGISTRY: Dict[str, PublisherSpec] = {
@@ -74,14 +81,20 @@ REGISTRY: Dict[str, PublisherSpec] = {
         FOCUS,
         FOX_NEWS,
         GOLEM,
+        HEISE,
+        HESSENSCHAU,
+        KICKER,
         I_NEWS,
         LA_TIMES,
         MDR,
+        MERKUR,
         NATURE,
+        NDR,
         NTV,
         SPON,
         STERN,
         TAGESSCHAU,
+        TAZ,
         METRO,
         THE_NEW_YORKER,
         REUTERS,
@@ -96,6 +109,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         THE_SUN,
         THE_TELEGRAPH,
         VOICE_OF_AMERICA,
+        WDR,
         WIRED,
         GENERIC,
     )

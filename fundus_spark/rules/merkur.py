@@ -1,0 +1,86 @@
+"""Merkur rule spec — semantics per reference
+``src/fundus/publishers/de/merkur.py`` (single V1).
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from typing import Any, Dict, List, Optional
+
+from ..kernel import (
+    CSSSelector,
+    Extractor,
+    ParseContext,
+    PublisherSpec,
+    VersionSpec,
+    XPath,
+    assemble_body,
+    free_access_from_ld,
+    generic_author_parsing,
+    generic_date_parsing,
+    image_extraction,
+)
+
+_PARAGRAPH = CSSSelector("p.id-StoryElement-paragraph, article > ul > li")
+_SUMMARY = XPath("//p[@class='id-StoryElement-leadText'][1]")
+_SUBHEAD = CSSSelector("h2.id-StoryElement-crosshead")
+_UPPER = XPath("//article")
+_IMAGE = XPath("//figure[@class='id-StoryElement-image']//img")
+_CREDIT = re.compile(r"©(?P<credits>.+)")
+
+
+def _body(ctx: ParseContext) -> Optional[Dict[str, Any]]:
+    return assemble_body(
+        ctx.doc,
+        summary_selector=_SUMMARY,
+        subheadline_selector=_SUBHEAD,
+        paragraph_selector=_PARAGRAPH,
+    )
+
+
+def _authors(ctx: ParseContext) -> List[str]:
+    return generic_author_parsing(ctx.ld.bf_search("author"))
+
+
+def _publishing_date(ctx: ParseContext) -> Optional[datetime.datetime]:
+    return generic_date_parsing(ctx.ld.bf_search("datePublished"))
+
+
+def _title(ctx: ParseContext) -> Optional[str]:
+    return ctx.meta.get("og:title")
+
+
+def _images(ctx: ParseContext) -> List[Dict[str, Any]]:
+    return [
+        img.serialize()
+        for img in image_extraction(
+            doc=ctx.doc,
+            paragraph_selector=_PARAGRAPH,
+            upper_boundary_selector=_UPPER,
+            image_selector=_IMAGE,
+            author_selector=_CREDIT,
+        )
+    ]
+
+
+def _free_access(ctx: ParseContext) -> bool:
+    return free_access_from_ld(ctx.ld)
+
+
+MERKUR = PublisherSpec(
+    key="de.Merkur",
+    versions=(
+        VersionSpec(
+            name="V1",
+            extractors=(
+                Extractor("body", _body),
+                Extractor("authors", _authors, default=list),
+                Extractor("publishing_date", _publishing_date),
+                Extractor("title", _title),
+                Extractor("images", _images, default=list),
+                Extractor("free_access", _free_access, default=False),
+            ),
+        ),
+    ),
+)

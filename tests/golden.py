@@ -56,6 +56,13 @@ GOLDEN_PUBLISHERS = [
     ("de.NTV", "de", "NTV"),
     ("de.Focus", "de", "Focus"),
     ("de.Stern", "de", "Stern"),
+    ("de.Heise", "de", "Heise"),
+    ("de.Taz", "de", "Taz"),
+    ("de.NDR", "de", "NDR"),
+    ("de.WDR", "de", "WDR"),
+    ("de.Merkur", "de", "Merkur"),
+    ("de.Hessenschau", "de", "Hessenschau"),
+    ("de.Kicker", "de", "Kicker"),
     ("uk.EuronewsEN", "uk", "EuronewsEN"),
     ("de.EuronewsDE", "de", "EuronewsDE"),
     ("fr.EuronewsFR", "fr", "EuronewsFR"),
