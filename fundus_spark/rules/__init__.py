@@ -18,6 +18,7 @@ from .bild import BILD
 from .business_insider import BUSINESS_INSIDER
 from .cnbc import CNBC
 from .daily_mail import DAILY_MAIL
+from .derstandard import DERSTANDARD
 from .daily_star import DAILY_STAR
 from .die_welt import DIE_WELT
 from .die_zeit import DIE_ZEIT
@@ -35,11 +36,15 @@ from .hessenschau import HESSENSCHAU
 from .i_news import I_NEWS
 from .kicker import KICKER
 from .la_times import LA_TIMES
+from .le_figaro import LE_FIGARO
+from .le_monde import LE_MONDE
+from .les_echos import LES_ECHOS
 from .mdr import MDR
 from .merkur import MERKUR
 from .nature import NATURE
 from .ndr import NDR
 from .ntv import NTV
+from .orf import ORF
 from .spon import SPON
 from .stern import STERN
 from .tagesschau import TAGESSCHAU
@@ -70,6 +75,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         BUSINESS_INSIDER,
         CNBC,
         DAILY_MAIL,
+        DERSTANDARD,
         DAILY_STAR,
         DIE_WELT,
         DIE_ZEIT,
@@ -86,11 +92,15 @@ REGISTRY: Dict[str, PublisherSpec] = {
         KICKER,
         I_NEWS,
         LA_TIMES,
+        LE_FIGARO,
+        LE_MONDE,
+        LES_ECHOS,
         MDR,
         MERKUR,
         NATURE,
         NDR,
         NTV,
+        ORF,
         SPON,
         STERN,
         TAGESSCHAU,

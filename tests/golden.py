@@ -66,6 +66,11 @@ GOLDEN_PUBLISHERS = [
     ("uk.EuronewsEN", "uk", "EuronewsEN"),
     ("de.EuronewsDE", "de", "EuronewsDE"),
     ("fr.EuronewsFR", "fr", "EuronewsFR"),
+    ("fr.LeMonde", "fr", "LeMonde"),
+    ("fr.LeFigaro", "fr", "LeFigaro"),
+    ("fr.LesEchos", "fr", "LesEchos"),
+    ("at.ORF", "at", "ORF"),
+    ("at.DerStandard", "at", "DerStandard"),
 ]
 
 
