@@ -188,7 +188,12 @@ def _path_matches(tree: Dict[str, Any], segments: List[str], anywhere: bool) -> 
             return [value]
         if isinstance(value, dict):
             key = rest[0]
-            if key in value:
+            if key == "*":
+                # wildcard step: any child key (reference XPath '/*/',
+                # e.g. '//BreadcrumbList/itemListElement/*/name')
+                for child in value.values():
+                    out.extend(descend(child, rest[1:]))
+            elif key in value:
                 out.extend(descend(value[key], rest[1:]))
         return out
 

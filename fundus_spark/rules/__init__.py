@@ -17,12 +17,15 @@ from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
 from .business_insider import BUSINESS_INSIDER
 from .cnbc import CNBC
+from .corriere_della_sera import CORRIERE_DELLA_SERA
 from .daily_mail import DAILY_MAIL
 from .derstandard import DERSTANDARD
 from .daily_star import DAILY_STAR
 from .die_welt import DIE_WELT
 from .die_zeit import DIE_ZEIT
 from .dw import DW
+from .el_mundo import EL_MUNDO
+from .el_pais import EL_PAIS
 from .euronews import EURONEWS
 from .evening_standard import EVENING_STANDARD
 from .express import EXPRESS
@@ -35,6 +38,7 @@ from .heise import HEISE
 from .hessenschau import HESSENSCHAU
 from .i_news import I_NEWS
 from .kicker import KICKER
+from .la_repubblica import LA_REPUBBLICA
 from .la_times import LA_TIMES
 from .le_figaro import LE_FIGARO
 from .le_monde import LE_MONDE
@@ -74,12 +78,15 @@ REGISTRY: Dict[str, PublisherSpec] = {
         BILD,
         BUSINESS_INSIDER,
         CNBC,
+        CORRIERE_DELLA_SERA,
         DAILY_MAIL,
         DERSTANDARD,
         DAILY_STAR,
         DIE_WELT,
         DIE_ZEIT,
         DW,
+        EL_MUNDO,
+        EL_PAIS,
         EURONEWS,
         EVENING_STANDARD,
         EXPRESS,
@@ -91,6 +98,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         HESSENSCHAU,
         KICKER,
         I_NEWS,
+        LA_REPUBBLICA,
         LA_TIMES,
         LE_FIGARO,
         LE_MONDE,

@@ -69,6 +69,10 @@ GOLDEN_PUBLISHERS = [
     ("fr.LeMonde", "fr", "LeMonde"),
     ("fr.LeFigaro", "fr", "LeFigaro"),
     ("fr.LesEchos", "fr", "LesEchos"),
+    ("es.ElPais", "es", "ElPais"),
+    ("es.ElMundo", "es", "ElMundo"),
+    ("it.LaRepubblica", "it", "LaRepubblica"),
+    ("it.CorriereDellaSera", "it", "CorriereDellaSera"),
     ("at.ORF", "at", "ORF"),
     ("at.DerStandard", "at", "DerStandard"),
 ]
