@@ -554,6 +554,18 @@ SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS pdf_text FROM doc
 """
 
 
+def _q_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import language_filter
+
+    df = _q_extract_documents_full(spark, sf_dir)
+    return language_filter(df, ["en"]).select("doc_id", "lang")
+
+
+_LANGUAGE_FILTER_SQL = """
+SELECT doc_id, 'en' AS lang FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # generic boilerplate strip (jusText-style node classifier; north_star
 # "tokenize+classify DOM nodes into content/boilerplate")
@@ -609,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "pdf_extract": _q_pdf_extract,
         "boilerplate_strip": _q_boilerplate_strip,
+        "language_filter": _q_language_filter,
     }
 
 
@@ -638,4 +651,5 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _MEDIA_FEATURES_SQL,
         "pdf_extract": _PDF_EXTRACT_SQL,
         "boilerplate_strip": _BOILERPLATE_SQL,
+        "language_filter": _LANGUAGE_FILTER_SQL,
     }

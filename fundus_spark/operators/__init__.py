@@ -9,7 +9,7 @@ from .dedup import (
 )
 from .multimodal import media_features
 from .pdf import pdf_extract_text
-from .relational import first_wins_dedup, grouped_topk, regex_filter, requires
+from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires
 from .similarity import cosine_topk, lsh_bucketed_topk
 from .textstats import fingerprint, language_id, quality_score, token_count
 
@@ -22,6 +22,7 @@ __all__ = [
     "fingerprint",
     "first_wins_dedup",
     "grouped_topk",
+    "language_filter",
     "language_id",
     "lsh_bucketed_topk",
     "lsh_candidate_pairs",

@@ -53,3 +53,11 @@ def requires(df: DataFrame, attrs: Sequence[str], eval_booleans: bool = True) ->
     for c in conditions[1:]:
         combined = combined & c
     return df.where(combined)
+
+
+def language_filter(extracted: DataFrame, allowed: Sequence[str], lang_col: str = "lang") -> DataFrame:
+    """Keep rows whose detected language is in ``allowed`` (the
+    reference's post-extraction language filter, scraper.py:64-70 —
+    articles whose detected lang is outside the publisher's language
+    set are dropped). Null lang is dropped, like a failed detection."""
+    return extracted.where(F.col(lang_col).isin(list(allowed)))

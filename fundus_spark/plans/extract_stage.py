@@ -22,6 +22,7 @@ Design (SURVEY.md §2.4, §7):
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Dict, Iterable, Iterator, Optional
 
 import pandas as pd
@@ -56,6 +57,7 @@ EXTRACTION_SCHEMA = StructType(
         StructField("topics", ArrayType(StringType())),
         StructField("free_access", BooleanType()),
         StructField("images_json", StringType()),
+        StructField("lang", StringType()),
         StructField("parse_ok", BooleanType()),
         StructField("error", StringType()),
         StructField("_partition_id", IntegerType()),
@@ -90,11 +92,18 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=names)
 
 
+# <html lang="xx"> declaration, matched on the raw payload so the lang
+# column costs no second DOM pass (reference fallback semantics,
+# article.py:105-112; langdetect is unavailable here — see kernel/lang.py)
+_HTML_LANG_RE = re.compile(r"<html\b[^>]*?\blang=[\"']?([A-Za-z]{2,3})(?:-[A-Za-z0-9]+)?[\"'\s>]")
+
+
 def _row_extract(conv_id, turn_idx, role, tool, ts, html, partition_id):
     """Shared per-row kernel invocation -> output tuple in
     EXTRACTION_SCHEMA field order."""
     from ..kernel import run_extraction
     from ..kernel.body import body_to_plaintext
+    from ..kernel.lang import heuristic_language
     from ..rules import resolve
 
     html = html or ""
@@ -132,6 +141,8 @@ def _row_extract(conv_id, turn_idx, role, tool, ts, html, partition_id):
         error = f"{type(err).__name__}: {err}"
     if attr_failures and error is None:
         error = "; ".join(attr_failures)
+    lang_match = _HTML_LANG_RE.search(html)
+    lang = lang_match.group(1).lower() if lang_match else heuristic_language(plaintext)
     return (
         conv_id,
         turn_idx,
@@ -149,6 +160,7 @@ def _row_extract(conv_id, turn_idx, role, tool, ts, html, partition_id):
         topics,
         free_access,
         images_json,
+        lang,
         ok,
         error,
         partition_id,
@@ -177,6 +189,7 @@ def _arrow_output_schema():
             pa.field("topics", pa.list_(pa.string())),
             pa.field("free_access", pa.bool_()),
             pa.field("images_json", pa.string()),
+            pa.field("lang", pa.string()),
             pa.field("parse_ok", pa.bool_()),
             pa.field("error", pa.string()),
             pa.field("_partition_id", pa.int32()),
