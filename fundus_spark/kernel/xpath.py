@@ -643,7 +643,16 @@ class _Evaluator:
                 flags |= re.DOTALL
             if "m" in flags_str:
                 flags |= re.MULTILINE
-            return re.search(pattern, input_str, flags) is not None
+            match = re.search(pattern, input_str, flags)
+            if name == "re:test":
+                return match is not None
+            # EXSLT re:match returns a node-set: whole match + one node
+            # per capture group (e.g. BR's image-credit selector
+            # re:match(./@title, '(?<=\|\sBild:\s).*$'))
+            if match is None:
+                return []
+            owner = node if isinstance(node, Element) else getattr(node, "owner", node)
+            return [TextNode(owner, g) for g in (match.group(0), *match.groups()) if g is not None]
         raise XPathError(f"Unsupported function {name!r}")
 
 

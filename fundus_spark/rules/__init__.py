@@ -15,6 +15,7 @@ from ..kernel import PublisherSpec
 from .ap_news import AP_NEWS
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
+from .br import BR
 from .business_insider import BUSINESS_INSIDER
 from .cnbc import CNBC
 from .corriere_della_sera import CORRIERE_DELLA_SERA
@@ -32,6 +33,8 @@ from .express import EXPRESS
 from .faz import FAZ
 from .focus import FOCUS
 from .fox_news import FOX_NEWS
+from .frankfurter_rundschau import FRANKFURTER_RUNDSCHAU
+from .gamestar import GAMESTAR
 from .generic import GENERIC
 from .golem import GOLEM
 from .heise import HEISE
@@ -51,7 +54,9 @@ from .ntv import NTV
 from .orf import ORF
 from .spon import SPON
 from .stern import STERN
+from .sz import SZ
 from .tagesschau import TAGESSCHAU
+from .tagesspiegel import TAGESSPIEGEL
 from .taz import TAZ
 from .metro import METRO
 from .the_new_yorker import THE_NEW_YORKER
@@ -69,6 +74,7 @@ from .the_intercept import THE_INTERCEPT
 from .voice_of_america import VOICE_OF_AMERICA
 from .wdr import WDR
 from .wired import WIRED
+from .zdf import ZDF
 
 REGISTRY: Dict[str, PublisherSpec] = {
     spec.key: spec
@@ -76,6 +82,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         AP_NEWS,
         BERLINER_ZEITUNG,
         BILD,
+        BR,
         BUSINESS_INSIDER,
         CNBC,
         CORRIERE_DELLA_SERA,
@@ -93,6 +100,8 @@ REGISTRY: Dict[str, PublisherSpec] = {
         FAZ,
         FOCUS,
         FOX_NEWS,
+        FRANKFURTER_RUNDSCHAU,
+        GAMESTAR,
         GOLEM,
         HEISE,
         HESSENSCHAU,
@@ -111,7 +120,9 @@ REGISTRY: Dict[str, PublisherSpec] = {
         ORF,
         SPON,
         STERN,
+        SZ,
         TAGESSCHAU,
+        TAGESSPIEGEL,
         TAZ,
         METRO,
         THE_NEW_YORKER,
@@ -129,6 +140,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         VOICE_OF_AMERICA,
         WDR,
         WIRED,
+        ZDF,
         GENERIC,
     )
 }

@@ -60,6 +60,12 @@ GOLDEN_PUBLISHERS = [
     ("de.Taz", "de", "Taz"),
     ("de.NDR", "de", "NDR"),
     ("de.WDR", "de", "WDR"),
+    ("de.FrankfurterRundschau", "de", "FrankfurterRundschau"),
+    ("de.Gamestar", "de", "Gamestar"),
+    ("de.SZ", "de", "SZ"),
+    ("de.Tagesspiegel", "de", "Tagesspiegel"),
+    ("de.ZDF", "de", "ZDF"),
+    ("de.BR", "de", "BR"),
     ("de.Merkur", "de", "Merkur"),
     ("de.Hessenschau", "de", "Hessenschau"),
     ("de.Kicker", "de", "Kicker"),
