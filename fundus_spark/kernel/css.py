@@ -20,7 +20,8 @@ __all__ = ["CSSSelector"]
 
 _TOKEN = re.compile(
     r"""
-    (?P<not>:not\(\s*[^()]*\s*\))
+    (?P<nth>:nth-of-type\(\s*\d+\s*\))
+  | (?P<not>:not\((?:[^()]|\([^()]*\))*\))
   | (?P<has>:has\(\s*[^()]*\s*\))
   | (?P<name>[A-Za-z][\w-]*)
   | (?P<cls>\.[\w-]+)
@@ -38,7 +39,7 @@ _ATTR_RE = re.compile(r"\[\s*(?P<name>[\w:-]+)\s*(?:(?P<op>[*^$~]?=)\s*(?P<val>'
 
 
 class _Simple:
-    __slots__ = ("tag", "classes", "id", "attrs", "negations", "has")
+    __slots__ = ("tag", "classes", "id", "attrs", "negations", "has", "nth_of_type")
 
     def __init__(self) -> None:
         self.tag: Optional[str] = None
@@ -47,12 +48,20 @@ class _Simple:
         self.attrs: List[Tuple[str, str, Optional[str]]] = []  # (name, op, value)
         self.negations: List["_Simple"] = []
         self.has: List[Tuple[str, "_Simple"]] = []  # (relation 'child'|'descendant', simple)
+        self.nth_of_type: Optional[int] = None
 
     def matches(self, el: Element) -> bool:
         if isinstance(el, Comment):
             return False
         if any(neg.matches(el) for neg in self.negations):
             return False
+        if self.nth_of_type is not None:
+            parent = el.getparent()
+            if parent is None:
+                return False
+            same_tag = [c for c in parent.children if c.tag == el.tag and not isinstance(c, Comment)]
+            if el not in same_tag[self.nth_of_type - 1 : self.nth_of_type]:
+                return False
         for relation, inner in self.has:
             if relation == "child":
                 if not any(inner.matches(c) for c in el.children):
@@ -149,6 +158,8 @@ def _parse_group(selector: str) -> List[List[Tuple[str, _Simple]]]:
                 if len(neg_groups) != 1 or len(neg_groups[0]) != 1:
                     raise ValueError(f":not() takes one simple selector, got {inner!r}")
                 current.negations.append(neg_groups[0][0][1])
+            elif kind == "nth":
+                current.nth_of_type = int(re.search(r"\d+", text).group())
             elif kind == "has":
                 inner = text[len(":has(") : -1].strip()
                 relation = "descendant"

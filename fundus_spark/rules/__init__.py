@@ -40,6 +40,7 @@ from .golem import GOLEM
 from .heise import HEISE
 from .hessenschau import HESSENSCHAU
 from .i_news import I_NEWS
+from .junge_welt import JUNGE_WELT
 from .kicker import KICKER
 from .la_repubblica import LA_REPUBBLICA
 from .la_times import LA_TIMES
@@ -50,9 +51,12 @@ from .mdr import MDR
 from .merkur import MERKUR
 from .nature import NATURE
 from .ndr import NDR
+from .netzpolitik_org import NETZPOLITIK_ORG
 from .ntv import NTV
 from .orf import ORF
+from .postillon import POSTILLON
 from .spon import SPON
+from .sportschau import SPORTSCHAU
 from .stern import STERN
 from .sz import SZ
 from .tagesschau import TAGESSCHAU
@@ -60,6 +64,7 @@ from .tagesspiegel import TAGESSPIEGEL
 from .taz import TAZ
 from .metro import METRO
 from .the_new_yorker import THE_NEW_YORKER
+from .rbb24 import RBB24
 from .reuters import REUTERS
 from .rolling_stone import ROLLING_STONE
 from .techcrunch import TECHCRUNCH
@@ -73,6 +78,7 @@ from .the_telegraph import THE_TELEGRAPH
 from .the_intercept import THE_INTERCEPT
 from .voice_of_america import VOICE_OF_AMERICA
 from .wdr import WDR
+from .winfuture import WINFUTURE
 from .wired import WIRED
 from .zdf import ZDF
 
@@ -105,6 +111,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         GOLEM,
         HEISE,
         HESSENSCHAU,
+        JUNGE_WELT,
         KICKER,
         I_NEWS,
         LA_REPUBBLICA,
@@ -116,9 +123,12 @@ REGISTRY: Dict[str, PublisherSpec] = {
         MERKUR,
         NATURE,
         NDR,
+        NETZPOLITIK_ORG,
         NTV,
         ORF,
+        POSTILLON,
         SPON,
+        SPORTSCHAU,
         STERN,
         SZ,
         TAGESSCHAU,
@@ -126,6 +136,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         TAZ,
         METRO,
         THE_NEW_YORKER,
+        RBB24,
         REUTERS,
         ROLLING_STONE,
         TECHCRUNCH,
@@ -139,6 +150,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         THE_TELEGRAPH,
         VOICE_OF_AMERICA,
         WDR,
+        WINFUTURE,
         WIRED,
         ZDF,
         GENERIC,

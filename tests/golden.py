@@ -69,6 +69,13 @@ GOLDEN_PUBLISHERS = [
     ("de.Merkur", "de", "Merkur"),
     ("de.Hessenschau", "de", "Hessenschau"),
     ("de.Kicker", "de", "Kicker"),
+    ("de.WinFuture", "de", "WinFuture"),
+    ("de.NetzpolitikOrg", "de", "NetzpolitikOrg"),
+    ("de.JungeWelt", "de", "JungeWelt"),
+    ("de.SportSchau", "de", "SportSchau"),
+    ("de.RBB24", "de", "RBB24"),
+    # de.Postillon registered but roster-excluded: one image-position
+    # integer diverges (see rules/postillon.py docstring)
     ("uk.EuronewsEN", "uk", "EuronewsEN"),
     ("de.EuronewsDE", "de", "EuronewsDE"),
     ("fr.EuronewsFR", "fr", "EuronewsFR"),
