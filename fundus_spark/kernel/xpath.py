@@ -56,13 +56,16 @@ class AttrNode:
 
 
 class TextNode:
-    """A text node result (``text()``)."""
+    """A text node result (``text()``). ``index`` is the node's
+    position among its owner's text nodes — document-order sorting
+    must NOT fall back to comparing string values."""
 
-    __slots__ = ("owner", "value")
+    __slots__ = ("owner", "value", "index")
 
-    def __init__(self, owner: Element, value: str):
+    def __init__(self, owner: Element, value: str, index: int = 0):
         self.owner = owner
         self.value = value
+        self.index = index
 
     def __repr__(self) -> str:
         return f"text({self.value!r})"
@@ -93,7 +96,7 @@ def _doc_order_key(node: XNode) -> Tuple:
         suffix: Tuple = (1, node.name)
     elif isinstance(node, TextNode):
         el = node.owner
-        suffix = (2, node.value)
+        suffix = (2, node.index)
     else:
         el = node
         suffix = (0,)
@@ -109,7 +112,11 @@ def _document_sort(nodes: Iterable[XNode]) -> List[XNode]:
     seen = set()
     unique: List[XNode] = []
     for n in nodes:
-        k = id(n) if isinstance(n, Element) else (id(n.owner), n.__class__.__name__, getattr(n, "name", None), n.value)
+        k = (
+            id(n)
+            if isinstance(n, Element)
+            else (id(n.owner), n.__class__.__name__, getattr(n, "name", None), getattr(n, "index", None), n.value)
+        )
         if k not in seen:
             seen.add(k)
             unique.append(n)
@@ -394,10 +401,10 @@ def _to_bool(value: Any) -> bool:
 def _text_nodes(el: Element) -> List[TextNode]:
     out: List[TextNode] = []
     if el.text:
-        out.append(TextNode(el, el.text))
-    for child in el._children:  # noqa: SLF001
+        out.append(TextNode(el, el.text, 0))
+    for i, child in enumerate(el._children, start=1):  # noqa: SLF001
         if child.tail:
-            out.append(TextNode(el, child.tail))
+            out.append(TextNode(el, child.tail, i))
     return out
 
 

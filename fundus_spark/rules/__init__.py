@@ -17,8 +17,10 @@ from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
 from .br import BR
 from .business_insider import BUSINESS_INSIDER
+from .business_insider_de import BUSINESS_INSIDER_DE
 from .cnbc import CNBC
 from .corriere_della_sera import CORRIERE_DELLA_SERA
+from .correctiv import CORRECTIV
 from .daily_mail import DAILY_MAIL
 from .derstandard import DERSTANDARD
 from .daily_star import DAILY_STAR
@@ -33,6 +35,7 @@ from .express import EXPRESS
 from .faz import FAZ
 from .focus import FOCUS
 from .fox_news import FOX_NEWS
+from .funke import FUNKE
 from .frankfurter_rundschau import FRANKFURTER_RUNDSCHAU
 from .gamestar import GAMESTAR
 from .generic import GENERIC
@@ -77,6 +80,7 @@ from .the_sun import THE_SUN
 from .the_telegraph import THE_TELEGRAPH
 from .the_intercept import THE_INTERCEPT
 from .voice_of_america import VOICE_OF_AMERICA
+from .waz import WAZ
 from .wdr import WDR
 from .winfuture import WINFUTURE
 from .wired import WIRED
@@ -90,8 +94,10 @@ REGISTRY: Dict[str, PublisherSpec] = {
         BILD,
         BR,
         BUSINESS_INSIDER,
+        BUSINESS_INSIDER_DE,
         CNBC,
         CORRIERE_DELLA_SERA,
+        CORRECTIV,
         DAILY_MAIL,
         DERSTANDARD,
         DAILY_STAR,
@@ -106,6 +112,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         FAZ,
         FOCUS,
         FOX_NEWS,
+        FUNKE,
         FRANKFURTER_RUNDSCHAU,
         GAMESTAR,
         GOLEM,
@@ -149,6 +156,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         THE_SUN,
         THE_TELEGRAPH,
         VOICE_OF_AMERICA,
+        WAZ,
         WDR,
         WINFUTURE,
         WIRED,
@@ -162,6 +170,11 @@ REGISTRY: Dict[str, PublisherSpec] = {
 # publisher keys used by the golden corpus onto the same spec.
 for _alias in ("uk.EuronewsEN", "de.EuronewsDE", "fr.EuronewsFR"):
     REGISTRY[_alias] = PublisherSpec(key=_alias, versions=EURONEWS.versions)
+
+# Funke Mediengruppe tenants share one parser in the reference
+# (src/fundus/publishers/de/funke.py)
+for _alias in ("de.BerlinerMorgenpost", "de.HamburgerAbendblatt"):
+    REGISTRY[_alias] = PublisherSpec(key=_alias, versions=FUNKE.versions)
 
 
 def resolve(publisher_key: Optional[str]) -> PublisherSpec:

@@ -74,6 +74,11 @@ GOLDEN_PUBLISHERS = [
     ("de.JungeWelt", "de", "JungeWelt"),
     ("de.SportSchau", "de", "SportSchau"),
     ("de.RBB24", "de", "RBB24"),
+    ("de.WAZ", "de", "WAZ"),
+    ("de.BusinessInsiderDE", "de", "BusinessInsiderDE"),
+    ("de.Correctiv", "de", "Correctiv"),
+    ("de.BerlinerMorgenpost", "de", "BerlinerMorgenpost"),
+    ("de.HamburgerAbendblatt", "de", "HamburgerAbendblatt"),
     # de.Postillon registered but roster-excluded: one image-position
     # integer diverges (see rules/postillon.py docstring)
     ("uk.EuronewsEN", "uk", "EuronewsEN"),
