@@ -22,6 +22,7 @@ from .cnbc import CNBC
 from .corriere_della_sera import CORRIERE_DELLA_SERA
 from .correctiv import CORRECTIV
 from .daily_mail import DAILY_MAIL
+from .der_freitag import DER_FREITAG
 from .derstandard import DERSTANDARD
 from .daily_star import DAILY_STAR
 from .die_welt import DIE_WELT
@@ -35,6 +36,7 @@ from .express import EXPRESS
 from .faz import FAZ
 from .focus import FOCUS
 from .fox_news import FOX_NEWS
+from .freiepresse import FREIE_PRESSE
 from .funke import FUNKE
 from .frankfurter_rundschau import FRANKFURTER_RUNDSCHAU
 from .gamestar import GAMESTAR
@@ -45,13 +47,17 @@ from .hessenschau import HESSENSCHAU
 from .i_news import I_NEWS
 from .junge_welt import JUNGE_WELT
 from .kicker import KICKER
+from .krautreporter import KRAUTREPORTER
 from .la_repubblica import LA_REPUBBLICA
 from .la_times import LA_TIMES
 from .le_figaro import LE_FIGARO
 from .le_monde import LE_MONDE
 from .les_echos import LES_ECHOS
+from .lto import LTO
 from .mdr import MDR
 from .merkur import MERKUR
+from .motorsport_magazin import MOTORSPORT_MAGAZIN
+from .mz import MITTELDEUTSCHE_ZEITUNG
 from .nature import NATURE
 from .ndr import NDR
 from .netzpolitik_org import NETZPOLITIK_ORG
@@ -61,13 +67,16 @@ from .postillon import POSTILLON
 from .spon import SPON
 from .sportschau import SPORTSCHAU
 from .stern import STERN
+from .stuttgarter_zeitung import STUTTGARTER_ZEITUNG
 from .sz import SZ
+from .t_online import T_ONLINE
 from .tagesschau import TAGESSCHAU
 from .tagesspiegel import TAGESSPIEGEL
 from .taz import TAZ
 from .metro import METRO
 from .the_new_yorker import THE_NEW_YORKER
 from .rbb24 import RBB24
+from .rheinische_post import RHEINISCHE_POST
 from .reuters import REUTERS
 from .rolling_stone import ROLLING_STONE
 from .techcrunch import TECHCRUNCH
@@ -80,6 +89,7 @@ from .the_sun import THE_SUN
 from .the_telegraph import THE_TELEGRAPH
 from .the_intercept import THE_INTERCEPT
 from .voice_of_america import VOICE_OF_AMERICA
+from .vogue_de import VOGUE_DE
 from .waz import WAZ
 from .wdr import WDR
 from .winfuture import WINFUTURE
@@ -99,6 +109,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         CORRIERE_DELLA_SERA,
         CORRECTIV,
         DAILY_MAIL,
+        DER_FREITAG,
         DERSTANDARD,
         DAILY_STAR,
         DIE_WELT,
@@ -112,6 +123,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         FAZ,
         FOCUS,
         FOX_NEWS,
+        FREIE_PRESSE,
         FUNKE,
         FRANKFURTER_RUNDSCHAU,
         GAMESTAR,
@@ -121,13 +133,17 @@ REGISTRY: Dict[str, PublisherSpec] = {
         JUNGE_WELT,
         KICKER,
         I_NEWS,
+        KRAUTREPORTER,
         LA_REPUBBLICA,
         LA_TIMES,
         LE_FIGARO,
         LE_MONDE,
         LES_ECHOS,
+        LTO,
         MDR,
         MERKUR,
+        MOTORSPORT_MAGAZIN,
+        MITTELDEUTSCHE_ZEITUNG,
         NATURE,
         NDR,
         NETZPOLITIK_ORG,
@@ -137,13 +153,16 @@ REGISTRY: Dict[str, PublisherSpec] = {
         SPON,
         SPORTSCHAU,
         STERN,
+        STUTTGARTER_ZEITUNG,
         SZ,
+        T_ONLINE,
         TAGESSCHAU,
         TAGESSPIEGEL,
         TAZ,
         METRO,
         THE_NEW_YORKER,
         RBB24,
+        RHEINISCHE_POST,
         REUTERS,
         ROLLING_STONE,
         TECHCRUNCH,
@@ -155,6 +174,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         THE_INTERCEPT,
         THE_SUN,
         THE_TELEGRAPH,
+        VOGUE_DE,
         VOICE_OF_AMERICA,
         WAZ,
         WDR,

@@ -77,6 +77,16 @@ GOLDEN_PUBLISHERS = [
     ("de.WAZ", "de", "WAZ"),
     ("de.BusinessInsiderDE", "de", "BusinessInsiderDE"),
     ("de.Correctiv", "de", "Correctiv"),
+    ("de.TOnline", "de", "TOnline"),
+    ("de.RheinischePost", "de", "RheinischePost"),
+    ("de.StuttgarterZeitung", "de", "StuttgarterZeitung"),
+    ("de.DerFreitag", "de", "DerFreitag"),
+    ("de.Krautreporter", "de", "Krautreporter"),
+    ("de.LTO", "de", "LTO"),
+    ("de.VogueDE", "de", "VogueDE"),
+    ("de.MotorSportMagazin", "de", "MotorSportMagazin"),
+    ("de.FreiePresse", "de", "FreiePresse"),
+    ("de.MitteldeutscheZeitung", "de", "MitteldeutscheZeitung"),
     ("de.BerlinerMorgenpost", "de", "BerlinerMorgenpost"),
     ("de.HamburgerAbendblatt", "de", "HamburgerAbendblatt"),
     # de.Postillon registered but roster-excluded: one image-position
