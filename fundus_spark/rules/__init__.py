@@ -12,9 +12,11 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 from ..kernel import PublisherSpec
+from .afp_faktencheck import AFP_FAKTENCHECK
 from .ap_news import AP_NEWS
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
+from .boersenzeitung import BOERSEN_ZEITUNG
 from .br import BR
 from .business_insider import BUSINESS_INSIDER
 from .business_insider_de import BUSINESS_INSIDER_DE
@@ -47,6 +49,7 @@ from .hessenschau import HESSENSCHAU
 from .i_news import I_NEWS
 from .junge_welt import JUNGE_WELT
 from .kicker import KICKER
+from .klassegegenklasse import KLASSE_GEGEN_KLASSE
 from .krautreporter import KRAUTREPORTER
 from .la_repubblica import LA_REPUBBLICA
 from .la_times import LA_TIMES
@@ -78,6 +81,7 @@ from .the_new_yorker import THE_NEW_YORKER
 from .rbb24 import RBB24
 from .rheinische_post import RHEINISCHE_POST
 from .reuters import REUTERS
+from .rn import RUHR_NACHRICHTEN
 from .rolling_stone import ROLLING_STONE
 from .techcrunch import TECHCRUNCH
 from .techradar import TECHRADAR
@@ -99,9 +103,11 @@ from .zdf import ZDF
 REGISTRY: Dict[str, PublisherSpec] = {
     spec.key: spec
     for spec in (
+        AFP_FAKTENCHECK,
         AP_NEWS,
         BERLINER_ZEITUNG,
         BILD,
+        BOERSEN_ZEITUNG,
         BR,
         BUSINESS_INSIDER,
         BUSINESS_INSIDER_DE,
@@ -133,6 +139,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         JUNGE_WELT,
         KICKER,
         I_NEWS,
+        KLASSE_GEGEN_KLASSE,
         KRAUTREPORTER,
         LA_REPUBBLICA,
         LA_TIMES,
@@ -164,6 +171,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         RBB24,
         RHEINISCHE_POST,
         REUTERS,
+        RUHR_NACHRICHTEN,
         ROLLING_STONE,
         TECHCRUNCH,
         TECHRADAR,
@@ -193,7 +201,7 @@ for _alias in ("uk.EuronewsEN", "de.EuronewsDE", "fr.EuronewsFR"):
 
 # Funke Mediengruppe tenants share one parser in the reference
 # (src/fundus/publishers/de/funke.py)
-for _alias in ("de.BerlinerMorgenpost", "de.HamburgerAbendblatt"):
+for _alias in ("de.BerlinerMorgenpost", "de.HamburgerAbendblatt", "de.BSZ"):
     REGISTRY[_alias] = PublisherSpec(key=_alias, versions=FUNKE.versions)
 
 

@@ -87,6 +87,11 @@ GOLDEN_PUBLISHERS = [
     ("de.MotorSportMagazin", "de", "MotorSportMagazin"),
     ("de.FreiePresse", "de", "FreiePresse"),
     ("de.MitteldeutscheZeitung", "de", "MitteldeutscheZeitung"),
+    ("de.RuhrNachrichten", "de", "RuhrNachrichten"),
+    ("de.BoersenZeitung", "de", "BoersenZeitung"),
+    ("de.AFPFaktencheck", "de", "AFPFaktencheck"),
+    ("de.BSZ", "de", "BSZ"),
+    ("de.KlasseGegenKlasse", "de", "KlasseGegenKlasse"),
     ("de.BerlinerMorgenpost", "de", "BerlinerMorgenpost"),
     ("de.HamburgerAbendblatt", "de", "HamburgerAbendblatt"),
     # de.Postillon registered but roster-excluded: one image-position
