@@ -39,6 +39,7 @@ from .faz import FAZ
 from .focus import FOCUS
 from .fox_news import FOX_NEWS
 from .freiepresse import FREIE_PRESSE
+from .free_beacon import FREE_BEACON
 from .funke import FUNKE
 from .frankfurter_rundschau import FRANKFURTER_RUNDSCHAU
 from .gamestar import GAMESTAR
@@ -65,6 +66,7 @@ from .nature import NATURE
 from .ndr import NDR
 from .netzpolitik_org import NETZPOLITIK_ORG
 from .ntv import NTV
+from .occupy_democrats import OCCUPY_DEMOCRATS
 from .orf import ORF
 from .postillon import POSTILLON
 from .spon import SPON
@@ -77,15 +79,18 @@ from .tagesschau import TAGESSCHAU
 from .tagesspiegel import TAGESSPIEGEL
 from .taz import TAZ
 from .metro import METRO
+from .the_nation import THE_NATION
 from .the_new_yorker import THE_NEW_YORKER
 from .rbb24 import RBB24
 from .rheinische_post import RHEINISCHE_POST
+from .rest_of_world import REST_OF_WORLD
 from .reuters import REUTERS
 from .rn import RUHR_NACHRICHTEN
 from .rolling_stone import ROLLING_STONE
 from .techcrunch import TECHCRUNCH
 from .techradar import TECHRADAR
 from .the_bbc import THE_BBC
+from .the_gateway_pundit import THE_GATEWAY_PUNDIT
 from .the_guardian import THE_GUARDIAN
 from .the_independent import THE_INDEPENDENT
 from .the_mirror import THE_MIRROR
@@ -94,10 +99,13 @@ from .the_telegraph import THE_TELEGRAPH
 from .the_intercept import THE_INTERCEPT
 from .voice_of_america import VOICE_OF_AMERICA
 from .vogue_de import VOGUE_DE
+from .washington_times import WASHINGTON_TIMES
+from .washington_post import WASHINGTON_POST
 from .waz import WAZ
 from .wdr import WDR
 from .winfuture import WINFUTURE
 from .wired import WIRED
+from .world_truth import WORLD_TRUTH
 from .zdf import ZDF
 
 REGISTRY: Dict[str, PublisherSpec] = {
@@ -130,6 +138,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         FOCUS,
         FOX_NEWS,
         FREIE_PRESSE,
+        FREE_BEACON,
         FUNKE,
         FRANKFURTER_RUNDSCHAU,
         GAMESTAR,
@@ -155,6 +164,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         NDR,
         NETZPOLITIK_ORG,
         NTV,
+        OCCUPY_DEMOCRATS,
         ORF,
         POSTILLON,
         SPON,
@@ -167,15 +177,18 @@ REGISTRY: Dict[str, PublisherSpec] = {
         TAGESSPIEGEL,
         TAZ,
         METRO,
+        THE_NATION,
         THE_NEW_YORKER,
         RBB24,
         RHEINISCHE_POST,
+        REST_OF_WORLD,
         REUTERS,
         RUHR_NACHRICHTEN,
         ROLLING_STONE,
         TECHCRUNCH,
         TECHRADAR,
         THE_BBC,
+        THE_GATEWAY_PUNDIT,
         THE_GUARDIAN,
         THE_INDEPENDENT,
         THE_MIRROR,
@@ -184,10 +197,13 @@ REGISTRY: Dict[str, PublisherSpec] = {
         THE_TELEGRAPH,
         VOGUE_DE,
         VOICE_OF_AMERICA,
+        WASHINGTON_TIMES,
+        WASHINGTON_POST,
         WAZ,
         WDR,
         WINFUTURE,
         WIRED,
+        WORLD_TRUTH,
         ZDF,
         GENERIC,
     )

@@ -29,6 +29,14 @@ GOLDEN_PUBLISHERS = [
     ("us.TheNewYorker", "us", "TheNewYorker"),
     ("us.RollingStone", "us", "RollingStone"),
     ("us.BusinessInsider", "us", "BusinessInsider"),
+    ("us.FreeBeacon", "us", "FreeBeacon"),
+    ("us.OccupyDemocrats", "us", "OccupyDemocrats"),
+    ("us.TheNation", "us", "TheNation"),
+    ("us.WashingtonTimes", "us", "WashingtonTimes"),
+    ("us.RestOfWorld", "us", "RestOfWorld"),
+    ("us.TheGatewayPundit", "us", "TheGatewayPundit"),
+    ("us.WorldTruth", "us", "WorldTruth"),
+    ("us.WashingtonPost", "us", "WashingtonPost"),
     ("uk.TheGuardian", "uk", "TheGuardian"),
     ("uk.BBC", "uk", "BBC"),
     ("uk.TheTelegraph", "uk", "TheTelegraph"),
