@@ -66,15 +66,18 @@ from .nature import NATURE
 from .ndr import NDR
 from .netzpolitik_org import NETZPOLITIK_ORG
 from .ntv import NTV
+from .nzz import NZZ
 from .occupy_democrats import OCCUPY_DEMOCRATS
 from .orf import ORF
 from .postillon import POSTILLON
 from .spon import SPON
 from .sportschau import SPORTSCHAU
+from .srf import SRF
 from .stern import STERN
 from .stuttgarter_zeitung import STUTTGARTER_ZEITUNG
 from .sz import SZ
 from .t_online import T_ONLINE
+from .tages_anzeiger import TAGES_ANZEIGER
 from .tagesschau import TAGESSCHAU
 from .tagesspiegel import TAGESSPIEGEL
 from .taz import TAZ
@@ -107,6 +110,7 @@ from .winfuture import WINFUTURE
 from .wired import WIRED
 from .world_truth import WORLD_TRUTH
 from .zdf import ZDF
+from .zwanzig_minuten import ZWANZIG_MINUTEN
 
 REGISTRY: Dict[str, PublisherSpec] = {
     spec.key: spec
@@ -164,15 +168,18 @@ REGISTRY: Dict[str, PublisherSpec] = {
         NDR,
         NETZPOLITIK_ORG,
         NTV,
+        NZZ,
         OCCUPY_DEMOCRATS,
         ORF,
         POSTILLON,
         SPON,
         SPORTSCHAU,
+        SRF,
         STERN,
         STUTTGARTER_ZEITUNG,
         SZ,
         T_ONLINE,
+        TAGES_ANZEIGER,
         TAGESSCHAU,
         TAGESSPIEGEL,
         TAZ,
@@ -205,6 +212,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         WIRED,
         WORLD_TRUTH,
         ZDF,
+        ZWANZIG_MINUTEN,
         GENERIC,
     )
 }

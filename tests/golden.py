@@ -116,6 +116,10 @@ GOLDEN_PUBLISHERS = [
     ("it.CorriereDellaSera", "it", "CorriereDellaSera"),
     ("at.ORF", "at", "ORF"),
     ("at.DerStandard", "at", "DerStandard"),
+    ("ch.SRF", "ch", "SRF"),
+    ("ch.NZZ", "ch", "NZZ"),
+    ("ch.TagesAnzeiger", "ch", "TagesAnzeiger"),
+    ("ch.ZwanzigMinuten", "ch", "ZwanzigMinuten"),
 ]
 
 
