@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 from ..kernel import PublisherSpec
+from .abc_es import ABC_ES
 from .afp_faktencheck import AFP_FAKTENCHECK
 from .ap_news import AP_NEWS
 from .berliner_zeitung import BERLINER_ZEITUNG
@@ -30,6 +31,7 @@ from .daily_star import DAILY_STAR
 from .die_welt import DIE_WELT
 from .die_zeit import DIE_ZEIT
 from .dw import DW
+from .el_diario import EL_DIARIO
 from .el_mundo import EL_MUNDO
 from .el_pais import EL_PAIS
 from .euronews import EURONEWS
@@ -54,6 +56,7 @@ from .kicker import KICKER
 from .klassegegenklasse import KLASSE_GEGEN_KLASSE
 from .krautreporter import KRAUTREPORTER
 from .la_repubblica import LA_REPUBBLICA
+from .la_vanguardia import LA_VANGUARDIA
 from .la_times import LA_TIMES
 from .le_figaro import LE_FIGARO
 from .le_monde import LE_MONDE
@@ -71,6 +74,7 @@ from .nzz import NZZ
 from .occupy_democrats import OCCUPY_DEMOCRATS
 from .orf import ORF
 from .postillon import POSTILLON
+from .publico import PUBLICO
 from .spon import SPON
 from .sportschau import SPORTSCHAU
 from .srf import SRF
@@ -117,6 +121,7 @@ from .zwanzig_minuten import ZWANZIG_MINUTEN
 REGISTRY: Dict[str, PublisherSpec] = {
     spec.key: spec
     for spec in (
+        ABC_ES,
         AFP_FAKTENCHECK,
         AP_NEWS,
         BERLINER_ZEITUNG,
@@ -135,6 +140,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         DIE_WELT,
         DIE_ZEIT,
         DW,
+        EL_DIARIO,
         EL_MUNDO,
         EL_PAIS,
         EURONEWS,
@@ -158,6 +164,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         KLASSE_GEGEN_KLASSE,
         KRAUTREPORTER,
         LA_REPUBBLICA,
+        LA_VANGUARDIA,
         LA_TIMES,
         LE_FIGARO,
         LE_MONDE,
@@ -175,6 +182,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         OCCUPY_DEMOCRATS,
         ORF,
         POSTILLON,
+        PUBLICO,
         SPON,
         SPORTSCHAU,
         SRF,

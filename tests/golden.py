@@ -112,6 +112,10 @@ GOLDEN_PUBLISHERS = [
     ("fr.LesEchos", "fr", "LesEchos"),
     ("es.ElPais", "es", "ElPais"),
     ("es.ElMundo", "es", "ElMundo"),
+    ("es.ABC", "es", "ABC"),
+    ("es.ElDiario", "es", "ElDiario"),
+    # es.LaVanguardia / es.Publico registered but roster-excluded: one
+    # image-position integer each (see rule docstrings)
     ("it.LaRepubblica", "it", "LaRepubblica"),
     ("it.CorriereDellaSera", "it", "CorriereDellaSera"),
     ("it.Tageszeitung", "it", "Tageszeitung"),
