@@ -124,14 +124,11 @@ GROUP BY source
 
 
 def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from fundus_spark.operators import grouped_topk
 
     docs = _read(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        docs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("source", "doc_id", "n_chars", "rank")
+    return grouped_topk(docs, ["source"], "n_chars", 3, tiebreak_col="doc_id").select(
+        "source", "doc_id", "n_chars", "rank"
     )
 
 
@@ -351,6 +348,76 @@ WHERE round(inter / (sa.n + sb.n - inter), 4) >= {threshold}
 """
 
 
+def _q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import lsh_candidate_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, n_perm=8, bands=4, k=4)
+
+
+def _lsh_candidates_sql(n_perm: int = 8, bands: int = 4, k: int = 4) -> str:
+    rpb = n_perm // bands
+    shingle_rel = f"""
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i) t
+    """
+    perms = ",\n".join(
+        f"MIN(CAST('0x' || substr(md5('p{j}:' || shingle), 1, 8) AS BIGINT)) AS h{j}" for j in range(n_perm)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH shingles AS ({shingle_rel}),
+sig AS (SELECT doc_id, {perms} FROM shingles GROUP BY doc_id),
+banded AS ({band_union})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM banded l JOIN banded r USING (band, key)
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def _q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase 100 TB dedup path: LSH banding proposes candidate
+    pairs, exact n-gram Jaccard verifies them — the intersection is
+    computed from the candidate list, never a shingle self-join."""
+    from fundus_spark.operators import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs, n_perm=8, bands=4, k=4)
+    return ngram_jaccard_pairs(docs, k=4, threshold=0.01, candidates=cands)
+
+
+def _lsh_jaccard_verified_sql(n_perm: int = 8, bands: int = 4, k: int = 4, threshold: float = 0.01) -> str:
+    return f"""
+WITH cands AS ({_lsh_candidates_sql(n_perm, bands, k)}),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i) t
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inters AS (
+    SELECT cands.a, cands.b, COUNT(*) AS inter
+    FROM cands
+    JOIN shingles sa ON sa.doc_id = cands.a
+    JOIN shingles sb ON sb.doc_id = cands.b AND sb.shingle = sa.shingle
+    GROUP BY cands.a, cands.b
+)
+SELECT a, b, round(inter / (za.n + zb.n - inter), 4) AS jaccard
+FROM inters
+JOIN sizes za ON inters.a = za.doc_id
+JOIN sizes zb ON inters.b = zb.doc_id
+WHERE round(inter / (za.n + zb.n - inter), 4) >= {threshold}
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import simhash
 
@@ -415,7 +482,53 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return lsh_bucketed_topk(emb, k=3, n_planes=4, dim=64)
+    return lsh_bucketed_topk(emb, k=3, bands=4, rows_per_band=2, dim=64, bucket_cap=64)
+
+
+def _lsh_ann_sql(k: int = 3, bands: int = 4, rows_per_band: int = 2, dim: int = 64, seed: int = 42, cap: int = 64) -> str:
+    """DuckDB twin of lsh_bucketed_topk: the md5-seeded hyperplanes are
+    embedded as literal arrays (same _hyperplanes() the Spark operator
+    compiles), so bucket keys, sub-buckets, and ranks recompute exactly."""
+    from fundus_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+    plane_rows = ",\n".join(
+        f"({p}, [{', '.join(repr(w) for w in plane)}]::DOUBLE[])" for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH planes(p, w) AS (VALUES {plane_rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bits AS (
+    SELECT vec_id, p,
+           CASE WHEN list_dot_product(e, w) >= 0 THEN '1' ELSE '0' END AS bit
+    FROM v CROSS JOIN planes
+),
+banded AS (
+    SELECT vec_id, p // {rows_per_band} AS band,
+           string_agg(bit, '' ORDER BY p) AS key
+    FROM bits GROUP BY vec_id, p // {rows_per_band}
+),
+subbed AS (
+    SELECT vec_id, band, key,
+           (row_number() OVER (PARTITION BY band, key ORDER BY vec_id) - 1) // {cap} AS sub
+    FROM banded
+),
+cands AS (
+    SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS cand_id
+    FROM subbed l JOIN subbed r USING (band, key, sub)
+    WHERE l.vec_id != r.vec_id
+),
+scored AS (
+    SELECT query_id, cand_id,
+           list_dot_product(q.e, c.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+    FROM cands JOIN v q ON cands.query_id = q.vec_id JOIN v c ON cands.cand_id = c.vec_id
+)
+SELECT query_id, rank, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -577,7 +690,7 @@ def _q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     pages = docs.select("doc_id", boilerplate_page(F.col("doc_id"), F.col("text")).alias("html"))
-    # nav=1 block, aside=2 link blocks, footer=1 block -> 4 boilerplate
+    # nav, aside (single leaf block), footer -> 3 boilerplate blocks
     return boilerplate_strip(pages).select("doc_id", "main_text", "n_content_blocks", "n_boilerplate_blocks")
 
 
@@ -611,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_signatures": _q_minhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "lsh_candidates": _q_lsh_candidates,
+        "lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "lsh_ann": _q_lsh_ann,
@@ -641,9 +756,11 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_signatures": _minhash_oracle_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
+        "lsh_candidates": _lsh_candidates_sql(),
+        "lsh_jaccard_verified": _lsh_jaccard_verified_sql(),
         "simhash": _simhash_sql(),
         "cosine_topk": _COSINE_TOPK_SQL,
-        # lsh_ann: hyperplane sketch not SQL-expressible -> rows-only check
+        "lsh_ann": _lsh_ann_sql(),
         "token_count": _TOKEN_COUNT_SQL,
         "quality_score": _QUALITY_SQL,
         "language_id": _LANGUAGE_ID_SQL,

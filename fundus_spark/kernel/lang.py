@@ -56,8 +56,15 @@ def heuristic_language(text: Optional[str]) -> Optional[str]:
     if not words:
         return None
     scores = {code: sum(1 for w in words if w in stop) for code, stop in _STOPWORDS.items()}
-    best = max(scores, key=lambda c: scores[c])
-    return best if scores[best] > 0 else None
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    best_code, best_score = ranked[0]
+    if best_score == 0:
+        return None
+    # overlapping function-word lists (la/de/le) can tie; a tie is an
+    # ambiguous detection, not a dict-insertion-order coin flip
+    if len(ranked) > 1 and ranked[1][1] == best_score:
+        return None
+    return best_code
 
 
 def detect_language(doc: Element, plaintext: Optional[str]) -> Optional[str]:

@@ -38,14 +38,19 @@ _FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/(\w+)")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
 
 
-def _stream_bytes(body: bytes) -> tuple:
+def _stream_bytes(body: bytes, data: bytes = b"", body_offset: int = 0) -> tuple:
     """(head_dict, raw_stream) or (None, None).
 
     Prefers slicing exactly ``/Length`` bytes after the ``stream`` EOL —
     binary payloads legitimately END with 0x0D, which an
     optional-\\r-before-endstream regex would eat (1-byte truncation,
-    zlib error -5). Falls back to the regex when /Length is absent or
-    an indirect reference."""
+    zlib error -5). When ``data``/``body_offset`` are given, the
+    /Length slice is taken from the FULL file at the stream's absolute
+    offset: the lazy ``(.*?)endobj`` in _OBJ_RE truncates any object
+    whose binary payload contains the bytes ``endobj``, so slicing from
+    the truncated body would overrun and silently lose that stream.
+    Falls back to the endstream regex when /Length is absent or an
+    indirect reference."""
     sm = _STREAM_START_RE.search(body)
     if sm is None:
         return None, None
@@ -54,7 +59,11 @@ def _stream_bytes(body: bytes) -> tuple:
     lm = _LENGTH_RE.search(head)
     if lm is not None:
         length = int(lm.group(1))
-        if start + length <= len(body):
+        if data:
+            abs_start = body_offset + start
+            if abs_start + length <= len(data):
+                return head, data[abs_start : abs_start + length]
+        elif start + length <= len(body):
             return head, body[start : start + length]
     fallback = _STREAM_RE.search(body)
     if fallback is None:
@@ -66,7 +75,7 @@ def iter_content_streams(data: bytes) -> List[bytes]:
     """Decoded candidate content streams in object order."""
     streams: List[bytes] = []
     for obj in _OBJ_RE.finditer(data):
-        head, raw = _stream_bytes(obj.group(3))
+        head, raw = _stream_bytes(obj.group(3), data=data, body_offset=obj.start(3))
         if raw is None:
             continue
         filt = _FILTER_RE.search(head)

@@ -17,9 +17,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def grouped_topk(df: DataFrame, group_cols: Sequence[str], order_col: str, k: int, desc: bool = True) -> DataFrame:
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    desc: bool = True,
+) -> DataFrame:
+    """Per-group top-k (reference ``max_articles_per_publisher`` cutoff,
+    crawler.py:438-445). ``tiebreak_col`` is mandatory: row_number over a
+    non-total order is nondeterministic across shuffles, so the caller
+    must name the unique column that breaks ties (ascending)."""
     order = F.desc(order_col) if desc else F.asc(order_col)
-    w = Window.partitionBy(*group_cols).orderBy(order, *[F.asc(c) for c in df.columns if c not in group_cols][:1])
+    w = Window.partitionBy(*group_cols).orderBy(order, F.asc(tiebreak_col))
     return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 

@@ -92,29 +92,63 @@ def lsh_bucket_key(vec_col: Column, planes: List[List[float]]) -> Column:
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    bands: int = 4,
+    rows_per_band: int = 2,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    bucket_cap: Optional[int] = 1024,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: neighbors searched only within the
-    same hyperplane sign bucket."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucketed = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), lsh_bucket_key(F.col(vec_col), planes).alias("bucket")
+    """Approximate all-pairs top-k via **banded** random-hyperplane LSH.
+
+    Scale design (vs a single 2^n_planes sign bucket):
+    * ``bands`` independent sign keys of ``rows_per_band`` planes each —
+      a pair is a candidate if it collides in ANY band (recall grows
+      with bands like minhash LSH banding), and every shuffle key is a
+      short (band, bits) string.
+    * ``bucket_cap`` bounds the quadratic term: within one (band, key)
+      bucket, rows are split into deterministic sub-buckets of at most
+      ``bucket_cap`` members (row_number ordered by id — stable, so a
+      SQL oracle recomputes the identical partitioning). A globally hot
+      sign pattern then costs cap² per sub-bucket instead of |bucket|².
+      The cap trades recall for a hard upper bound on join fan-out; set
+      it to a few thousand at corpus scale, or None for exact banding.
+    * Candidate (query, cand) pairs are deduped across bands BEFORE the
+      cosine, so each pair is scored once.
+    """
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+    band_keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            lsh_bucket_key(F.col("vec"), planes[b * rows_per_band : (b + 1) * rows_per_band]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .select("vid", "vec", F.explode(F.array(*band_keys)).alias("bk"))
+        .select("vid", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
-    pairs = (
-        bucketed.alias("l")
-        .join(bucketed.alias("r"), "bucket")
+    join_cols = ["band", "key"]
+    if bucket_cap is not None:
+        wsub = Window.partitionBy("band", "key").orderBy(F.asc("vid"))
+        banded = banded.withColumn("sub", ((F.row_number().over(wsub) - 1) / F.lit(bucket_cap)).cast("int"))
+        join_cols.append("sub")
+    candidates = (
+        banded.alias("l")
+        .join(banded.alias("r"), join_cols)
         .where(F.col("l.vid") != F.col("r.vid"))
         .select(
             F.col("l.vid").alias("query_id"),
             F.col("r.vid").alias("cand_id"),
-            cosine(F.col("l.vec"), F.col("r.vec")).alias("cos"),
+            F.col("l.vec").alias("qvec"),
+            F.col("r.vec").alias("cvec"),
         )
+        .dropDuplicates(["query_id", "cand_id"])
     )
+    scored = candidates.select("query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k).select(
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k).select(
         "query_id", "rank", "cand_id"
     )

@@ -95,7 +95,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 # <html lang="xx"> declaration, matched on the raw payload so the lang
 # column costs no second DOM pass (reference fallback semantics,
 # article.py:105-112; langdetect is unavailable here — see kernel/lang.py)
-_HTML_LANG_RE = re.compile(r"<html\b[^>]*?\blang=[\"']?([A-Za-z]{2,3})(?:-[A-Za-z0-9]+)?[\"'\s>]")
+_HTML_LANG_RE = re.compile(r"<html\b[^>]*?[\s\"']lang=[\"']?([A-Za-z]{2,3})(?:-[A-Za-z0-9]+)?[\"'\s>]")
 
 
 def _row_extract(conv_id, turn_idx, role, tool, ts, html, partition_id):

@@ -138,3 +138,69 @@ def test_malformed_html_degrades_not_fails(spark):
     )
     out = extract_articles(df).collect()
     assert len(out) == 2  # rows survive; no task failure
+
+
+def test_lsh_two_phase_dedup(spark):
+    """LSH banding -> exact Jaccard verify (the 100 TB dedup path).
+
+    Deterministic recall property: an exact-duplicate pair has every
+    minhash equal, so it collides in EVERY band -> must be a candidate.
+    Also asserts pair asymmetry (a < b, no self-pairs) and that the
+    candidates-first Jaccard equals the unrestricted exact regime on
+    the candidate set.
+    """
+    from fundus_spark.operators import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different content about spark catalyst optimizer internals and shuffles"),
+        (5, "unrelated text on minhash signatures banding and candidate pair generation at scale"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    cands = lsh_candidate_pairs(df, n_perm=8, bands=4, k=3)
+    pairs = {(r["a"], r["b"]) for r in cands.collect()}
+    assert (1, 2) in pairs  # exact dup collides in every band
+    for a, b in pairs:
+        assert a < b  # asymmetric, no self-pairs
+
+    verified = ngram_jaccard_pairs(df, k=3, threshold=0.0, candidates=cands)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in verified.collect()}
+    assert got[(1, 2)] == 1.0
+
+    exact = ngram_jaccard_pairs(df, k=3, threshold=0.0)
+    exact_vals = {(r["a"], r["b"]): r["jaccard"] for r in exact.collect()}
+    for pair, j in got.items():
+        assert exact_vals[pair] == j  # candidates-first == unrestricted on the candidate set
+
+
+def test_job_partial_resume_single_pass(spark, transcripts_df, tmp_path):
+    """Resume with a partially-committed manifest re-runs only the
+    uncommitted buckets (and the data write is one partitioned pass)."""
+    import datetime
+
+    from fundus_spark.plans.lineage import MANIFEST_SCHEMA
+
+    out = str(tmp_path / "out")
+    metrics = str(tmp_path / "metrics")
+    manifest = str(tmp_path / "manifest")
+
+    # pre-commit buckets 0 and 2 in the manifest (simulating a crash
+    # after their commit points)
+    now = datetime.datetime.now(datetime.timezone.utc)
+    pre = spark.createDataFrame(
+        [("partial", b, 0, 0, 0, 0, now) for b in (0, 2)], schema=MANIFEST_SCHEMA
+    )
+    pre.write.mode("append").parquet(manifest)
+
+    res = run_extraction_job(
+        spark, transcripts_df, out, metrics, manifest, run_id="partial", n_buckets=4, salt_partitions=8
+    )
+    assert sorted(res.buckets_run) == [1, 3]
+    assert sorted(res.buckets_skipped) == [0, 2]
+    import os
+
+    written = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    assert written == ["bucket=1", "bucket=3"]
