@@ -21,6 +21,14 @@ from .boersenzeitung import BOERSEN_ZEITUNG
 from .br import BR
 from .business_insider import BUSINESS_INSIDER
 from .business_insider_de import BUSINESS_INSIDER_DE
+from .canada_com import CANADA_COM
+from .cbc_news import CBC_NEWS
+from .financial_post import FINANCIAL_POST
+from .global_news import GLOBAL_NEWS
+from .globe_and_mail import THE_GLOBE_AND_MAIL
+from .national_post import NATIONAL_POST
+from .ottawa_citizen import OTTAWA_CITIZEN
+from .the_province import THE_PROVINCE
 from .cnbc import CNBC
 from .corriere_della_sera import CORRIERE_DELLA_SERA
 from .correctiv import CORRECTIV
@@ -130,6 +138,14 @@ REGISTRY: Dict[str, PublisherSpec] = {
         BR,
         BUSINESS_INSIDER,
         BUSINESS_INSIDER_DE,
+        CANADA_COM,
+        CBC_NEWS,
+        FINANCIAL_POST,
+        GLOBAL_NEWS,
+        THE_GLOBE_AND_MAIL,
+        NATIONAL_POST,
+        OTTAWA_CITIZEN,
+        THE_PROVINCE,
         CNBC,
         CORRIERE_DELLA_SERA,
         CORRECTIV,

@@ -121,6 +121,14 @@ GOLDEN_PUBLISHERS = [
     ("it.Tageszeitung", "it", "Tageszeitung"),
     # it.IlGiornale registered but roster-excluded: one trailing
     # paragraph placement after whole-document rewrap (see rule docstring)
+    ("ca.CanadaCom", "ca", "CanadaCom"),
+    ("ca.CBCNews", "ca", "CBCNews"),
+    ("ca.FinancialPost", "ca", "FinancialPost"),
+    ("ca.GlobalNews", "ca", "GlobalNews"),
+    ("ca.TheGlobeAndMail", "ca", "TheGlobeAndMail"),
+    ("ca.NationalPost", "ca", "NationalPost"),
+    ("ca.OttawaCitizen", "ca", "OttawaCitizen"),
+    ("ca.TheProvince", "ca", "TheProvince"),
     ("at.ORF", "at", "ORF"),
     ("at.DerStandard", "at", "DerStandard"),
     ("ch.SRF", "ch", "SRF"),
