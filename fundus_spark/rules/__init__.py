@@ -15,6 +15,14 @@ from ..kernel import PublisherSpec
 from .abc_es import ABC_ES
 from .afp_faktencheck import AFP_FAKTENCHECK
 from .ap_news import AP_NEWS
+from .asahi_shimbun import ASAHI_SHIMBUN
+from .mainichi_shimbun import MAINICHI_SHIMBUN
+from .nikkan_geadai import NIKKAN_GEADAI
+from .nikkei import NIKKEI
+from .sankei_shimbun import SANKEI_SHIMBUN
+from .the_japan_news import THE_JAPAN_NEWS
+from .tokyo_chunichi_shimbun import CHUNICHI_SHIMBUN, TOKYO_SHIMBUN
+from .yomiuri_shimbun import YOMIURI_SHIMBUN
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
 from .boersenzeitung import BOERSEN_ZEITUNG
@@ -132,6 +140,15 @@ REGISTRY: Dict[str, PublisherSpec] = {
         ABC_ES,
         AFP_FAKTENCHECK,
         AP_NEWS,
+        ASAHI_SHIMBUN,
+        MAINICHI_SHIMBUN,
+        NIKKAN_GEADAI,
+        NIKKEI,
+        SANKEI_SHIMBUN,
+        THE_JAPAN_NEWS,
+        TOKYO_SHIMBUN,
+        CHUNICHI_SHIMBUN,
+        YOMIURI_SHIMBUN,
         BERLINER_ZEITUNG,
         BILD,
         BOERSEN_ZEITUNG,

@@ -121,6 +121,15 @@ GOLDEN_PUBLISHERS = [
     ("it.Tageszeitung", "it", "Tageszeitung"),
     # it.IlGiornale registered but roster-excluded: one trailing
     # paragraph placement after whole-document rewrap (see rule docstring)
+    ("jp.AsahiShimbun", "jp", "AsahiShimbun"),
+    ("jp.MainichiShimbun", "jp", "MainichiShimbun"),
+    ("jp.NikkanGeadai", "jp", "NikkanGeadai"),
+    ("jp.Nikkei", "jp", "Nikkei"),
+    ("jp.SankeiShimbun", "jp", "SankeiShimbun"),
+    ("jp.TheJapanNews", "jp", "TheJapanNews"),
+    ("jp.TokyoShimbun", "jp", "TokyoShimbun"),
+    ("jp.ChunichiShimbun", "jp", "ChunichiShimbun"),
+    ("jp.YomiuriShimbun", "jp", "YomiuriShimbun"),
     ("ca.CanadaCom", "ca", "CanadaCom"),
     ("ca.CBCNews", "ca", "CBCNews"),
     ("ca.FinancialPost", "ca", "FinancialPost"),
