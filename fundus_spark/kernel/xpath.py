@@ -136,7 +136,7 @@ _TOKEN_RE = re.compile(
   | (?P<dcolon>::)
   | (?P<ddot>\.\.)
   | (?P<name>[A-Za-z_][A-Za-z0-9_.-]*(:[A-Za-z_][A-Za-z0-9_.-]*)?)
-  | (?P<op>!=|<=|>=|[=<>|@\[\](),*.])
+  | (?P<op>!=|<=|>=|[=<>|@\[\](),*.+-])
   | (?P<ws>\s+)
     """,
     re.VERBOSE,
@@ -217,10 +217,19 @@ class _Parser:
         return node
 
     def parse_cmp(self) -> Any:
-        node = self.parse_union()
+        node = self.parse_additive()
         while self.peek()[1] in ("=", "!=", "<", ">", "<=", ">="):
             op = self.next()[1]
-            node = ("cmp", op, node, self.parse_union())
+            node = ("cmp", op, node, self.parse_additive())
+        return node
+
+    def parse_additive(self) -> Any:
+        # AdditiveExpr (XPath 1.0 §3.5); '-' standalone only — hyphens
+        # inside QNames are consumed by the name token first
+        node = self.parse_union()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            node = ("arith", op, node, self.parse_union())
         return node
 
     def parse_union(self) -> Any:
@@ -494,6 +503,10 @@ class _Evaluator:
             if not isinstance(base, list):
                 raise XPathError("Predicates on non-node-set")
             return self.apply_predicates(base, ast[2])
+        if op == "arith":
+            a = _to_number(self.eval(ast[2], node, pos, size))
+            b = _to_number(self.eval(ast[3], node, pos, size))
+            return a + b if ast[1] == "+" else a - b
         raise XPathError(f"Bad AST node {op!r}")
 
     def eval_cmp(self, op: str, left: Any, right: Any) -> bool:
@@ -612,6 +625,13 @@ class _Evaluator:
             return _xpath_normalize_space(_to_string(ev(0)) if args else xpath_string_value(node))
         if name == "concat":
             return "".join(_to_string(ev(i)) for i in range(len(args)))
+        if name == "translate":
+            s, frm, to = _to_string(ev(0)), _to_string(ev(1)), _to_string(ev(2))
+            table = {}
+            for i, ch in enumerate(frm):
+                if ch not in table:  # first occurrence wins (XPath 1.0 §4.2)
+                    table[ch] = to[i] if i < len(to) else None
+            return "".join(table.get(ch, ch) for ch in s if table.get(ch, ch) is not None)
         if name == "position":
             return float(pos)
         if name == "last":

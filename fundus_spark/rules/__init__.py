@@ -23,6 +23,13 @@ from .sankei_shimbun import SANKEI_SHIMBUN
 from .the_japan_news import THE_JAPAN_NEWS
 from .tokyo_chunichi_shimbun import CHUNICHI_SHIMBUN, TOKYO_SHIMBUN
 from .yomiuri_shimbun import YOMIURI_SHIMBUN
+from .daily_maverick import DAILY_MAVERICK
+from .dizindaba import DIZINDABA
+from .eyethu_news import EYETHU_NEWS
+from .ilanga import ILANGA
+from .independent_online import DURBAN_LOCAL, ISOLEZWE, ISOLEZWE_LESIXHOSA
+from .the_citizen import THE_CITIZEN
+from .times_live import TIMES_LIVE
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
 from .boersenzeitung import BOERSEN_ZEITUNG
@@ -149,6 +156,15 @@ REGISTRY: Dict[str, PublisherSpec] = {
         TOKYO_SHIMBUN,
         CHUNICHI_SHIMBUN,
         YOMIURI_SHIMBUN,
+        DAILY_MAVERICK,
+        DIZINDABA,
+        EYETHU_NEWS,
+        ILANGA,
+        DURBAN_LOCAL,
+        ISOLEZWE,
+        ISOLEZWE_LESIXHOSA,
+        THE_CITIZEN,
+        TIMES_LIVE,
         BERLINER_ZEITUNG,
         BILD,
         BOERSEN_ZEITUNG,

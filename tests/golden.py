@@ -121,6 +121,15 @@ GOLDEN_PUBLISHERS = [
     ("it.Tageszeitung", "it", "Tageszeitung"),
     # it.IlGiornale registered but roster-excluded: one trailing
     # paragraph placement after whole-document rewrap (see rule docstring)
+    ("za.DailyMaverick", "za", "DailyMaverick"),
+    ("za.Dizindaba", "za", "Dizindaba"),
+    ("za.EyethuNews", "za", "EyethuNews"),
+    ("za.Ilanga", "za", "Ilanga"),
+    ("za.DurbanLocal", "za", "DurbanLocal"),
+    ("za.Isolezwe", "za", "Isolezwe"),
+    ("za.IsolezweLesiXhosa", "za", "IsolezweLesiXhosa"),
+    ("za.TheCitizen", "za", "TheCitizen"),
+    ("za.TimesLive", "za", "TimesLive"),
     ("jp.AsahiShimbun", "jp", "AsahiShimbun"),
     ("jp.MainichiShimbun", "jp", "MainichiShimbun"),
     ("jp.NikkanGeadai", "jp", "NikkanGeadai"),
