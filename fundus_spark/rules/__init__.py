@@ -30,6 +30,10 @@ from .ilanga import ILANGA
 from .independent_online import DURBAN_LOCAL, ISOLEZWE, ISOLEZWE_LESIXHOSA
 from .the_citizen import THE_CITIZEN
 from .times_live import TIMES_LIVE
+from .dagbladet import DAGBLADET
+from .nettavisen import NETTAVISEN
+from .nrk import NRK
+from .verdensgang import VERDENS_GANG
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
 from .boersenzeitung import BOERSEN_ZEITUNG
@@ -165,6 +169,10 @@ REGISTRY: Dict[str, PublisherSpec] = {
         ISOLEZWE_LESIXHOSA,
         THE_CITIZEN,
         TIMES_LIVE,
+        DAGBLADET,
+        NETTAVISEN,
+        NRK,
+        VERDENS_GANG,
         BERLINER_ZEITUNG,
         BILD,
         BOERSEN_ZEITUNG,

@@ -121,6 +121,10 @@ GOLDEN_PUBLISHERS = [
     ("it.Tageszeitung", "it", "Tageszeitung"),
     # it.IlGiornale registered but roster-excluded: one trailing
     # paragraph placement after whole-document rewrap (see rule docstring)
+    ("no.Dagbladet", "no", "Dagbladet"),
+    ("no.Nettavisen", "no", "Nettavisen"),
+    ("no.NRK", "no", "NRK"),
+    ("no.VerdensGang", "no", "VerdensGang"),
     ("za.DailyMaverick", "za", "DailyMaverick"),
     ("za.Dizindaba", "za", "Dizindaba"),
     ("za.EyethuNews", "za", "EyethuNews"),
