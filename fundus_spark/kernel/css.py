@@ -21,6 +21,8 @@ __all__ = ["CSSSelector"]
 _TOKEN = re.compile(
     r"""
     (?P<nth>:nth-of-type\(\s*\d+\s*\))
+  | (?P<nthchild>:nth-child\(\s*\d+\s*\))
+  | (?P<lastoftype>:last-of-type)
   | (?P<not>:not\((?:[^()]|\([^()]*\))*\))
   | (?P<has>:has\(\s*[^()]*\s*\))
   | (?P<name>[A-Za-z][\w-]*)
@@ -39,7 +41,7 @@ _ATTR_RE = re.compile(r"\[\s*(?P<name>[\w:-]+)\s*(?:(?P<op>[*^$~]?=)\s*(?P<val>'
 
 
 class _Simple:
-    __slots__ = ("tag", "classes", "id", "attrs", "negations", "has", "nth_of_type")
+    __slots__ = ("tag", "classes", "id", "attrs", "negations", "has", "nth_of_type", "nth_child", "last_of_type")
 
     def __init__(self) -> None:
         self.tag: Optional[str] = None
@@ -49,6 +51,8 @@ class _Simple:
         self.negations: List["_Simple"] = []
         self.has: List[Tuple[str, "_Simple"]] = []  # (relation 'child'|'descendant', simple)
         self.nth_of_type: Optional[int] = None
+        self.nth_child: Optional[int] = None
+        self.last_of_type: bool = False
 
     def matches(self, el: Element) -> bool:
         if isinstance(el, Comment):
@@ -61,6 +65,20 @@ class _Simple:
                 return False
             same_tag = [c for c in parent.children if c.tag == el.tag and not isinstance(c, Comment)]
             if el not in same_tag[self.nth_of_type - 1 : self.nth_of_type]:
+                return False
+        if self.nth_child is not None:
+            parent = el.getparent()
+            if parent is None:
+                return False
+            siblings = [c for c in parent.children if not isinstance(c, Comment)]
+            if el not in siblings[self.nth_child - 1 : self.nth_child]:
+                return False
+        if self.last_of_type:
+            parent = el.getparent()
+            if parent is None:
+                return False
+            same_tag = [c for c in parent.children if c.tag == el.tag and not isinstance(c, Comment)]
+            if not same_tag or same_tag[-1] is not el:
                 return False
         for relation, inner in self.has:
             if relation == "child":
@@ -160,6 +178,10 @@ def _parse_group(selector: str) -> List[List[Tuple[str, _Simple]]]:
                 current.negations.append(neg_groups[0][0][1])
             elif kind == "nth":
                 current.nth_of_type = int(re.search(r"\d+", text).group())
+            elif kind == "nthchild":
+                current.nth_child = int(re.search(r"\d+", text).group())
+            elif kind == "lastoftype":
+                current.last_of_type = True
             elif kind == "has":
                 inner = text[len(":has(") : -1].strip()
                 relation = "descendant"

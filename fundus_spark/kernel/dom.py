@@ -30,8 +30,13 @@ from typing import Dict, Iterator, List, Optional, Tuple
 __all__ = ["Element", "Comment", "parse_html", "document_order_index"]
 
 
+# libxml2's HTML4 element table (the reference's parser) — NOT the
+# HTML5 void list: html5-void elements unknown to HTML4 (source, track,
+# wbr, embed, ...) are parsed as CONTAINERS by libxml2, nesting
+# following siblings inside them (observable in goldens: NTVTR's
+# `//picture/img` must NOT match an img behind three open <source>s).
 VOID_ELEMENTS = frozenset(
-    "area base basefont bgsound br col command embed frame hr img input keygen link meta param source track wbr".split()
+    "area base basefont br col frame hr img input isindex link meta param".split()
 )
 
 # Tags whose start auto-closes an open <p>. Parity note: this is the

@@ -14,28 +14,16 @@ from __future__ import annotations
 import re
 from typing import List, Optional
 
-from .dom import Comment, Element, parse_html
+from .dom import VOID_ELEMENTS, Comment, Element, parse_html
 
 __all__ = ["serialize_html", "transform_breaks_to_tag"]
 
-# void elements per the HTML spec (serialized without a closing tag,
-# matching lxml's method="html" output, where <br/> prints as "<br>")
-_VOID = {
-    "area",
-    "base",
-    "br",
-    "col",
-    "embed",
-    "hr",
-    "img",
-    "input",
-    "link",
-    "meta",
-    "param",
-    "source",
-    "track",
-    "wbr",
-}
+# serialized without a closing tag, matching lxml's method="html"
+# output (<br/> prints as "<br>"). MUST be the same set the DOM builder
+# treats as childless — libxml2's HTML4 empty list, NOT the HTML5 void
+# list — or a serialize->reparse round trip (transform_breaks_to_tag)
+# silently drops children of elements like <source>.
+_VOID = VOID_ELEMENTS | {"br"}
 
 _TEXT_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
 

@@ -34,6 +34,11 @@ from .dagbladet import DAGBLADET
 from .nettavisen import NETTAVISEN
 from .nrk import NRK
 from .verdensgang import VERDENS_GANG
+from .anadolu_ajansi import ANADOLU_AJANSI
+from .haberturk import HABERTURK
+from .nine_news import NINE_NEWS
+from .ntvtr import NTVTR
+from .west_australian import WEST_AUSTRALIAN
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
 from .boersenzeitung import BOERSEN_ZEITUNG
@@ -173,6 +178,11 @@ REGISTRY: Dict[str, PublisherSpec] = {
         NETTAVISEN,
         NRK,
         VERDENS_GANG,
+        ANADOLU_AJANSI,
+        HABERTURK,
+        NINE_NEWS,
+        NTVTR,
+        WEST_AUSTRALIAN,
         BERLINER_ZEITUNG,
         BILD,
         BOERSEN_ZEITUNG,

@@ -121,6 +121,11 @@ GOLDEN_PUBLISHERS = [
     ("it.Tageszeitung", "it", "Tageszeitung"),
     # it.IlGiornale registered but roster-excluded: one trailing
     # paragraph placement after whole-document rewrap (see rule docstring)
+    ("tr.AnadoluAjansi", "tr", "AnadoluAjansi"),
+    ("tr.Haberturk", "tr", "Haberturk"),
+    ("tr.NTVTR", "tr", "NTVTR"),
+    ("au.NineNews", "au", "NineNews"),
+    ("au.WestAustralian", "au", "WestAustralian"),
     ("no.Dagbladet", "no", "Dagbladet"),
     ("no.Nettavisen", "no", "Nettavisen"),
     ("no.NRK", "no", "NRK"),
