@@ -91,21 +91,30 @@ def xpath_string_value(node: XNode) -> str:
 
 
 def _doc_order_key(node: XNode) -> Tuple:
+    # element child k sits at path slot 2k+1; its owner's text nodes at
+    # even slots (leading text -> 0, tail after child k -> 2k+2), so
+    # mixed text/element content interleaves in true document order
     if isinstance(node, AttrNode):
         el: Element = node.owner
+        extra: Optional[int] = None
         suffix: Tuple = (1, node.name)
     elif isinstance(node, TextNode):
         el = node.owner
+        extra = 2 * node.index
         suffix = (2, node.index)
     else:
         el = node
+        extra = None
         suffix = (0,)
     key: List[int] = []
     while el.getparent() is not None:
         parent = el.getparent()
-        key.append(parent._children.index(el))  # noqa: SLF001
+        key.append(2 * parent._children.index(el) + 1)  # noqa: SLF001
         el = parent
-    return (tuple(reversed(key)), suffix)
+    path = tuple(reversed(key))
+    if extra is not None:
+        path = path + (extra,)
+    return (path, suffix)
 
 
 def _document_sort(nodes: Iterable[XNode]) -> List[XNode]:
@@ -576,6 +585,16 @@ class _Evaluator:
                     candidates = list(_text_nodes(ctx))
                 else:
                     candidates = []
+            elif nodetest[0] == "node" and axis == "child" and isinstance(ctx, Element):
+                # node() spans elements, comments AND text children,
+                # interleaved in document order
+                candidates = []
+                if ctx.text:
+                    candidates.append(TextNode(ctx, ctx.text, 0))
+                for i, child in enumerate(ctx._children, start=1):  # noqa: SLF001
+                    candidates.append(child)
+                    if child.tail:
+                        candidates.append(TextNode(ctx, child.tail, i))
             else:
                 candidates = [n for n in _axis_nodes(ctx, axis) if _node_test(n, axis, nodetest)]
             filtered = self.apply_predicates(candidates, predicates)

@@ -39,6 +39,13 @@ from .haberturk import HABERTURK
 from .nine_news import NINE_NEWS
 from .ntvtr import NTVTR
 from .west_australian import WEST_AUSTRALIAN
+from .aftonbladet import AFTONBLADET
+from .daily_news_tz import DAILY_NEWS_TZ, HABARI_LEO
+from .expressen import EXPRESSEN
+from .luxemburger_wort import LUXEMBURGER_WORT
+from .nieuwsblad import NIEUWSBLAD
+from .politico_eu import POLITICO_EU
+from .tageblatt import TAGEBLATT
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
 from .boersenzeitung import BOERSEN_ZEITUNG
@@ -183,6 +190,14 @@ REGISTRY: Dict[str, PublisherSpec] = {
         NINE_NEWS,
         NTVTR,
         WEST_AUSTRALIAN,
+        AFTONBLADET,
+        DAILY_NEWS_TZ,
+        HABARI_LEO,
+        EXPRESSEN,
+        LUXEMBURGER_WORT,
+        NIEUWSBLAD,
+        POLITICO_EU,
+        TAGEBLATT,
         BERLINER_ZEITUNG,
         BILD,
         BOERSEN_ZEITUNG,

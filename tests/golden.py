@@ -121,6 +121,14 @@ GOLDEN_PUBLISHERS = [
     ("it.Tageszeitung", "it", "Tageszeitung"),
     # it.IlGiornale registered but roster-excluded: one trailing
     # paragraph placement after whole-document rewrap (see rule docstring)
+    ("be.Nieuwsblad", "be", "Nieuwsblad"),
+    ("be.PoliticoEu", "be", "PoliticoEu"),
+    ("se.Aftonbladet", "se", "Aftonbladet"),
+    ("se.Expressen", "se", "Expressen"),
+    ("lu.LuxemburgerWort", "lu", "LuxemburgerWort"),
+    ("lu.Tageblatt", "lu", "Tageblatt"),
+    ("tz.DailyNewsTZ", "tz", "DailyNewsTZ"),
+    ("tz.HabariLeo", "tz", "HabariLeo"),
     ("tr.AnadoluAjansi", "tr", "AnadoluAjansi"),
     ("tr.Haberturk", "tr", "Haberturk"),
     ("tr.NTVTR", "tr", "NTVTR"),
