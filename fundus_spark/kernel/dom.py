@@ -291,11 +291,16 @@ class _TreeBuilder(HTMLParser):
                 attrib[name] = value if value is not None else ""
 
         if tag == "html":
-            self._ensure_root(attrib)
+            # a nested <html> inside body content is a misplaced tag —
+            # libxml2 drops it in place (e.g. HankookIlbo embeds a full
+            # html/head/body skeleton inside articleBody)
+            if self._phase != "body":
+                self._ensure_root(attrib)
             return
         if tag == "head":
-            self._ensure_head()
-            self._stack = [self.root, self._head]  # type: ignore[list-item]
+            if self._phase != "body":
+                self._ensure_head()
+                self._stack = [self.root, self._head]  # type: ignore[list-item]
             return
         if tag == "body":
             body = self._ensure_body()

@@ -143,22 +143,26 @@ class LinkedData:
 
     # --- path search (observable parity with data.py:151-224) -----------
     def xpath_search(self, query: str, scalar: bool = False) -> Any:
+        query = query.strip()
+        # positional index on a parenthesized path: "(//Article//headline)[1]"
+        index: Optional[int] = None
+        pos = re.match(r"^\(\s*(?P<inner>[^()|]+)\s*\)\s*\[(?P<n>\d+)\]$", query)
+        if pos:
+            query = pos.group("inner").strip()
+            index = int(pos.group("n"))
         # parenthesized unions: "(//Article | //NewsArticle) /author"
         # (used by e.g. the NDR parser) — fan out each alternative with
         # the shared tail
-        union = re.match(r"^\(\s*(?P<alts>[^()]+\|[^()]+)\s*\)\s*(?P<tail>/.*)?$", query.strip())
+        union = re.match(r"^\(\s*(?P<alts>[^()]+\|[^()]+)\s*\)\s*(?P<tail>/.*)?$", query)
         if union:
             tail = union.group("tail") or ""
             matches = []
             for alt in union.group("alts").split("|"):
-                sub = alt.strip() + tail
-                anywhere = sub.startswith("//")
-                segments = [s for s in sub.strip("/").split("/") if s]
-                matches.extend(_path_matches(self._by_type, segments, anywhere))
+                matches.extend(_path_matches(self._by_type, _parse_path(alt.strip() + tail)))
         else:
-            anywhere = query.startswith("//")
-            segments = [s for s in query.strip("/").split("/") if s]
-            matches = _path_matches(self._by_type, segments, anywhere)
+            matches = _path_matches(self._by_type, _parse_path(query))
+        if index is not None:
+            matches = matches[index - 1 : index]
         values = [v for v in (_stringify(m) for m in matches) if v]
         if scalar:
             if not values:
@@ -173,12 +177,21 @@ class LinkedData:
         return f"LinkedData({keys})" if keys else "Empty LinkedData"
 
 
-def _path_matches(tree: Dict[str, Any], segments: List[str], anywhere: bool) -> List[Any]:
+def _parse_path(query: str) -> List[Tuple[bool, str]]:
+    """Split an LD path query into (descendant, key) steps —
+    ``//a/b//c`` -> [(True,'a'), (False,'b'), (True,'c')]. A bare
+    leading name keeps the repo's historical direct-child-of-root
+    semantics (``NewsArticle/headline``)."""
+    return [(m.group(1) == "//", m.group(2)) for m in re.finditer(r"(/{0,2})([^/]+)", query.strip())]
+
+
+def _path_matches(tree: Dict[str, Any], path: List[Tuple[bool, str]]) -> List[Any]:
     """All values reached by the key path. List values fan out (the
     reference's XML rendering turns JSON lists into repeated sibling
-    tags, so an XPath step matches each element)."""
+    tags, so an XPath step matches each element); a descendant step
+    (``//key``) matches the key at any depth below the current value."""
 
-    def descend(value: Any, rest: List[str]) -> List[Any]:
+    def descend(value: Any, rest: List[Tuple[bool, str]]) -> List[Any]:
         out: List[Any] = []
         if isinstance(value, list):
             for item in value:
@@ -186,8 +199,11 @@ def _path_matches(tree: Dict[str, Any], segments: List[str], anywhere: bool) -> 
             return out
         if not rest:
             return [value]
+        anywhere, key = rest[0]
+        if anywhere:
+            out.extend(_find_anywhere(value, key, rest[1:]))
+            return out
         if isinstance(value, dict):
-            key = rest[0]
             if key == "*":
                 # wildcard step: any child key (reference XPath '/*/',
                 # e.g. '//BreadcrumbList/itemListElement/*/name')
@@ -197,22 +213,23 @@ def _path_matches(tree: Dict[str, Any], segments: List[str], anywhere: bool) -> 
                 out.extend(descend(value[key], rest[1:]))
         return out
 
-    roots: List[Any] = []
-    if anywhere:
-        # every sub-dict whose key equals segments[0], document order
-        def walk(obj: Any) -> None:
-            if isinstance(obj, dict):
-                for k, v in obj.items():
-                    if k == segments[0]:
-                        roots.extend(descend(v, segments[1:]))
+    def _find_anywhere(obj: Any, key: str, rest: List[Tuple[bool, str]]) -> List[Any]:
+        found: List[Any] = []
+
+        def walk(o: Any) -> None:
+            if isinstance(o, dict):
+                for k, v in o.items():
+                    if k == key:
+                        found.extend(descend(v, rest))
                     walk(v)
-            elif isinstance(obj, list):
-                for item in obj:
+            elif isinstance(o, list):
+                for item in o:
                     walk(item)
 
-        walk(tree)
-        return roots
-    return descend(tree, segments)
+        walk(obj)
+        return found
+
+    return descend(tree, path)
 
 
 def _stringify(value: Any) -> Any:

@@ -46,6 +46,10 @@ from .luxemburger_wort import LUXEMBURGER_WORT
 from .nieuwsblad import NIEUWSBLAD
 from .politico_eu import POLITICO_EU
 from .tageblatt import TAGEBLATT
+from .bhaskar import BHASKAR
+from .times_of_india import TIMES_OF_INDIA
+from .hankook_ilbo import HANKOOK_ILBO
+from .mbn import MBN
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
 from .boersenzeitung import BOERSEN_ZEITUNG
@@ -198,6 +202,10 @@ REGISTRY: Dict[str, PublisherSpec] = {
         NIEUWSBLAD,
         POLITICO_EU,
         TAGEBLATT,
+        BHASKAR,
+        TIMES_OF_INDIA,
+        HANKOOK_ILBO,
+        MBN,
         BERLINER_ZEITUNG,
         BILD,
         BOERSEN_ZEITUNG,

@@ -121,6 +121,10 @@ GOLDEN_PUBLISHERS = [
     ("it.Tageszeitung", "it", "Tageszeitung"),
     # it.IlGiornale registered but roster-excluded: one trailing
     # paragraph placement after whole-document rewrap (see rule docstring)
+    ("ind.Bhaskar", "ind", "Bhaskar"),
+    ("ind.TimesOfIndia", "ind", "TimesOfIndia"),
+    ("kr.HankookIlbo", "kr", "HankookIlbo"),
+    ("kr.MBN", "kr", "MBN"),
     ("be.Nieuwsblad", "be", "Nieuwsblad"),
     ("be.PoliticoEu", "be", "PoliticoEu"),
     ("se.Aftonbladet", "se", "Aftonbladet"),
