@@ -428,6 +428,23 @@ def _text_nodes(el: Element) -> List[TextNode]:
 
 def _axis_nodes(node: XNode, axis: str) -> List[XNode]:
     if not isinstance(node, Element):
+        # attribute/text nodes: self is the node itself, parent/ancestor
+        # resolve through the owner element (needed for predicates like
+        # @*[contains(., '...')] where '.' is the attribute node)
+        if axis == "self":
+            return [node]
+        if isinstance(node, (AttrNode, TextNode)) and axis in ("parent", "ancestor", "ancestor-or-self"):
+            owner = node.owner
+            if axis == "parent":
+                return [owner]
+            # ancestors of an attr/text node = owner + owner's ancestors;
+            # ancestor-or-self additionally includes the node itself
+            out: List[XNode] = [node] if axis == "ancestor-or-self" else []
+            cur: Optional[Element] = owner
+            while cur is not None:
+                out.append(cur)
+                cur = cur.getparent()
+            return out
         return []
     if axis == "child":
         return list(node._children)  # noqa: SLF001

@@ -50,6 +50,27 @@ from .bhaskar import BHASKAR
 from .times_of_india import TIMES_OF_INDIA
 from .hankook_ilbo import HANKOOK_ILBO
 from .mbn import MBN
+from .jyllands_posten import JYLLANDS_POSTEN
+from .media_indonesia import MEDIA_INDONESIA
+from .people import PEOPLE
+from .sermitsiaq import SERMITSIAQ
+from .seznam_zpravy import SEZNAM_ZPRAVY
+from .israel_nachrichten import ISRAEL_NACHRICHTEN
+from .landesspiegel import LANDESSPIEGEL
+from .lbc_group import LBC_GROUP
+from .lesotho_times import LESOTHO_TIMES
+from .morgunbladid import MORGUNBLADID
+from .lrt import LRT
+from .malay_mail import MALAY_MAIL
+from .mexico_news_daily import MEXICO_NEWS_DAILY
+from .rzeczpospolita import RZECZPOSPOLITA
+from .the_namibian import THE_NAMIBIAN
+from .kommersant import KOMMERSANT
+from .pravda import PRAVDA
+from .taipei_times import TAIPEI_TIMES
+from .the_portugal_news import THE_PORTUGAL_NEWS
+from .vnexpress import VNEXPRESS
+from .wochenblatt import WOCHENBLATT
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
 from .boersenzeitung import BOERSEN_ZEITUNG
@@ -206,6 +227,27 @@ REGISTRY: Dict[str, PublisherSpec] = {
         TIMES_OF_INDIA,
         HANKOOK_ILBO,
         MBN,
+        JYLLANDS_POSTEN,
+        MEDIA_INDONESIA,
+        PEOPLE,
+        SERMITSIAQ,
+        SEZNAM_ZPRAVY,
+        ISRAEL_NACHRICHTEN,
+        LANDESSPIEGEL,
+        LBC_GROUP,
+        LESOTHO_TIMES,
+        MORGUNBLADID,
+        LRT,
+        MALAY_MAIL,
+        MEXICO_NEWS_DAILY,
+        RZECZPOSPOLITA,
+        THE_NAMIBIAN,
+        KOMMERSANT,
+        PRAVDA,
+        TAIPEI_TIMES,
+        THE_PORTUGAL_NEWS,
+        VNEXPRESS,
+        WOCHENBLATT,
         BERLINER_ZEITUNG,
         BILD,
         BOERSEN_ZEITUNG,

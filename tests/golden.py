@@ -121,6 +121,27 @@ GOLDEN_PUBLISHERS = [
     ("it.Tageszeitung", "it", "Tageszeitung"),
     # it.IlGiornale registered but roster-excluded: one trailing
     # paragraph placement after whole-document rewrap (see rule docstring)
+    ("cn.People", "cn", "People"),
+    ("cz.SeznamZpravy", "cz", "SeznamZpravy"),
+    ("dk.JyllandsPosten", "dk", "JyllandsPosten"),
+    ("gl.Sermitsiaq", "gl", "Sermitsiaq"),
+    ("id.MediaIndonesia", "id", "MediaIndonesia"),
+    ("il.IsraelNachrichten", "il", "IsraelNachrichten"),
+    ("isl.Morgunbladid", "isl", "Morgunbladid"),
+    ("lb.LBCGroup", "lb", "LBCGroup"),
+    ("li.Landesspiegel", "li", "Landesspiegel"),
+    ("ls.LesothoTimes", "ls", "LesothoTimes"),
+    ("lt.LRT", "lt", "LRT"),
+    ("mx.MexicoNewsDaily", "mx", "MexicoNewsDaily"),
+    ("my.MalayMail", "my", "MalayMail"),
+    ("na.TheNamibian", "na", "TheNamibian"),
+    ("pl.Rzeczpospolita", "pl", "Rzeczpospolita"),
+    ("pt.ThePortugalNews", "pt", "ThePortugalNews"),
+    ("py.Wochenblatt", "py", "Wochenblatt"),
+    ("ru.Kommersant", "ru", "Kommersant"),
+    ("tw.TaipeiTimes", "tw", "TaipeiTimes"),
+    ("ua.Pravda", "ua", "Pravda"),
+    ("vn.VnExpress", "vn", "VnExpress"),
     ("ind.Bhaskar", "ind", "Bhaskar"),
     ("ind.TimesOfIndia", "ind", "TimesOfIndia"),
     ("kr.HankookIlbo", "kr", "HankookIlbo"),
