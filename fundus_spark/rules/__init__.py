@@ -71,6 +71,11 @@ from .taipei_times import TAIPEI_TIMES
 from .the_portugal_news import THE_PORTUGAL_NEWS
 from .vnexpress import VNEXPRESS
 from .wochenblatt import WOCHENBLATT
+from .die_presse import DIE_PRESSE
+from .kleine_zeitung import KLEINE_ZEITUNG
+from .mallorca_magazin import MALLORCA_MAGAZIN
+from .mallorca_zeitung import MALLORCA_ZEITUNG
+from .salzburger_nachrichten import SALZBURGER_NACHRICHTEN
 from .berliner_zeitung import BERLINER_ZEITUNG
 from .bild import BILD
 from .boersenzeitung import BOERSEN_ZEITUNG
@@ -248,6 +253,11 @@ REGISTRY: Dict[str, PublisherSpec] = {
         THE_PORTUGAL_NEWS,
         VNEXPRESS,
         WOCHENBLATT,
+        DIE_PRESSE,
+        KLEINE_ZEITUNG,
+        MALLORCA_MAGAZIN,
+        MALLORCA_ZEITUNG,
+        SALZBURGER_NACHRICHTEN,
         BERLINER_ZEITUNG,
         BILD,
         BOERSEN_ZEITUNG,

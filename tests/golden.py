@@ -190,6 +190,11 @@ GOLDEN_PUBLISHERS = [
     ("ca.OttawaCitizen", "ca", "OttawaCitizen"),
     ("ca.TheProvince", "ca", "TheProvince"),
     ("at.ORF", "at", "ORF"),
+    ("at.DiePresse", "at", "DiePresse"),
+    ("at.KleineZeitung", "at", "KleineZeitung"),
+    ("at.SalzburgerNachrichten", "at", "SalzburgerNachrichten"),
+    ("es.MallorcaMagazin", "es", "MallorcaMagazin"),
+    ("es.MallorcaZeitung", "es", "MallorcaZeitung"),
     ("at.DerStandard", "at", "DerStandard"),
     ("ch.SRF", "ch", "SRF"),
     ("ch.NZZ", "ch", "NZZ"),
