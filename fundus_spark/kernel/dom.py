@@ -39,6 +39,20 @@ VOID_ELEMENTS = frozenset(
     "area base basefont br col frame hr img input isindex link meta param".split()
 )
 
+# libxml2's html40ElementTable: elements KNOWN to its HTML4 model. For
+# these, a trailing '/' in a start tag is ignored garbage (<div/> stays
+# OPEN); for unknown elements (source, picture, svg, custom tags, ...)
+# libxml2 honors XML empty-element syntax (<source/> is closed).
+HTML4_ELEMENTS = frozenset(
+    (
+        "a abbr acronym address applet area b base basefont bdo big blockquote body br button caption "
+        "center cite code col colgroup dd del dfn dir div dl dt em fieldset font form frame frameset "
+        "h1 h2 h3 h4 h5 h6 head hr html i iframe img input ins isindex kbd label legend li link map "
+        "menu meta noframes noscript object ol optgroup option p param pre q s samp script select "
+        "small span strike strong style sub sup table tbody td textarea tfoot th thead title tr tt u ul var"
+    ).split()
+)
+
 # Tags whose start auto-closes an open <p>. Parity note: this is the
 # HTML 4.01 block set that libxml2 (the reference's lxml backend) uses —
 # NOT the HTML5 list. HTML5-only elements (section, article, aside,
@@ -328,8 +342,14 @@ class _TreeBuilder(HTMLParser):
             self._stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]) -> None:
-        # <div/> in text/html is just a start tag for non-void elements
-        if tag in VOID_ELEMENTS:
+        # libxml2 parity: for elements KNOWN to its HTML4 table, the
+        # trailing '/' is ignored garbage — <div/> is an OPEN tag that
+        # stays on the stack and nests following siblings (observable
+        # in il Giornale's golden, whose preprocess XML-serializes
+        # empty divs as <div/> and re-parses them). For UNKNOWN
+        # elements libxml2 honors XML empty-element syntax: <source/>
+        # really is empty (observable in Correctiv's golden).
+        if tag in VOID_ELEMENTS or tag in HTML4_ELEMENTS:
             self.handle_starttag(tag, attrs)
         else:
             self.handle_starttag(tag, attrs)

@@ -66,6 +66,42 @@ def serialize_html(el: Element) -> str:
     return "".join(parts)
 
 
+def serialize_xml(el: Element) -> str:
+    """``lxml.etree.tostring(doc)`` analogue (XML method): EVERY empty
+    element self-closes as ``<tag/>``, including non-void ones. The
+    reference's il Giornale preprocess serializes this way and then
+    re-parses with the HTML parser — which treats ``<div/>`` as an OPEN
+    tag, nesting following siblings inside the 'empty' element. Rules
+    that mirror that round trip must use this serializer."""
+    parts: List[str] = []
+
+    def walk(node: Element) -> None:
+        if isinstance(node, Comment):
+            parts.append(f"<!--{node.text or ''}-->")
+            if node.tail:
+                parts.append(_escape_text(node.tail))
+            return
+        attrs = "".join(f' {name}="{_escape_attr(value)}"' for name, value in node.attrib.items())
+        if not node.text and not node.children:
+            parts.append(f"<{node.tag}{attrs}/>")
+        else:
+            parts.append(f"<{node.tag}{attrs}>")
+            if node.text:
+                parts.append(_escape_text(node.text))
+            for child in node.children:
+                walk(child)
+            parts.append(f"</{node.tag}>")
+        if node.tail:
+            parts.append(_escape_text(node.tail))
+
+    tail, el.tail = el.tail, None
+    try:
+        walk(el)
+    finally:
+        el.tail = tail
+    return "".join(parts)
+
+
 def _fragment(html: str) -> Optional[Element]:
     """Parse an HTML fragment (the ``lxml.html.fromstring`` analogue):
     a single-rooted fragment returns that element; a multi-rooted one

@@ -3,12 +3,14 @@
 function strips em/strong/cite tags via serialize/regex/re-parse and
 rewrites ``<br>`` runs into paragraphs).
 
-KNOWN DELTA: the reference's preprocess re-wraps the ENTIRE document
-through ``transform_breaks_to_tag`` on the root; after that rewrap one
-trailing ad-banner tail paragraph lands inside a banner div in lxml's
-re-parse but stays a sibling tail in ours, so one golden body
-paragraph (of ~30) and downstream image positions differ. Registered
-but excluded from the strict roster (tests/golden.py).
+KNOWN DELTA (narrowed in round 2): the body is now byte-equal — the
+preprocess uses ``serialize_xml`` so empty divs round-trip as
+``<div/>`` and stay open on re-parse exactly like lxml (the previously
+missing trailing paragraph is back). The single remaining divergence
+is the cover image's ``position`` integer (321 vs lxml's 323): two
+nodes of the whole-document ``<br>`` rewrap land differently in the
+re-parsed fragment tree. Registered but excluded from the strict
+roster (tests/golden.py).
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ import datetime
 import re
 from typing import Any, Dict, List, Optional
 
+from ..kernel.transform import serialize_xml
 from ..kernel import (
     CSSSelector,
     Extractor,
@@ -48,7 +51,7 @@ _CAPTION = XPath(".//figcaption/text()")
 
 
 def _preprocess(ctx: ParseContext) -> None:
-    html_string = serialize_html(ctx.doc)
+    html_string = serialize_xml(ctx.doc)
     html_string = re.sub(r"</?(em|strong|cite)>", "", html_string)
     html_string = re.sub(r"<!-- EVOLUTION ADV -->", "", html_string)
     doc = parse_html(html_string)
