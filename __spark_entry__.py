@@ -316,6 +316,18 @@ def _minhash_oracle_sql(n_perm: int = 8, k: int = 4) -> str:
     return f"WITH shingles AS ({shingle_rel}), sig AS (SELECT doc_id, {perms} FROM shingles GROUP BY doc_id)\n{unions}"
 
 
+def _q_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production hash mode: same minhash pipeline with native xxhash64
+    instead of md5 (not SQL-portable -> rows-only check by design; the
+    md5 twin above is the oracle-gated one). Benched side by side so
+    the md5-portability cost is measured, not guessed."""
+    from fundus_spark.operators import minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, n_perm=8, k=4, hash_mode="xxhash64")
+    return sig.select("doc_id", F.posexplode("signature").alias("perm", "minhash"))
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import ngram_jaccard_pairs
 
@@ -588,21 +600,36 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_read(spark, sf_dir, "documents"))
 
 
-_LANGUAGE_ID_SQL = f"""
+def _language_id_sql() -> str:
+    """DuckDB twin of language_id, generated from the SAME profile
+    list the Spark operator compiles — codes, word sets, and the
+    earlier-profile tie-break recompute exactly."""
+    from fundus_spark.operators.textstats import LANG_PROFILES
+
+    def lst(words):
+        return "(" + ",".join(f"'{w}'" for w in words) + ")"
+
+    hit_exprs = ",\n           ".join(
+        f"len(list_filter(list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)),"
+        f" x -> x IN {lst(words)})) AS {code}_hits"
+        for code, words in LANG_PROFILES
+    )
+    all_hits = ", ".join(f"{code}_hits" for code, _ in LANG_PROFILES)
+    whens = "\n            ".join(
+        f"WHEN {code}_hits = greatest({all_hits}) THEN '{code}'" for code, _ in LANG_PROFILES
+    )
+    diag = ", ".join(f"CAST({code}_hits AS BIGINT) AS {code}_hits" for code, _ in LANG_PROFILES[:3])
+    return f"""
 WITH hits AS (
     SELECT doc_id,
-           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN {_EN_LIST_SQL})) AS en_hits,
-           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN {_DE_LIST_SQL})) AS de_hits,
-           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN {_ES_LIST_SQL})) AS es_hits
+           {hit_exprs}
     FROM documents
 )
 SELECT doc_id,
-       CASE WHEN greatest(en_hits, de_hits, es_hits) = 0 THEN 'und'
-            WHEN en_hits = greatest(en_hits, de_hits, es_hits) THEN 'en'
-            WHEN de_hits = greatest(en_hits, de_hits, es_hits) THEN 'de'
-            ELSE 'es' END AS lang_pred,
-       CAST(en_hits AS BIGINT) AS en_hits, CAST(de_hits AS BIGINT) AS de_hits,
-       CAST(es_hits AS BIGINT) AS es_hits
+       CASE WHEN greatest({all_hits}) = 0 THEN 'und'
+            {whens}
+            ELSE 'und' END AS lang_pred,
+       {diag}
 FROM hits
 """
 
@@ -723,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "exact_dedup": _q_exact_dedup,
         "minhash_signatures": _q_minhash,
+        "minhash_xxhash": _q_minhash_xxhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_candidates": _q_lsh_candidates,
         "lsh_jaccard_verified": _q_lsh_jaccard_verified,
@@ -763,7 +791,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _lsh_ann_sql(),
         "token_count": _TOKEN_COUNT_SQL,
         "quality_score": _QUALITY_SQL,
-        "language_id": _LANGUAGE_ID_SQL,
+        "language_id": _language_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "pdf_extract": _PDF_EXTRACT_SQL,

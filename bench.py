@@ -28,6 +28,7 @@ HEADLINE = [
     "boilerplate_strip",
     "pdf_extract",
     "minhash_signatures",
+    "minhash_xxhash",
     "ngram_jaccard",
     "simhash",
     "cosine_topk",

@@ -17,18 +17,31 @@ import re
 from typing import Optional
 
 from .dom import Element
+from .langdata import CYRILLIC_RANGE, RU_CHARS, SCRIPT_RANGES, STOPWORDS, UK_CHARS, VI_CHARS
 
-__all__ = ["detect_language", "html_lang", "heuristic_language"]
+__all__ = ["detect_language", "html_lang", "heuristic_language", "script_language"]
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
-_STOPWORDS = {
-    "en": frozenset("the a an of and to in is it that was for on are as with his they at be this have from".split()),
-    "de": frozenset("der die das und ist ein eine zu den von mit im für auf des sich nicht werden dem".split()),
-    "es": frozenset("el la de que y en un una es se no los las por con para del al como".split()),
-    "fr": frozenset("le la les des un une et est dans que pour sur pas plus par au il ne ce".split()),
-    "it": frozenset("il la le di che e in un una è per non con del si da sono come".split()),
-}
+_SCRIPT_RES = [(code, re.compile(f"[{ranges}]")) for code, ranges in SCRIPT_RANGES]
+_CYRILLIC_RE = re.compile(f"[{CYRILLIC_RANGE[0]}-{CYRILLIC_RANGE[1]}]")
+
+
+def script_language(text: str, min_hits: int = 10) -> Optional[str]:
+    """Unicode-script vote for non-Latin scripts (deterministic:
+    ranges checked in fixed order; kana beats han so ja beats zh on
+    mixed text; uk/ru disambiguated by orthography-unique letters)."""
+    sample = text[:4000]
+    for code, pattern in _SCRIPT_RES:
+        if len(pattern.findall(sample)) >= min_hits:
+            return code
+    if len(_CYRILLIC_RE.findall(sample)) >= min_hits:
+        uk = sum(1 for ch in sample if ch in UK_CHARS)
+        ru = sum(1 for ch in sample if ch in RU_CHARS)
+        return "uk" if uk > ru else "ru"
+    if sum(1 for ch in sample if ch in VI_CHARS) >= min_hits:
+        return "vi"
+    return None
 
 
 def html_lang(doc: Element) -> Optional[str]:
@@ -48,14 +61,18 @@ def html_lang(doc: Element) -> Optional[str]:
 
 
 def heuristic_language(text: Optional[str]) -> Optional[str]:
-    """Stopword-density vote over the function-word lists; None when no
-    list scores a hit (the reference returns None on detector failure)."""
+    """Script vote first (CJK/Cyrillic/Hebrew/Greek/Thai/Arabic/viet
+    diacritics), then stopword-density vote over the function-word
+    lists; None when nothing scores (the reference returns None on
+    detector failure)."""
     if not text:
         return None
+    if script := script_language(text):
+        return script
     words = [w.lower() for w in _WORD_RE.findall(text)]
     if not words:
         return None
-    scores = {code: sum(1 for w in words if w in stop) for code, stop in _STOPWORDS.items()}
+    scores = {code: sum(1 for w in words if w in stop) for code, stop in STOPWORDS}
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     best_code, best_score = ranked[0]
     if best_score == 0:

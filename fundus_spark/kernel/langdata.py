@@ -1,0 +1,63 @@
+"""Function-word profiles + script ranges for deterministic language
+identification.
+
+The reference detects ``Article.lang`` with langdetect over any of its
+publishers' languages (``src/fundus/scraping/article.py:96-112``);
+langdetect is unavailable here, so detection is (a) Unicode-script
+votes for non-Latin scripts and (b) function-word (stopword) density
+votes for Latin-script languages. Both are deterministic and — for the
+stopword part — expressible in ANSI SQL, so the corpus-level
+``language_id`` operator keeps an exact DuckDB oracle.
+
+Word lists are the highest-frequency *distinctive* function words per
+language (hand-curated from public frequency lists); shared words were
+pruned where they would systematically tie (e.g. 'de' appears in es/pt
+/nl — kept only where the rest of the list dominates).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, List, Tuple
+
+# ordered: ties break toward the earlier entry (stable, SQL-expressible)
+STOPWORDS: List[Tuple[str, FrozenSet[str]]] = [
+    ("en", frozenset("the a an of and to in is it that was for on are as with his they at be this have from".split())),
+    ("de", frozenset("der die das und ist ein eine zu den von mit im für auf des sich nicht werden dem".split())),
+    ("es", frozenset("el la de que y en un una es se no los las por con para del al como".split())),
+    ("fr", frozenset("le la les des un une et est dans que pour sur pas plus par au il ne ce".split())),
+    ("it", frozenset("il la le di che e in un una è per non con del si da sono come".split())),
+    ("pt", frozenset("o a os as de do da dos das que um uma em não para com por mais foi são".split())),
+    ("nl", frozenset("de het een en van in is dat op te met voor aan er ook als maar bij naar".split())),
+    ("da", frozenset("og i af er til det som på de med han den for at der ikke var sig".split())),
+    ("sv", frozenset("och att det som i på är av för med den till inte om han ett men var".split())),
+    ("no", frozenset("og i det er som på til av at en for med om ikke den han et var".split())),
+    ("pl", frozenset("w i na z że się nie do to jest o jak po są za od przez ale".split())),
+    ("cs", frozenset("a se v na je že o s z do i k by ale jako za od která".split())),
+    ("tr", frozenset("bir ve bu da de için ile olarak daha çok en gibi sonra kadar olan ne".split())),
+    ("id", frozenset("yang dan di ini itu dengan untuk dari dalam pada tidak akan adalah ke juga oleh".split())),
+    ("ro", frozenset("și în de la a cu pe este pentru care nu mai din sau dar fi o".split())),
+    ("lt", frozenset("ir kad į iš yra su tai bet kaip apie buvo jau tik po metų".split())),
+    ("is", frozenset("og að í á er um við sem til ekki var en því hann þá með".split())),
+]
+
+STOPWORD_CODES = [code for code, _ in STOPWORDS]
+STOPWORD_MAP: Dict[str, FrozenSet[str]] = dict(STOPWORDS)
+
+# script ranges: (code, ranges) — first match with enough hits wins.
+# uk vs ru disambiguation: characters unique to each orthography.
+SCRIPT_RANGES: List[Tuple[str, str]] = [
+    ("ja", "぀-ヿ"),  # hiragana + katakana
+    ("ko", "가-힯ᄀ-ᇿ"),  # hangul
+    ("zh", "一-鿿"),  # han (only after kana ruled out)
+    ("he", "֐-׿"),
+    ("el", "Ͱ-Ͽ"),
+    ("th", "฀-๿"),
+    ("ar", "؀-ۿ"),
+]
+
+UK_CHARS = frozenset("іїєґІЇЄҐ")
+RU_CHARS = frozenset("ыэъёЫЭЪЁ")
+CYRILLIC_RANGE = ("Ѐ", "ӿ")
+
+# Vietnamese: Latin script with unique diacritics
+VI_CHARS = frozenset("ăâđêôơưạảấầẩẫậắằẳẵặẹẻẽếềểễệịỉĩọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹ")

@@ -28,10 +28,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _portable_hash32(col: Column, salt: str = "") -> Column:
-    """First 8 hex digits of md5 as a bigint — identical value in any
-    engine with md5 (portability beats xxhash64 here; speed is still
-    one md5 per shingle, vectorized JVM-side)."""
+def _portable_hash32(col: Column, salt: str = "", mode: str = "md5") -> Column:
+    """32-bit shingle/token hash.
+
+    * ``md5`` (default): first 8 hex digits of md5 as a bigint —
+      identical value in any engine with md5, so the DuckDB oracle
+      recomputes the full pipeline exactly. One md5 per shingle,
+      vectorized JVM-side.
+    * ``xxhash64`` (production mode): Spark's native 64-bit xxHash
+      folded to 32 bits — ~3-4x cheaper per shingle than md5 but not
+      portable to the oracle. Use at 100 TB; keep md5 for
+      correctness-gated runs.
+    """
+    if mode == "xxhash64":
+        return F.pmod(F.xxhash64(F.concat(F.lit(salt), col)), F.lit(2**32)).cast("bigint")
     return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10).cast("bigint")
 
 
@@ -65,11 +75,15 @@ def shingle_relation(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_perm: int = 8, k: int = 4
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_perm: int = 8, k: int = 4,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """doc_id -> [min_hash_0 .. min_hash_{n_perm-1}]."""
     shingles = shingle_relation(df, text_col, id_col, k).distinct()
-    aggs = [F.min(_portable_hash32(F.col("shingle"), salt=f"p{j}:")).alias(f"h{j}") for j in range(n_perm)]
+    aggs = [
+        F.min(_portable_hash32(F.col("shingle"), salt=f"p{j}:", mode=hash_mode)).alias(f"h{j}")
+        for j in range(n_perm)
+    ]
     sig = shingles.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(*[F.col(f"h{j}") for j in range(n_perm)]).alias("signature"))
 
@@ -81,10 +95,11 @@ def lsh_candidate_pairs(
     n_perm: int = 8,
     bands: int = 4,
     k: int = 4,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Distinct candidate (a, b) pairs (a < b) sharing >= 1 LSH band."""
     rows_per_band = n_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, n_perm, k)
+    sig = minhash_signatures(df, text_col, id_col, n_perm, k, hash_mode=hash_mode)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -171,13 +186,15 @@ def ngram_jaccard_pairs(
     return joined
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, hash_mode: str = "md5"
+) -> DataFrame:
     """Per-document simhash: sign-aggregate token hash bits."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     )
-    hashed = toks.select("doc_id", _portable_hash32(F.col("token")).alias("h"))
+    hashed = toks.select("doc_id", _portable_hash32(F.col("token"), mode=hash_mode).alias("h"))
     bit_cols = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(bits)

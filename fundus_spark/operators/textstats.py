@@ -13,9 +13,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..kernel.langdata import STOPWORDS as _LANG_STOPWORDS
+
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "was"]
 DE_STOPWORDS = ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"]
 ES_STOPWORDS = ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"]
+
+# full Latin-script profile set (shared with the kernel's per-article
+# heuristic and the DuckDB oracle): ordered, ties break earlier-first
+LANG_PROFILES = [(code, sorted(words)) for code, words in _LANG_STOPWORDS]
 
 
 def tokens(col: Column) -> Column:
@@ -58,21 +64,22 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-hit language heuristic — deterministic, SQL-portable."""
+    """Stopword-hit language heuristic over the full Latin-script
+    profile set — deterministic (ties break toward the earlier
+    profile), SQL-portable, pure column algebra (one pass over the
+    token array per profile, no shuffle)."""
     toks = tokens(F.col(text_col))
-    en, de, es = (_hits(toks, ws) for ws in (EN_STOPWORDS, DE_STOPWORDS, ES_STOPWORDS))
-    best = F.greatest(en, de, es)
-    return df.select(
-        "doc_id",
-        F.when(best == F.lit(0), F.lit("und"))
-        .when(en == best, F.lit("en"))
-        .when(de == best, F.lit("de"))
-        .otherwise(F.lit("es"))
-        .alias("lang_pred"),
-        en.cast("long").alias("en_hits"),
-        de.cast("long").alias("de_hits"),
-        es.cast("long").alias("es_hits"),
-    )
+    # lowercase once; profiles are lowercase function words
+    low = F.transform(toks, lambda x: F.lower(x))
+    hit_cols = [(code, _hits(low, words)) for code, words in LANG_PROFILES]
+    best = F.greatest(*[h for _, h in hit_cols])
+    pred = F.when(best == F.lit(0), F.lit("und"))
+    for code, h in hit_cols:
+        pred = pred.when(h == best, F.lit(code))
+    out_cols = ["doc_id", pred.otherwise(F.lit("und")).alias("lang_pred")]
+    for code, h in hit_cols[:3]:  # keep the original diagnostic columns
+        out_cols.append(h.cast("long").alias(f"{code}_hits"))
+    return df.select(*out_cols)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -277,3 +277,32 @@ def test_boilerplate_link_density():
     )
     labels = [b["label"] for b in classify_blocks(parse_html(html))]
     assert labels == ["content", "boilerplate"]
+
+
+def test_script_language_detection():
+    from fundus_spark.kernel.lang import heuristic_language, script_language
+
+    ja = "東京の天気は晴れです。" + "これはテストの文章です。" * 3
+    assert script_language(ja) == "ja"
+    zh = "今天天气很好，我们去公园散步吧。" * 3
+    assert script_language(zh) == "zh"
+    ko = "오늘 날씨가 좋습니다. 공원에 갑시다." * 3
+    assert script_language(ko) == "ko"
+    ru = "Сегодня хорошая погода, пойдём в парк гулять вместе." * 2
+    assert script_language(ru) == "ru"
+    uk = "Сьогодні гарна погода, підемо разом гуляти в парку, її друзі." * 2
+    assert script_language(uk) == "uk"
+    he = "מזג האוויר טוב היום, בוא נלך לפארק." * 2
+    assert script_language(he) == "he"
+    el = "Ο καιρός είναι καλός σήμερα, πάμε στο πάρκο." * 2
+    assert script_language(el) == "el"
+    ar = "الطقس جميل اليوم، لنذهب إلى الحديقة معاً." * 2
+    assert script_language(ar) == "ar"
+    vi = "Hôm nay trời đẹp, chúng ta hãy đi dạo trong công viên nhé." * 2
+    assert script_language(vi) == "vi"
+    assert script_language("plain latin text with no special scripts at all") is None
+    # stopword path still works and now covers more languages
+    assert heuristic_language("o tempo está bom hoje, não vamos para o parque com os amigos, mais um dos dias") == "pt"
+    assert heuristic_language("og jeg er på vej til det som han ikke var med den og af er til det") in ("da", "no")
+    assert heuristic_language("dziś jest ładna pogoda, nie idziemy do parku, to jest jak po za od przez się że w i na z") == "pl"
+    assert heuristic_language(ja) == "ja"  # script wins before stopwords
