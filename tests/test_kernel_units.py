@@ -306,3 +306,47 @@ def test_script_language_detection():
     assert heuristic_language("og jeg er på vej til det som han ikke var med den og af er til det") in ("da", "no")
     assert heuristic_language("dziś jest ładna pogoda, nie idziemy do parku, to jest jak po za od przez się że w i na z") == "pl"
     assert heuristic_language(ja) == "ja"  # script wins before stopwords
+
+
+def test_golden_lang_spot_checks():
+    """Detected language for real golden pages across scripts (the
+    extract stage's fallback heuristic; html-lang declaration wins in
+    production, so this exercises the detector itself on plaintext)."""
+    import datetime
+
+    from fundus_spark.kernel import run_extraction
+    from fundus_spark.kernel.lang import heuristic_language
+    from fundus_spark.rules import REGISTRY
+
+    from .golden import iter_golden_cases
+
+    expected = {
+        "jp.AsahiShimbun": "ja",
+        "cn.People": "zh",
+        "kr.MBN": "ko",
+        "ru.Kommersant": "ru",
+        "ua.Pravda": "ru",  # the golden snapshot is Pravda's Russian-language edition
+        "il.IsraelNachrichten": "de",  # German-language Israeli paper
+        "vn.VnExpress": "en",  # VnExpress *International* is English
+        "pt.ThePortugalNews": "en",  # English-language Portuguese paper
+        "pl.Rzeczpospolita": "pl",
+        "cz.SeznamZpravy": "cs",
+        "tr.NTVTR": "tr",
+        "se.Aftonbladet": "sv",
+        "dk.JyllandsPosten": "da",
+        "gl.Sermitsiaq": "da",  # Sermitsiaq's golden article is the Danish edition
+    }
+    seen = {}
+    for case in iter_golden_cases():
+        if case.publisher_key in expected and case.publisher_key not in seen:
+            extraction = run_extraction(
+                REGISTRY[case.publisher_key], case.html, case.crawl_date, error_handling="suppress"
+            )
+            body = extraction.get("body")
+            if not body:
+                continue
+            from fundus_spark.kernel.body import body_to_plaintext
+
+            seen[case.publisher_key] = heuristic_language(body_to_plaintext(body))
+    for key, lang in expected.items():
+        assert seen.get(key) == lang, f"{key}: expected {lang}, got {seen.get(key)}"
