@@ -327,7 +327,7 @@ def test_golden_lang_spot_checks():
         "ru.Kommersant": "ru",
         "ua.Pravda": "ru",  # the golden snapshot is Pravda's Russian-language edition
         "il.IsraelNachrichten": "de",  # German-language Israeli paper
-        "vn.VnExpress": "en",  # VnExpress *International* is English
+        "vn.VnExpress": "vi",  # the golden snapshot is the Vietnamese edition
         "pt.ThePortugalNews": "en",  # English-language Portuguese paper
         "pl.Rzeczpospolita": "pl",
         "cz.SeznamZpravy": "cs",
