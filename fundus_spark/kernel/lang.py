@@ -72,14 +72,16 @@ def heuristic_language(text: Optional[str]) -> Optional[str]:
     words = [w.lower() for w in _WORD_RE.findall(text)]
     if not words:
         return None
-    scores = {code: sum(1 for w in words if w in stop) for code, stop in STOPWORDS}
-    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    scores = [(code, sum(1 for w in words if w in stop)) for code, stop in STOPWORDS]
+    ranked = sorted(scores, key=lambda kv: -kv[1])  # stable: profile order breaks equal scores
     best_code, best_score = ranked[0]
     if best_score == 0:
         return None
-    # overlapping function-word lists (la/de/le) can tie; a tie is an
-    # ambiguous detection, not a dict-insertion-order coin flip
-    if len(ranked) > 1 and ranked[1][1] == best_score:
+    # overlapping function-word lists (la/de/le) can tie. A WEAK tie is
+    # an ambiguous detection -> None (not a list-order coin flip); a
+    # STRONG tie is sibling-language overlap (da/no share most function
+    # words) -> resolve deterministically by profile order.
+    if len(ranked) > 1 and ranked[1][1] == best_score and best_score < 5:
         return None
     return best_code
 
