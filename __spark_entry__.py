@@ -46,18 +46,16 @@ def _q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     transcripts = documents_as_transcripts(docs)
     extracted = extract_articles(transcripts.drop("doc_id"))
-    # join doc_id back via (conv_id, turn_idx) for the oracle key
-    keys = transcripts.select("conv_id", "turn_idx", "doc_id")
-    return (
-        extracted.join(keys, ["conv_id", "turn_idx"])
-        .select(
-            "doc_id",
-            "title",
-            "plaintext",
-            F.col("authors")[0].alias("author0"),
-            "publishing_date",
-            "free_access",
-        )
+    # doc_id is closed-form in the extracted title ("Document <id>") —
+    # recover it as a column expression instead of shuffling a join
+    # back onto (conv_id, turn_idx); the stage stays a pure narrow map.
+    return extracted.select(
+        F.regexp_extract("title", r"^Document (\d+)$", 1).cast("long").alias("doc_id"),
+        "title",
+        "plaintext",
+        F.col("authors")[0].alias("author0"),
+        "publishing_date",
+        "free_access",
     )
 
 
@@ -85,8 +83,9 @@ def _q_extract_documents_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     transcripts = documents_as_transcripts(docs)
     extracted = extract_articles(transcripts.drop("doc_id"))
-    keys = transcripts.select("conv_id", "turn_idx", "doc_id")
-    return extracted.join(keys, ["conv_id", "turn_idx"])
+    return extracted.withColumn(
+        "doc_id", F.regexp_extract("title", r"^Document (\d+)$", 1).cast("long")
+    )
 
 
 _EXTRACT_TOPICS_SQL = """
