@@ -77,9 +77,18 @@ def shingle_relation(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_perm: int = 8, k: int = 4,
     hash_mode: str = "md5",
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """doc_id -> [min_hash_0 .. min_hash_{n_perm-1}]."""
-    shingles = shingle_relation(df, text_col, id_col, k).distinct()
+    """doc_id -> [min_hash_0 .. min_hash_{n_perm-1}].
+
+    Scale note: in the two-phase path (banding -> exact verify) the
+    shingle relation is consumed by BOTH phases; Catalyst does not
+    reuse the exchange across differently-keyed branches, so at corpus
+    scale compute it once (``shingle_relation(df).distinct()``),
+    persist or write it, and pass it via ``shingles=``.
+    """
+    if shingles is None:
+        shingles = shingle_relation(df, text_col, id_col, k).distinct()
     aggs = [
         F.min(_portable_hash32(F.col("shingle"), salt=f"p{j}:", mode=hash_mode)).alias(f"h{j}")
         for j in range(n_perm)
@@ -96,10 +105,11 @@ def lsh_candidate_pairs(
     bands: int = 4,
     k: int = 4,
     hash_mode: str = "md5",
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Distinct candidate (a, b) pairs (a < b) sharing >= 1 LSH band."""
     rows_per_band = n_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, n_perm, k, hash_mode=hash_mode)
+    sig = minhash_signatures(df, text_col, id_col, n_perm, k, hash_mode=hash_mode, shingles=shingles)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -134,6 +144,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     candidates: Optional[DataFrame] = None,
     partition_col: Optional[str] = None,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word k-gram shingles for pairs above
     ``threshold``.
@@ -149,8 +160,12 @@ def ngram_jaccard_pairs(
       a globally hot shingle costs |bucket∩partition|² not |bucket|².
     * neither: unrestricted shingle self-join — exact, but quadratic in
       per-shingle document frequency. Small corpora only.
+
+    Pass a persisted/materialized ``shingles`` relation to share it
+    with the banding phase (see minhash_signatures scale note).
     """
-    shingles = shingle_relation(df, text_col, id_col, k).distinct()
+    if shingles is None:
+        shingles = shingle_relation(df, text_col, id_col, k).distinct()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     if candidates is not None:
