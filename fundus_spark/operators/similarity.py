@@ -40,11 +40,24 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    max_queries: Optional[int] = 100_000,
 ) -> DataFrame:
     """For each query row: top-k nearest (cosine) corpus vectors,
-    excluding self-matches by id."""
+    excluding self-matches by id.
+
+    Brute force is O(|corpus| x |queries|); it is only the right tool
+    while the query side broadcasts. ``max_queries`` enforces that
+    bound (a cheap limited count) — callers with a larger query set
+    should use :func:`lsh_bucketed_topk` instead. Pass ``None`` to
+    skip the check (e.g. when the caller already knows the bound).
+    """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     if broadcast_queries:
+        if max_queries is not None and q.limit(max_queries + 1).count() > max_queries:
+            raise ValueError(
+                f"cosine_topk query side exceeds max_queries={max_queries}; "
+                "brute force would not broadcast — use lsh_bucketed_topk for large query sets"
+            )
         q = F.broadcast(q)
     corpus = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
     scored = (
