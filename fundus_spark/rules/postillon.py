@@ -1,12 +1,9 @@
 """Der Postillon rule spec — semantics per reference
 ``src/fundus/publishers/de/postillon.py`` (single V1).
 
-KNOWN DELTA: on the 2024-04-25 golden snapshot every attribute matches
-except the single image's ``position`` (219 vs lxml's 220) — the raw
-tag/comment counts before that image match our DOM exactly, so libxml2
-synthesizes one extra node there that we haven't identified; the
-publisher is therefore registered but excluded from the strict golden
-roster (tests/golden.py).
+Round 2: full golden parity — the former image-position delta was a
+missing libxml2 behavior (implied <body>+<p> on >=1000-char whitespace
+runs / noscript-in-head nesting), now reproduced in kernel/dom.py.
 """
 
 from __future__ import annotations

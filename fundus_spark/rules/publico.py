@@ -2,11 +2,9 @@
 ``src/fundus/publishers/es/publico.py`` (single V1).
 
 
-KNOWN DELTA: V1-era snapshots carry one image ``position``
-integer off by one (libxml2 synthesizes one extra node our parser
-doesn't — same unidentified construct as Postillon; every other
-attribute matches byte-for-byte). Registered but excluded from the
-strict golden roster.
+Round 2: full golden parity — the former image-position delta was a
+missing libxml2 behavior (implied <body>+<p> on >=1000-char whitespace
+runs / noscript-in-head nesting), now reproduced in kernel/dom.py.
 """
 
 from __future__ import annotations

@@ -102,8 +102,7 @@ GOLDEN_PUBLISHERS = [
     ("de.KlasseGegenKlasse", "de", "KlasseGegenKlasse"),
     ("de.BerlinerMorgenpost", "de", "BerlinerMorgenpost"),
     ("de.HamburgerAbendblatt", "de", "HamburgerAbendblatt"),
-    # de.Postillon registered but roster-excluded: one image-position
-    # integer diverges (see rules/postillon.py docstring)
+    ("de.Postillon", "de", "Postillon"),
     ("uk.EuronewsEN", "uk", "EuronewsEN"),
     ("de.EuronewsDE", "de", "EuronewsDE"),
     ("fr.EuronewsFR", "fr", "EuronewsFR"),
@@ -114,8 +113,8 @@ GOLDEN_PUBLISHERS = [
     ("es.ElMundo", "es", "ElMundo"),
     ("es.ABC", "es", "ABC"),
     ("es.ElDiario", "es", "ElDiario"),
-    # es.LaVanguardia / es.Publico registered but roster-excluded: one
-    # image-position integer each (see rule docstrings)
+    ("es.LaVanguardia", "es", "LaVanguardia"),
+    ("es.Publico", "es", "Publico"),
     ("it.LaRepubblica", "it", "LaRepubblica"),
     ("it.CorriereDellaSera", "it", "CorriereDellaSera"),
     ("it.Tageszeitung", "it", "Tageszeitung"),
