@@ -95,6 +95,16 @@ def golden_rows() -> List[Dict[str, Any]]:
         ("uk.EuronewsEN", "uk", "EuronewsEN"),
         ("de.EuronewsDE", "de", "EuronewsDE"),
         ("fr.EuronewsFR", "fr", "EuronewsFR"),
+        # round-2 breadth: one per newly-ported script/region through
+        # the Arrow stage (routing, version dispatch, non-Latin text)
+        ("jp.AsahiShimbun", "jp", "AsahiShimbun"),
+        ("kr.MBN", "kr", "MBN"),
+        ("cn.People", "cn", "People"),
+        ("ru.Kommersant", "ru", "Kommersant"),
+        ("za.TimesLive", "za", "TimesLive"),
+        ("ca.NationalPost", "ca", "NationalPost"),
+        ("tr.AnadoluAjansi", "tr", "AnadoluAjansi"),
+        ("se.Aftonbladet", "se", "Aftonbladet"),
     ]
     rows: List[Dict[str, Any]] = []
     for key, cc, prefix in publishers:
