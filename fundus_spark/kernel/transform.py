@@ -51,7 +51,9 @@ def serialize_html(el: Element) -> str:
         parts.append(f"<{node.tag}{attrs}>")
         if node.tag not in _VOID:
             if node.text:
-                parts.append(_escape_text(node.text))
+                # script/style are CDATA in HTML serialization: lxml's
+                # method='html' emits their text raw, never re-escaped
+                parts.append(node.text if node.tag in ("script", "style") else _escape_text(node.text))
             for child in node.children:
                 walk(child)
             parts.append(f"</{node.tag}>")

@@ -3,14 +3,15 @@
 function strips em/strong/cite tags via serialize/regex/re-parse and
 rewrites ``<br>`` runs into paragraphs).
 
-KNOWN DELTA (narrowed in round 2): the body is now byte-equal — the
+KNOWN DELTA (narrowed in round 2): the body is byte-equal — the
 preprocess uses ``serialize_xml`` so empty divs round-trip as
-``<div/>`` and stay open on re-parse exactly like lxml (the previously
-missing trailing paragraph is back). The single remaining divergence
-is the cover image's ``position`` integer (321 vs lxml's 323): two
-nodes of the whole-document ``<br>`` rewrap land differently in the
-re-parsed fragment tree. Registered but excluded from the strict
-roster (tests/golden.py).
+``<div/>`` and stay open on re-parse exactly like lxml. The single
+remaining divergence is the cover image's ``position`` integer
+(ours 303 vs lxml's 323): the whole-document ``<br>`` rewrap
+re-parses one giant fragment, and our fragment-lift differs from
+``lxml.html.fromstring``'s multi-root handling by a few node slots.
+Every other attribute matches; registered but excluded from the
+strict roster (tests/golden.py).
 """
 
 from __future__ import annotations
