@@ -351,13 +351,13 @@ class _TreeBuilder(HTMLParser):
             self._stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs: List[Tuple[str, Optional[str]]]) -> None:
-        # libxml2 parity: for elements KNOWN to its HTML4 table, the
-        # trailing '/' is ignored garbage — <div/> is an OPEN tag that
-        # stays on the stack and nests following siblings (observable
-        # in il Giornale's golden, whose preprocess XML-serializes
-        # empty divs as <div/> and re-parses them). For UNKNOWN
-        # elements libxml2 honors XML empty-element syntax: <source/>
-        # really is empty (observable in Correctiv's golden).
+        # Empty-tag semantics fitted to the golden corpus (generated
+        # with lxml 5.x / libxml2 >= 2.12, whose HTML parser differs
+        # from the system 2.9.14 here): elements KNOWN to the HTML4
+        # table ignore the trailing slash — <div/> stays OPEN and nests
+        # following siblings (il Giornale's rewrap depends on it) —
+        # while HTML5-era elements like <source/> are childless
+        # (Correctiv's golden depends on THAT).
         if tag in VOID_ELEMENTS or tag in HTML4_ELEMENTS:
             self.handle_starttag(tag, attrs)
         else:

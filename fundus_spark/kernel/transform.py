@@ -106,25 +106,31 @@ def serialize_xml(el: Element) -> str:
 
 def _fragment(html: str) -> Optional[Element]:
     """Parse an HTML fragment (the ``lxml.html.fromstring`` analogue):
-    a single-rooted fragment returns that element; a multi-rooted one
-    (e.g. a giant ``<p>`` whose block-level content auto-closed it) is
-    wrapped in a synthetic ``<div>`` like lxml does — dropping the
-    siblings would lose document content (il Giornale's whole-document
-    ``transform_breaks_to_tag`` pass depends on this)."""
+    a fragment whose body holds a single element returns that element;
+    a multi-rooted one returns a ``body``-tagged wrapper — exactly what
+    lxml's fromstring does (it hands back the parsed <body> element).
+    Children that land at html level (e.g. scripts after an embedded
+    ``</head>``) are kept in document order; dropping them would lose
+    content (il Giornale's whole-document rewrap depends on this)."""
     doc = parse_html(html)
-    head_children: list = []
-    body_children: list = []
+    children: list = []
+    root = None
     for node in doc.iter():
-        if node.tag == "head":
-            head_children = list(node.children)
-        elif node.tag == "body":
-            body_children = list(node.children)
-    children = head_children + body_children
+        if node.tag == "html":
+            root = node
+            break
+    if root is None:
+        return None
+    for node in root.children:
+        if node.tag in ("head", "body") and not isinstance(node, Comment):
+            children.extend(node.children)
+        else:
+            children.append(node)
     if not children:
         return None
     if len(children) == 1:
         return children[0]
-    wrapper = Element("div")
+    wrapper = Element("body")
     for child in children:
         wrapper.append(child)
     return wrapper
