@@ -351,3 +351,55 @@ def test_golden_lang_spot_checks():
     for key, lang in expected.items():
         allowed = lang if isinstance(lang, tuple) else (lang,)
         assert seen.get(key) in allowed, f"{key}: expected {allowed}, got {seen.get(key)}"
+
+
+def test_dom_implied_body_p_for_head_text():
+    """libxml2: text in head context implies body + a synthesized <p>
+    that stays open over following comments/scripts (probed against
+    libxml2.so; Publico/Postillon goldens depend on it)."""
+    doc = parse_html("<html><head><script>x</script></head>hello<!--c--><script>s</script><div>d</div></html>")
+    body = XPath("//body")(doc)[0]
+    p = body.children[0]
+    assert p.tag == "p"
+    assert p.text == "hello"
+    assert [getattr(c, "tag", "#c") for c in p.children] == ["#comment", "script"]
+    assert body.children[1].tag == "div"
+
+
+def test_dom_long_whitespace_run_counts_as_content():
+    """A whitespace run >= 1000 chars in head context also implies
+    body+p (libxml2 chunks char data at 1000 bytes)."""
+    doc = parse_html("<html><head><script>x</script>" + " " * 1500 + "<!--c--><body><div>d</div></body></html>")
+    body = XPath("//body")(doc)[0]
+    assert body.children[0].tag == "p"
+    # short whitespace stays ignorable
+    doc2 = parse_html("<html><head><script>x</script>   <!--c--><body><div>d</div></body></html>")
+    body2 = XPath("//body")(doc2)[0]
+    assert body2.children[0].tag == "div"
+
+
+def test_dom_noscript_in_head_nests_children():
+    """All children of an open head <noscript> nest inside it — an img
+    there must NOT imply body (LaVanguardia golden)."""
+    doc = parse_html(
+        "<html><head><title>t</title><noscript><img src='x'><link href='y'></noscript>"
+        "<meta name='k' content='v'></head><body><div>d</div></body></html>"
+    )
+    nos = XPath("//noscript")(doc)[0]
+    assert nos.getparent().tag == "head"
+    assert [c.tag for c in nos.children] == ["img", "link"]
+    meta = XPath("//meta")(doc)[0]
+    assert meta.getparent().tag == "head"
+
+
+def test_dom_empty_tag_model():
+    """Golden-corpus-fitted empty-tag semantics: HTML4-known <div/>
+    stays open (nests siblings); unknown <source/> is childless."""
+    doc = parse_html("<html><body><div/><span>s</span></body></html>")
+    div = XPath("//div")(doc)[0]
+    assert [c.tag for c in div.children] == ["span"]
+    doc2 = parse_html("<html><body><picture><source srcset='a'/><img src='b'></picture></body></html>")
+    src = XPath("//source")(doc2)[0]
+    assert src.children == []
+    img = XPath("//img")(doc2)[0]
+    assert img.getparent().tag == "picture"
