@@ -360,6 +360,11 @@ class _TreeBuilder(HTMLParser):
         # (Correctiv's golden depends on THAT).
         if tag in VOID_ELEMENTS or tag in HTML4_ELEMENTS:
             self.handle_starttag(tag, attrs)
+            if tag in ("script", "style"):
+                # slash ignored -> the element is OPEN, so subsequent
+                # content is CDATA until the next real end tag (il
+                # Giornale's rewrap re-parses <script/> this way)
+                self.set_cdata_mode(tag)
         else:
             self.handle_starttag(tag, attrs)
             self.handle_endtag(tag)
