@@ -83,47 +83,32 @@ def _materialize_scaled_transcripts(sf_dir: str, replicas: int, path: str) -> in
         spark.stop()
 
 
-# The scaled corpus is 256 small files; with the default
-# maxPartitionBytes=128MB the scan packs them into exactly `cores`
-# splits -> one task wave, so the slowest task gates the stage and
-# ~20% of the machine idles in the tail. Sizing splits so the stage
-# runs ~4 waves/core hides stragglers (measured 25.3 -> 29.1 of 32
-# cores busy). At 100 TB the same knob sizes row-group splits of
-# 128MB-1GB files; the default is already thousands of waves there.
-_SCAN_SPLIT_CONF = {
-    "spark.sql.files.maxPartitionBytes": str(512 * 1024),
-    "spark.sql.files.openCostInBytes": "65536",
-}
+def _scaling_run(cores: int, transcripts_path: str, n_turns: int, timed_runs: int) -> list:
+    """One visit to a parallelism level, run as a SUBPROCESS pinned to
+    exactly `cores` CPUs (tools/scaling_visit.py documents why: an
+    unpinned local[N] on a 32-CPU host gives the JVM's scan/GC/serialize
+    threads free idle silicon at low N and oversubscribes at high N —
+    an asymmetry no real N-core-executor cluster has). Every visit pays
+    its own never-timed warm-up pass so JIT/worker-spawn cost cannot
+    land inside a timed pass at either level. Returns turns/sec per
+    timed pass."""
+    import subprocess
 
-
-def _scaling_run(cores: int, transcripts_path: str, n_turns: int, timed_runs: int, warm: bool) -> list:
-    """One visit to a parallelism level: fresh SparkContext at
-    local[cores], optional full warm-up pass (JIT + Python worker spawn
-    + kernel import + page cache), then `timed_runs` timed passes of
-    the scan->mapInPandas extraction stage (no shuffle in the plan).
-    Returns turns/sec per timed pass."""
-    from fundus_spark.plans import build_session, extract_articles
-
-    spark = build_session(
-        app_name=f"bench-scaling-{cores}",
-        cores=cores,
-        shuffle_partitions=max(cores, 8),
-        extra_conf=_SCAN_SPLIT_CONF,
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(Path(__file__).resolve().parent / "tools" / "scaling_visit.py"),
+            str(cores),
+            transcripts_path,
+            str(n_turns),
+            str(timed_runs),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=1800,
     )
-    try:
-        transcripts = spark.read.parquet(transcripts_path)
-        if warm:
-            extract_articles(transcripts).count()
-        rates = []
-        for _ in range(timed_runs):
-            started = time.time()
-            n_out = extract_articles(transcripts).count()
-            elapsed = time.time() - started
-            assert n_out == n_turns
-            rates.append(n_turns / elapsed)
-        return rates
-    finally:
-        spark.stop()
+    return json.loads(out.stdout.strip().splitlines()[-1])["rates"]
 
 
 def _median(xs: list) -> float:
@@ -158,21 +143,26 @@ def _measure_scaling(cores_lo: int, cores_hi: int, transcripts_path: str, n_turn
     * the host drifts (steal bursts, ±10-20% between minutes) — the two
       levels are visited interleaved lo,hi,lo,hi and summarized by
       median so drift cancels in the ratio;
+    * an unpinned local[N] is not an N-core node (JVM service threads +
+      Python workers use idle silicon at low N, oversubscribe at high
+      N) — every visit runs in a subprocess whose whole tree is pinned
+      to exactly N CPUs (tools/scaling_visit.py), the honest emulation
+      of an N-core executor;
     * the host itself scales sub-linearly for ANY CPU-bound work (DVFS /
       memory bandwidth: per-core throughput of the kernel under plain
-      multiprocessing drops ~30-35% from 8 -> 32 busy cores, no Spark
-      involved) — the control measures that ceiling, and
-      `normalized_efficiency` = spark_efficiency / hw_efficiency is the
-      pipeline-attributable number. On a real N -> 4N *multi-machine*
-      cluster the control is ~1.0 by construction and the raw and
-      normalized numbers coincide.
+      multiprocessing can drop 20-35% from 8 -> 32 busy cores, no Spark
+      involved) — the control measures that ceiling under the SAME
+      pinning, and `normalized_efficiency` = spark_efficiency /
+      hw_efficiency is the pipeline-attributable number. On a real
+      N -> 4N *multi-machine* cluster the control is ~1.0 by
+      construction and the raw and normalized numbers coincide.
     """
-    rates_lo = _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2, warm=True)
-    rates_hi = _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2, warm=True)
+    rates_lo = _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2)
+    rates_hi = _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2)
     hw_lo = _hw_control(transcripts_path, cores_lo)
     hw_hi = _hw_control(transcripts_path, cores_hi)
-    rates_lo += _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2, warm=False)
-    rates_hi += _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2, warm=False)
+    rates_lo += _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2)
+    rates_hi += _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2)
     tps_lo = _median(rates_lo)
     tps_hi = _median(rates_hi)
     ratio = cores_hi / cores_lo

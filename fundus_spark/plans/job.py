@@ -17,13 +17,28 @@ Scale design (SURVEY.md §3.2 lifecycle):
   two leaves uncommitted ``bucket=K`` directories that the retry's
   dynamic-overwrite rewrite replaces idempotently. A resume submit
   re-extracts only the uncommitted buckets — still one scan.
-* Per-bucket metrics are read back from the written ``bucket=K``
-  directories (directory-partition pruned — this maps 1:1 onto an
-  Iceberg partition scan) so lineage never recomputes the stage.
+* Per-bucket metrics are read back from the written output with a
+  ``bucket IN (...)`` predicate over the partition column, aggregated
+  by ``(bucket, _partition_id)`` in ONE job, so lineage never
+  recomputes the stage and the commit phase does not scale with bucket
+  count.
+
+Resume read-back contract (object stores / Iceberg): the read-back and
+resume logic rely ONLY on partition-pruned scans of the output table —
+``spark.read.parquet(output).where(col("bucket").isin(...))`` here,
+which on a Hive-layout store prunes to the ``bucket=K`` directories via
+the partition filter (verified by ``tests/test_spark_e2e.py``'s
+pruned-read assertion) and on Iceberg becomes the identical
+``.where(...)`` over the table's bucket partition — a metadata-only
+prune, no directory listing. Nothing reads ``{output}/bucket=K`` paths
+directly, so swapping the parquet sink for an Iceberg catalog table
+changes only the write (``writeTo(...).overwritePartitions()``) and
+``append_rows``.
 """
 
 from __future__ import annotations
 
+import datetime
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -33,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .extract_stage import extract_articles
-from .lineage import append_rows, committed_buckets, partition_metrics
+from .lineage import MANIFEST_SCHEMA, append_rows, bucketed_partition_metrics, committed_buckets
 
 
 @dataclass
@@ -89,22 +104,54 @@ def run_extraction_job(
             .partitionBy("bucket")
             .parquet(output_path)
         )
-        # commit loop: per-bucket manifest append is the commit point;
-        # each read-back prunes to the single bucket=K directory.
-        for bucket in remaining:
-            written = spark.read.parquet(f"{output_path}/bucket={bucket}")
-            metrics = partition_metrics(written, run_id, bucket)
-            append_rows(spark, metrics, metrics_path)
-            manifest_row = metrics.groupBy().agg(
-                F.first(F.lit(run_id)).alias("run_id"),
-                F.first(F.lit(bucket).cast("int")).alias("bucket"),
+        # Commit phase. Metrics for ALL pending buckets come from ONE
+        # partition-pruned read of the written output (the bucket
+        # predicate prunes to exactly the bucket=K directories of this
+        # batch — on Iceberg this is the same partition-pruned metadata
+        # scan; see read-back contract below) aggregated by
+        # (bucket, _partition_id): one Spark job regardless of bucket
+        # count, where the old per-bucket loop cost 2 jobs + 2 appends
+        # per bucket (~16k sequential driver round-trips at 4096
+        # buckets). The per-bucket manifest append stays the commit
+        # point: manifest rows are materialized on the driver (they are
+        # n_buckets tiny rows) and appended one bucket at a time in
+        # bucket order, so a crash mid-phase leaves a correct
+        # prefix-committed manifest and the resume re-runs only the
+        # unappended buckets.
+        written = spark.read.parquet(output_path).where(F.col("bucket").isin(remaining))
+        metrics = bucketed_partition_metrics(written, run_id)
+        append_rows(spark, metrics, metrics_path)
+        manifest_rows = {
+            r["bucket"]: r
+            for r in metrics.groupBy("bucket")
+            .agg(
                 F.sum("input_turns").alias("input_turns"),
                 F.sum("output_turns").alias("output_turns"),
                 F.sum("parse_failures").alias("parse_failures"),
                 F.sum("bytes_processed").alias("bytes_processed"),
                 F.max("committed_at").alias("committed_at"),
             )
-            append_rows(spark, manifest_row, manifest_path)
+            .collect()
+        }
+        for bucket in remaining:
+            row = manifest_rows.get(bucket)
+            if row is None:
+                # a bucket can legitimately receive zero rows (hash gap
+                # at tiny inputs); commit it empty so resume skips it.
+                data = [(run_id, bucket, 0, 0, 0, 0, datetime.datetime.now(datetime.timezone.utc))]
+            else:
+                data = [
+                    (
+                        run_id,
+                        bucket,
+                        row["input_turns"],
+                        row["output_turns"],
+                        row["parse_failures"],
+                        row["bytes_processed"],
+                        row["committed_at"],
+                    )
+                ]
+            append_rows(spark, spark.createDataFrame(data, MANIFEST_SCHEMA), manifest_path)
             result.buckets_run.append(bucket)
 
     totals = (

@@ -61,8 +61,17 @@ METRICS_SCHEMA = StructType(
 def partition_metrics(extracted: DataFrame, run_id: str, bucket: int) -> DataFrame:
     """Aggregate per-partition lineage from the extraction output's
     lineage columns — one columnar agg, no recompute of the stage."""
+    return bucketed_partition_metrics(extracted.withColumn("bucket", F.lit(bucket).cast("int")), run_id)
+
+
+def bucketed_partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-(bucket, partition) lineage for EVERY bucket present, in one
+    aggregation — the job's commit phase calls this once over a single
+    partition-pruned read of the written output, so the metrics phase
+    costs one Spark job regardless of bucket count (a 4096-bucket run
+    must not pay 4096 sequential driver round-trips)."""
     return (
-        extracted.groupBy("_partition_id")
+        extracted.groupBy("bucket", "_partition_id")
         .agg(
             F.count(F.lit(1)).alias("input_turns"),
             F.sum(F.col("parse_ok").cast("long")).alias("output_turns"),
@@ -71,7 +80,7 @@ def partition_metrics(extracted: DataFrame, run_id: str, bucket: int) -> DataFra
         )
         .select(
             F.lit(run_id).alias("run_id"),
-            F.lit(bucket).cast("int").alias("bucket"),
+            F.col("bucket").cast("int").alias("bucket"),
             F.col("_partition_id").alias("partition_id"),
             "input_turns",
             "output_turns",

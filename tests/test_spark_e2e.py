@@ -128,6 +128,32 @@ def test_job_resume_skips_committed_buckets(spark, transcripts_df, tmp_path):
     assert m.where(F.col("bytes_processed") <= 0).count() == 0
 
 
+def test_job_readback_is_partition_pruned(spark, transcripts_df, tmp_path):
+    """Resume read-back contract (plans/job.py docstring): the commit
+    phase reads the output ONLY through a partition filter on `bucket`,
+    so the scan must touch just the selected bucket=K directories —
+    the same shape Iceberg serves as a metadata-only partition prune."""
+    out = str(tmp_path / "out")
+    run_extraction_job(
+        spark,
+        transcripts_df,
+        out,
+        str(tmp_path / "metrics"),
+        str(tmp_path / "manifest"),
+        run_id="prune",
+        n_buckets=4,
+        salt_partitions=8,
+    )
+    for bucket in (0, 3):
+        pruned = spark.read.parquet(out).where(F.col("bucket").isin([bucket]))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # the bucket predicate must land in PartitionFilters (directory
+        # prune), not PushedFilters/post-scan Filter (data read + drop)
+        partition_filters = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert partition_filters and "bucket" in partition_filters[0], plan
+        assert pruned.count() > 0, f"bucket {bucket} read back empty"
+
+
 def test_malformed_html_degrades_not_fails(spark):
     rows = [
         {"conv_id": "c", "turn_idx": 0, "role": "tool", "text": "<<<not html>>>", "tool": "generic", "ts": None},

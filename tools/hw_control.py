@@ -72,4 +72,11 @@ if __name__ == "__main__":
     out_dir = sys.argv[1]
     n_procs = int(sys.argv[2])
     docs = int(sys.argv[3]) if len(sys.argv) > 3 else 400
+    # Pin to n_procs CPUs, mirroring tools/scaling_visit.py — the
+    # control must model the same N-core node the Spark visit models,
+    # or the normalization compares a pinned pipeline to an unpinned
+    # control.
+    from tools.scaling_visit import pin_to_cores  # noqa: E402 — repo root is on sys.path
+
+    pin_to_cores(n_procs)
     print(json.dumps({"procs": n_procs, "docs_per_sec": round(measure(out_dir, n_procs, docs), 1)}))
