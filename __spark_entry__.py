@@ -71,6 +71,31 @@ FROM documents
 """
 
 
+def _q_extract_documents_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misattribution guard: doc_id comes from the CARRIED
+    (conv_id, turn_idx) key joined back onto the stage output — not
+    from the extracted payload — so content tagged with the wrong
+    transcript row breaks the value-hash against the same oracle.
+    (The benchmark path extract_documents keeps the narrow-map
+    regexp recovery; this query keeps the shuffle so the property
+    stays observable.)"""
+    from fundus_spark.plans import extract_articles
+    from fundus_spark.sources.doc_html import documents_as_transcripts
+
+    docs = _read(spark, sf_dir, "documents")
+    transcripts = documents_as_transcripts(docs)
+    key_map = transcripts.select("conv_id", "turn_idx", "doc_id")
+    extracted = extract_articles(transcripts.drop("doc_id"))
+    return extracted.join(key_map, ["conv_id", "turn_idx"]).select(
+        "doc_id",
+        "title",
+        "plaintext",
+        F.col("authors")[0].alias("author0"),
+        "publishing_date",
+        "free_access",
+    )
+
+
 def _q_extract_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _q_extract_documents_full(spark, sf_dir)
     return df.select("doc_id", F.explode("topics").alias("topic"))
@@ -737,6 +762,7 @@ FROM documents
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents": _q_extract_documents,
+        "extract_documents_keyed": _q_extract_documents_keyed,
         "extract_topics": _q_extract_topics,
         "assemble_conversations": _q_assemble_conversations,
         "grouped_topk": _q_grouped_topk,
@@ -770,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_documents": _EXTRACT_DOCUMENTS_SQL,
+        "extract_documents_keyed": _EXTRACT_DOCUMENTS_SQL,
         "extract_topics": _EXTRACT_TOPICS_SQL,
         "assemble_conversations": _ASSEMBLE_SQL,
         "grouped_topk": _GROUPED_TOPK_SQL,

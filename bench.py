@@ -71,11 +71,16 @@ def _materialize_scaled_transcripts(sf_dir: str, replicas: int, path: str) -> in
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         base = documents_as_transcripts(docs).drop("doc_id")
+        # 32 files per hi-level core: each file is one scan task (see
+        # tools/scaling_visit.py SCAN_SPLIT_CONF), so the stage runs ~32
+        # waves at local[32] / ~128 at local[8] — the last-wave
+        # straggler tail shrinks to ~1/32 of the stage instead of ~1/8,
+        # which at 8 waves was most of the measured efficiency gap.
         transcripts = (
             base.crossJoin(spark.range(replicas).select(F.col("id").alias("_replica")))
             .withColumn("conv_id", F.concat_ws("-", "conv_id", "_replica"))
             .drop("_replica")
-            .repartition(CPUS * 8, F.col("conv_id"), F.col("turn_idx"))
+            .repartition(CPUS * 32, F.col("conv_id"), F.col("turn_idx"))
         )
         transcripts.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path).count()
@@ -159,12 +164,16 @@ def _measure_scaling(cores_lo: int, cores_hi: int, transcripts_path: str, n_turn
     """
     rates_lo = _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2)
     rates_hi = _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2)
-    hw_lo = _hw_control(transcripts_path, cores_lo)
-    hw_hi = _hw_control(transcripts_path, cores_hi)
+    hw_los = [_hw_control(transcripts_path, cores_lo)]
+    hw_his = [_hw_control(transcripts_path, cores_hi)]
     rates_lo += _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2)
     rates_hi += _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2)
+    hw_los.append(_hw_control(transcripts_path, cores_lo))
+    hw_his.append(_hw_control(transcripts_path, cores_hi))
     tps_lo = _median(rates_lo)
     tps_hi = _median(rates_hi)
+    hw_lo = _median(hw_los)
+    hw_hi = _median(hw_his)
     ratio = cores_hi / cores_lo
     efficiency = (tps_hi / tps_lo) / ratio
     hw_efficiency = (hw_hi / hw_lo) / ratio
@@ -176,6 +185,8 @@ def _measure_scaling(cores_lo: int, cores_hi: int, transcripts_path: str, n_turn
         "runs_lo": [round(r, 1) for r in rates_lo],
         "runs_hi": [round(r, 1) for r in rates_hi],
         "efficiency": round(efficiency, 3),
+        "hw_control_runs_lo": [round(r, 1) for r in hw_los],
+        "hw_control_runs_hi": [round(r, 1) for r in hw_his],
         "hw_control_docs_per_sec_lo": round(hw_lo, 1),
         "hw_control_docs_per_sec_hi": round(hw_hi, 1),
         "hw_control_efficiency": round(hw_efficiency, 3),

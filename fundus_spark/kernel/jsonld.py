@@ -144,12 +144,16 @@ class LinkedData:
     # --- path search (observable parity with data.py:151-224) -----------
     def xpath_search(self, query: str, scalar: bool = False) -> Any:
         query = query.strip()
-        # positional index on a parenthesized path: "(//Article//headline)[1]"
+        # positional index on a parenthesized path: "(//Article//headline)[1]".
+        # Parse the index suffix FIRST and re-wrap union inners so
+        # "(//A | //B)[1]" means first-of-union (the old inner pattern
+        # [^()|]+ silently degraded that to an empty result).
         index: Optional[int] = None
-        pos = re.match(r"^\(\s*(?P<inner>[^()|]+)\s*\)\s*\[(?P<n>\d+)\]$", query)
+        pos = re.match(r"^\(\s*(?P<inner>.+?)\s*\)\s*\[(?P<n>\d+)\]$", query)
         if pos:
-            query = pos.group("inner").strip()
+            inner = pos.group("inner").strip()
             index = int(pos.group("n"))
+            query = f"({inner})" if "|" in inner else inner
         # parenthesized unions: "(//Article | //NewsArticle) /author"
         # (used by e.g. the NDR parser) — fan out each alternative with
         # the shared tail

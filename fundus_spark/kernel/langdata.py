@@ -59,5 +59,8 @@ UK_CHARS = frozenset("іїєґІЇЄҐ")
 RU_CHARS = frozenset("ыэъёЫЭЪЁ")
 CYRILLIC_RANGE = ("Ѐ", "ӿ")
 
-# Vietnamese: Latin script with unique diacritics
-VI_CHARS = frozenset("ăâđêôơưạảấầẩẫậắằẳẵặẹẻẽếềểễệịỉĩọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹ")
+# Vietnamese: Latin script with unique diacritics (both cases — ALL-CAPS
+# headlines must still hit the script vote; there is no vi Latin
+# stopword profile to fall back to)
+_VI_LOWER = "ăâđêôơưạảấầẩẫậắằẳẵặẹẻẽếềểễệịỉĩọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹ"
+VI_CHARS = frozenset(_VI_LOWER + _VI_LOWER.upper())

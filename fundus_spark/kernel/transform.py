@@ -111,7 +111,15 @@ def _fragment(html: str) -> Optional[Element]:
     lxml's fromstring does (it hands back the parsed <body> element).
     Children that land at html level (e.g. scripts after an embedded
     ``</head>``) are kept in document order; dropping them would lose
-    content (il Giornale's whole-document rewrap depends on this)."""
+    content (il Giornale's whole-document rewrap depends on this).
+
+    Documented deviation vs lxml: bare leading text ('text<div>..')
+    never lands in ``body.text`` here — the parser's implied-<p> rule
+    (libxml2 parity, kernel/dom.py) wraps it in a synthesized <p>
+    element, so the text survives as a child instead of as wrapper
+    ``.text`` (lxml would hand back a div-wrapper with ``.text``).
+    Content-equal either way; pinned by
+    ``test_fragment_keeps_leading_text`` in tests/test_kernel_units.py."""
     doc = parse_html(html)
     children: list = []
     root = None

@@ -27,8 +27,12 @@ GROUP_LANGUAGES: Dict[str, str] = {
     "ua": "uk", "uk": "en", "us": "en", "vn": "vi", "za": "en",
 }
 
-# per-source language overrides in the reference registry (sources in
-# other languages add to / replace the group default)
+# Per-source language overrides in the reference registry: for each
+# publisher, the union of its sources' explicit ``languages={...}``
+# kwargs, with unannotated sources inheriting the group default
+# (base_objects.py:228-229,331-334). Generated from the reference AST
+# by tools/ref_languages.py (the reference can't be imported here) and
+# kept honest by tests/test_search_api.py::test_language_table_parity.
 LANGUAGE_OVERRIDES: Dict[str, FrozenSet[str]] = {
     "be.PoliticoEu": frozenset({"en"}),
     "de.Correctiv": frozenset({"de", "en"}),
@@ -40,6 +44,21 @@ LANGUAGE_OVERRIDES: Dict[str, FrozenSet[str]] = {
     "it.Tageszeitung": frozenset({"de"}),
     "jp.TheJapanNews": frozenset({"en"}),
     "lb.LBCGroup": frozenset({"ar", "en"}),
+    "mx.MexicoNewsDaily": frozenset({"en"}),
+    "na.TheNamibian": frozenset({"en", "kj"}),
+    "pt.ThePortugalNews": frozenset(
+        {"ar", "br", "de", "en", "es", "fi", "fr", "he", "it", "nl", "pl", "pt", "ru", "se", "tr", "zh"}
+    ),
+    "py.Wochenblatt": frozenset({"de"}),
+    "tw.TaipeiTimes": frozenset({"en"}),
+    "tz.DailyNewsTZ": frozenset({"en"}),
+    "ua.Pravda": frozenset({"en", "ru", "uk"}),
+    "us.APNews": frozenset({"en", "es"}),
+    "za.Dizindaba": frozenset({"xh"}),
+    "za.EyethuNews": frozenset({"zu"}),
+    "za.Ilanga": frozenset({"zu"}),
+    "za.Isolezwe": frozenset({"zu"}),
+    "za.IsolezweLesiXhosa": frozenset({"xh"}),
 }
 
 

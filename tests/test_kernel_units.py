@@ -403,3 +403,38 @@ def test_dom_empty_tag_model():
     assert src.children == []
     img = XPath("//img")(doc2)[0]
     assert img.getparent().tag == "picture"
+
+
+def test_fragment_keeps_leading_text():
+    """Documented deviation vs lxml.html.fromstring: bare leading text
+    survives as a synthesized <p> child (implied-body rule), never as
+    wrapper .text — content-equal either way (transform._fragment)."""
+    from fundus_spark.kernel.transform import _fragment
+
+    el = _fragment("text<div>a</div>")
+    assert el.text_content() == "texta"
+    el = _fragment("lead <b>bold</b> tail")
+    assert el.text_content() == "lead bold tail"
+
+
+def test_ld_positional_index_over_union():
+    """'(//A | //B)[1]' = first match of the union — the index suffix
+    must combine with the parenthesized-union handling (ADVICE r2)."""
+    ld = LinkedData(
+        [
+            {"@type": "NewsArticle", "headline": "N1"},
+            {"@type": "Article", "headline": "A1"},
+        ]
+    )
+    assert ld.xpath_search("(//NewsArticle/headline | //Article/headline)[1]", scalar=True) == "N1"
+    assert ld.xpath_search("(//Missing/x | //Article/headline)[1]", scalar=True) == "A1"
+    # plain indexed path still works
+    assert ld.xpath_search("(//Article/headline)[1]", scalar=True) == "A1"
+
+
+def test_vietnamese_detection_case_insensitive():
+    from fundus_spark.kernel.lang import heuristic_language
+
+    lower = "hôm nay trời đẹp chúng tôi đi công viên với bạn bè rất vui vẻ và hạnh phúc"
+    assert heuristic_language(lower) == "vi"
+    assert heuristic_language(lower.upper()) == "vi"

@@ -57,3 +57,30 @@ def test_deprecated_attributes_excluded_by_default():
     assert spec not in hits
     hits_incl = search(REGISTRY, attributes=["authors"], languages=["pt"], include_deprecated_attributes=True)
     assert spec in hits_incl
+
+
+def test_language_table_parity_with_reference():
+    """GROUP_LANGUAGES + LANGUAGE_OVERRIDES must reproduce the
+    reference's per-publisher language sets (union of per-source
+    ``languages`` kwargs, unannotated sources inheriting the group's
+    ``default_language`` — base_objects.py:228-229,331-334), extracted
+    statically from the reference AST by tools/ref_languages.py."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.ref_languages import REF_PUBLISHERS, all_publisher_languages
+
+    if not REF_PUBLISHERS.exists():
+        import pytest
+
+        pytest.skip("reference checkout not available")
+
+    ref = all_publisher_languages()
+    assert len(ref) > 150
+    mismatches = {
+        key: (sorted(langs), sorted(publisher_languages(key)))
+        for key, langs in ref.items()
+        if key in REGISTRY and frozenset(langs) != publisher_languages(key)
+    }
+    assert not mismatches, mismatches

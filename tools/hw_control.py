@@ -52,7 +52,10 @@ def _work(reps: int) -> int:
     return n
 
 
-def measure(parquet_dir: str, procs: int, n_docs: int = 400, reps: int = 3) -> float:
+# reps sized so the timed window is ~8-12s: a ~1s window (the old
+# reps=3) is hostage to a single shared-tenancy steal burst, and the
+# control's noise then dominates the normalized-efficiency ratio.
+def measure(parquet_dir: str, procs: int, n_docs: int = 400, reps: int = 30) -> float:
     import time
 
     # A raising Pool initializer respawns workers forever -> hang.
