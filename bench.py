@@ -162,14 +162,19 @@ def _measure_scaling(cores_lo: int, cores_hi: int, transcripts_path: str, n_turn
       N -> 4N *multi-machine* cluster the control is ~1.0 by
       construction and the raw and normalized numbers coincide.
     """
-    rates_lo = _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2)
-    rates_hi = _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2)
-    hw_los = [_hw_control(transcripts_path, cores_lo)]
-    hw_his = [_hw_control(transcripts_path, cores_hi)]
-    rates_lo += _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2)
-    rates_hi += _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2)
-    hw_los.append(_hw_control(transcripts_path, cores_lo))
-    hw_his.append(_hw_control(transcripts_path, cores_hi))
+    # 3 interleaved rounds (median of 6 per level): a steal burst that
+    # poisons one whole visit then contributes only 2 of 6 samples, so
+    # the median still rejects it — with 2 rounds it owned the median.
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    rates_lo: list = []
+    rates_hi: list = []
+    hw_los: list = []
+    hw_his: list = []
+    for _ in range(rounds):
+        rates_lo += _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2)
+        rates_hi += _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2)
+        hw_los.append(_hw_control(transcripts_path, cores_lo))
+        hw_his.append(_hw_control(transcripts_path, cores_hi))
     tps_lo = _median(rates_lo)
     tps_hi = _median(rates_hi)
     hw_lo = _median(hw_los)
