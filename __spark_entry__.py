@@ -696,6 +696,30 @@ FROM documents
 """
 
 
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header decode: synthesize valid BMP/PNG/WAV payloads whose
+    metadata is closed-form in doc_id (sources/media_gen.py), run them
+    through the media_features operator, and check the parsed
+    width/height/duration against the construction formulas."""
+    from fundus_spark.operators import media_features
+    from fundus_spark.sources.media_gen import documents_as_media
+
+    docs = _read(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return media_features(media).select("media_id", "kind", "format", "width", "height", "duration_ms")
+
+
+_MEDIA_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 2 THEN 'audio' ELSE 'image' END AS kind,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 3 < 2 THEN CAST(1 + doc_id % 64 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 < 2 THEN CAST(1 + doc_id % 48 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(125 + (doc_id % 5) * 50 AS BIGINT) END AS duration_ms
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # PDF extraction (from-scratch content-stream parser; north_rule
 # "PDF/layout parse")
@@ -787,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
         "pdf_extract": _q_pdf_extract,
         "boilerplate_strip": _q_boilerplate_strip,
         "language_filter": _q_language_filter,
@@ -820,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _language_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
+        "media_decode": _MEDIA_DECODE_SQL,
         "pdf_extract": _PDF_EXTRACT_SQL,
         "boilerplate_strip": _BOILERPLATE_SQL,
         "language_filter": _LANGUAGE_FILTER_SQL,

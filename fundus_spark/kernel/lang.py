@@ -17,7 +17,16 @@ import re
 from typing import Optional
 
 from .dom import Element
-from .langdata import CYRILLIC_RANGE, RU_CHARS, SCRIPT_RANGES, STOPWORDS, UK_CHARS, VI_CHARS
+from .langdata import (
+    CYRILLIC_RANGE,
+    RU_CHARS,
+    SCRIPT_RANGES,
+    SIBLING_CHARGRAMS,
+    SIBLING_MARKERS,
+    STOPWORDS,
+    UK_CHARS,
+    VI_CHARS,
+)
 
 __all__ = ["detect_language", "html_lang", "heuristic_language", "script_language"]
 
@@ -77,13 +86,39 @@ def heuristic_language(text: Optional[str]) -> Optional[str]:
     best_code, best_score = ranked[0]
     if best_score == 0:
         return None
-    # overlapping function-word lists (la/de/le) can tie. A WEAK tie is
-    # an ambiguous detection -> None (not a list-order coin flip); a
-    # STRONG tie is sibling-language overlap (da/no share most function
-    # words) -> resolve deterministically by profile order.
-    if len(ranked) > 1 and ranked[1][1] == best_score and best_score < 5:
-        return None
+    if len(ranked) > 1 and ranked[1][1] >= max(best_score - 1, 1):
+        # near-tie between the top two profiles
+        pair = frozenset({best_code, ranked[1][0]})
+        if (winner := _sibling_vote(pair, words, text)) is not None:
+            return winner
+        # overlapping function-word lists (la/de/le) can tie. A WEAK
+        # near-tie is an ambiguous detection -> None (not a list-order
+        # coin flip); a STRONG exact tie without a sibling profile
+        # resolves deterministically by profile order.
+        if ranked[1][1] == best_score and best_score < 5:
+            return None
     return best_code
+
+
+def _sibling_vote(pair: frozenset, words: list, text: str) -> Optional[str]:
+    """Second-stage vote for sibling languages whose function words
+    overlap (da/no): orthography-divergent cognate markers + the
+    øj/øy digraph — the from-scratch stand-in for langdetect's
+    character n-gram profiles on this pair."""
+    for codes, markers in SIBLING_MARKERS:
+        if codes != pair:
+            continue
+        tallies = {code: sum(1 for w in words if w in marker_set) for code, marker_set in markers.items()}
+        for grams_pair, grams in SIBLING_CHARGRAMS:
+            if grams_pair == pair:
+                sample = text[:4000].lower()
+                for code, substrings in grams.items():
+                    tallies[code] = tallies.get(code, 0) + sum(sample.count(g) for g in substrings)
+        ranked = sorted(tallies.items(), key=lambda kv: -kv[1])
+        if ranked[0][1] > ranked[1][1]:
+            return ranked[0][0]
+        return None  # markers silent -> genuinely ambiguous
+    return None
 
 
 def detect_language(doc: Element, plaintext: Optional[str]) -> Optional[str]:

@@ -28,7 +28,7 @@ STOPWORDS: List[Tuple[str, FrozenSet[str]]] = [
     ("it", frozenset("il la le di che e in un una è per non con del si da sono come".split())),
     ("pt", frozenset("o a os as de do da dos das que um uma em não para com por mais foi são".split())),
     ("nl", frozenset("de het een en van in is dat op te met voor aan er ook als maar bij naar".split())),
-    ("da", frozenset("og i af er til det som på de med han den for at der ikke var sig".split())),
+    ("da", frozenset("og i af er til det som på de med han den for at der ikke var sig om en et".split())),
     ("sv", frozenset("och att det som i på är av för med den till inte om han ett men var".split())),
     ("no", frozenset("og i det er som på til av at en for med om ikke den han et var".split())),
     ("pl", frozenset("w i na z że się nie do to jest o jak po są za od przez ale".split())),
@@ -58,6 +58,33 @@ SCRIPT_RANGES: List[Tuple[str, str]] = [
 UK_CHARS = frozenset("іїєґІЇЄҐ")
 RU_CHARS = frozenset("ыэъёЫЭЪЁ")
 CYRILLIC_RANGE = ("Ѐ", "ӿ")
+
+# Sibling-language discrimination: da/no (bokmål) share most function
+# words, so the stopword vote ties on real Danish/Norwegian text. These
+# marker sets hold orthography-divergent COGNATE PAIRS (af/av, hvad/hva,
+# efter/etter, ...) — each list hits only its own language — plus the
+# øj/øy digraph checked as a substring. langdetect separates the pair
+# with character n-gram profiles; this is the deterministic from-scratch
+# equivalent for the one Latin sibling pair in the publisher corpus.
+SIBLING_MARKERS: List[Tuple[FrozenSet[str], Dict[str, FrozenSet[str]]]] = [
+    (
+        frozenset({"da", "no"}),
+        {
+            "da": frozenset(
+                "af hvad efter ud op ind meget kun måske noget nogle "
+                "vej nej sejr øjeblik mand mellem sådan tilbage arbejde".split()
+            ),
+            "no": frozenset(
+                "av hva etter ut opp inn mye bare kanskje noe noen "
+                "vei nei seier øyeblikk mann mellom slik tilbake arbeid".split()
+            ),
+        },
+    ),
+]
+
+SIBLING_CHARGRAMS: List[Tuple[FrozenSet[str], Dict[str, Tuple[str, ...]]]] = [
+    (frozenset({"da", "no"}), {"da": ("øj",), "no": ("øy",)}),
+]
 
 # Vietnamese: Latin script with unique diacritics (both cases — ALL-CAPS
 # headlines must still hit the script vote; there is no vi Latin

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode kernels (image decode/resize, audio resample, video frame
-sampling) need codec libraries that are not in this container, so the
-per-batch decode is STUBBED with a deterministic fake (documented
-below); everything Spark-side — schema, partitioning, UDF signature,
-batch shaping — is real and tested. Swap ``_fake_decode`` for a
-Pillow/torchaudio/PyAV call on a real deployment.
+Header metadata is decoded FOR REAL for BMP/PNG/GIF/WAV via the
+pure-Python parser in ``kernel/media.py`` (width/height for images,
+duration/sample-rate for audio) — oracle-gated by the ``media_decode``
+query. Full pixel/sample decode (resize, resample, frame sampling)
+needs codec libraries that are not in this container, so payloads in
+unrecognized formats fall back to a deterministic digest-derived fake
+(documented below); everything Spark-side — schema, partitioning, UDF
+signature, batch shaping — is real and tested. Swap ``_fake_decode``
+for a Pillow/torchaudio/PyAV call on a real deployment.
 """
 
 from __future__ import annotations
@@ -41,45 +44,48 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType()),
         StructField("n_bytes", LongType()),
         StructField("content_digest", StringType()),
+        StructField("format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
         StructField("feature_dim", IntegerType()),
     ]
 )
 
 
-def _try_real_decode(payload: bytes, kind: str):
-    """Gate on optional codec libs; not present in this container."""
-    try:  # pragma: no cover - not installed here
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError("real image decode wiring goes here")
-    except ImportError:
-        return None
-
-
-def _fake_decode(payload: bytes, kind: str):
-    """Deterministic fake decode: digest-derived dimensions. Keeps the
-    pipeline end-to-end testable without codecs."""
+def _fake_decode(payload: bytes):
+    """Deterministic fake decode for formats without a header parser:
+    digest-derived dimensions. Keeps the pipeline end-to-end testable
+    without codecs; swap for Pillow/torchaudio/PyAV on deployment."""
     digest = hashlib.md5(payload).hexdigest()
     width = 64 + int(digest[:4], 16) % 1920
     height = 64 + int(digest[4:8], 16) % 1080
-    return digest, width, height
+    return width, height
 
 
 def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..kernel.media import parse_media_header
+
     for batch in batches:
         out = {name: [] for name in FEATURE_SCHEMA.fieldNames()}
         for row in batch.itertuples(index=False):
             payload = bytes(row.payload or b"")
-            decoded = _try_real_decode(payload, row.kind) or _fake_decode(payload, row.kind)
-            digest, width, height = decoded
+            digest = hashlib.md5(payload).hexdigest()
+            header = parse_media_header(payload)
+            if header is not None:
+                fmt, width, height, duration = header.format, header.width, header.height, header.duration_ms
+            else:
+                fmt = None
+                width, height = _fake_decode(payload)
+                duration = None
             out["media_id"].append(row.media_id)
             out["kind"].append(row.kind)
             out["n_bytes"].append(len(payload))
             out["content_digest"].append(digest)
+            out["format"].append(fmt)
             out["width"].append(width)
             out["height"].append(height)
+            out["duration_ms"].append(duration)
             out["feature_dim"].append(64)
         yield pd.DataFrame(out)
 

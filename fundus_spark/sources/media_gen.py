@@ -1,0 +1,56 @@
+"""documents -> deterministic REAL media payloads (BMP/PNG/WAV).
+
+Synthesizes valid container files whose header metadata is closed-form
+in ``doc_id``, so the ``media_decode`` query has an exact DuckDB
+oracle:
+
+* ``doc_id % 3 == 0`` -> BMP,  width = 1 + doc_id % 64, height = 1 + doc_id % 48
+* ``doc_id % 3 == 1`` -> PNG,  same dimension formulas
+* ``doc_id % 3 == 2`` -> WAV,  n_samples = 1000 + (doc_id % 5) * 400 @ 8 kHz mono
+                         -> duration_ms = round(n_samples / 8)
+
+Payload construction runs in an Arrow-batched ``mapInPandas`` stage
+(binary building is per-row Python, but tiny: images are <= 64x48).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..kernel.media import build_bmp, build_png, build_wav
+from ..operators.multimodal import MEDIA_SCHEMA
+
+
+def media_dims(doc_id: int):
+    return 1 + doc_id % 64, 1 + doc_id % 48
+
+
+def media_samples(doc_id: int) -> int:
+    return 1000 + (doc_id % 5) * 400
+
+
+def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        out = {"media_id": [], "kind": [], "payload": [], "mime": []}
+        for doc_id in batch["doc_id"]:
+            doc_id = int(doc_id)
+            width, height = media_dims(doc_id)
+            sel = doc_id % 3
+            if sel == 0:
+                payload, kind, mime = build_bmp(width, height), "image", "image/bmp"
+            elif sel == 1:
+                payload, kind, mime = build_png(width, height), "image", "image/png"
+            else:
+                payload, kind, mime = build_wav(media_samples(doc_id)), "audio", "audio/wav"
+            out["media_id"].append(doc_id)
+            out["kind"].append(kind)
+            out["payload"].append(payload)
+            out["mime"].append(mime)
+        yield pd.DataFrame(out)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    return documents.select("doc_id").mapInPandas(_build_batches, schema=MEDIA_SCHEMA)
