@@ -96,6 +96,51 @@ def _q_extract_documents_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richer kernel gate (VERDICT r2 #8): synthetic articles exercise
+    the JSON-LD date path, the <br> rewrap (transform_breaks_to_tag,
+    replace=True), and srcset image extraction through the non-generic
+    'rich' rule; every projected field is closed-form in doc_id so the
+    DuckDB oracle breaks if any of those kernel paths drift."""
+    from pyspark.sql.types import BooleanType
+
+    from fundus_spark.plans import extract_articles
+    from fundus_spark.sources.rich_html import documents_as_rich_transcripts
+
+    docs = _read(spark, sf_dir, "documents")
+    transcripts = documents_as_rich_transcripts(docs)
+    key_map = transcripts.select("conv_id", "turn_idx", "doc_id")
+    extracted = extract_articles(transcripts.drop("doc_id"))
+    return extracted.join(key_map, ["conv_id", "turn_idx"]).select(
+        "doc_id",
+        "title",
+        F.col("authors")[0].alias("author0"),
+        "publishing_date",
+        F.get_json_object("body_json", "$.sections[0].paragraphs[0]").alias("p1"),
+        F.get_json_object("body_json", "$.sections[0].paragraphs[1]").alias("p2"),
+        F.get_json_object("body_json", "$.sections[0].paragraphs[2]").alias("p3"),
+        F.get_json_object("images_json", "$[0].versions[1].url").alias("img_url_large"),
+        F.get_json_object("images_json", "$[0].caption").alias("img_caption"),
+        F.get_json_object("images_json", "$[0].is_cover").cast(BooleanType()).alias("img_cover"),
+    )
+
+
+_RICH_SQL = """
+SELECT doc_id,
+       'Rich ' || CAST(doc_id AS VARCHAR) AS title,
+       'Author ' || CAST(doc_id % 5 AS VARCHAR) AS author0,
+       strftime(DATE '2024-01-01' + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d') || ' 00:00:00+00:00'
+           AS publishing_date,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS p1,
+       'Alpha ' || CAST(doc_id AS VARCHAR) || '.' AS p2,
+       'Beta ' || CAST(doc_id AS VARCHAR) || '.' AS p3,
+       'https://img.example/rich/' || CAST(doc_id AS VARCHAR) || '-large.jpg' AS img_url_large,
+       'Caption ' || CAST(doc_id AS VARCHAR) AS img_caption,
+       true AS img_cover
+FROM documents
+"""
+
+
 def _q_extract_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _q_extract_documents_full(spark, sf_dir)
     return df.select("doc_id", F.explode("topics").alias("topic"))
@@ -787,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_documents": _q_extract_documents,
         "extract_documents_keyed": _q_extract_documents_keyed,
+        "extract_rich": _q_extract_rich,
         "extract_topics": _q_extract_topics,
         "assemble_conversations": _q_assemble_conversations,
         "grouped_topk": _q_grouped_topk,
@@ -822,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_documents": _EXTRACT_DOCUMENTS_SQL,
         "extract_documents_keyed": _EXTRACT_DOCUMENTS_SQL,
+        "extract_rich": _RICH_SQL,
         "extract_topics": _EXTRACT_TOPICS_SQL,
         "assemble_conversations": _ASSEMBLE_SQL,
         "grouped_topk": _GROUPED_TOPK_SQL,

@@ -115,6 +115,7 @@ from .funke import FUNKE
 from .frankfurter_rundschau import FRANKFURTER_RUNDSCHAU
 from .gamestar import GAMESTAR
 from .generic import GENERIC
+from .synthetic_rich import RICH
 from .golem import GOLEM
 from .heise import HEISE
 from .hessenschau import HESSENSCHAU
@@ -368,6 +369,7 @@ REGISTRY: Dict[str, PublisherSpec] = {
         ZDF,
         ZWANZIG_MINUTEN,
         GENERIC,
+        RICH,
     )
 }
 
