@@ -612,6 +612,112 @@ SELECT query_id, rank, cand_id FROM (
 """
 
 
+def _q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import cosine_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return cosine_neardup_pairs(emb, threshold=0.2, bands=4, rows_per_band=2, dim=64, bucket_cap=64)
+
+
+def _cosine_neardup_sql(threshold: float = 0.2, bands: int = 4, rows_per_band: int = 2, dim: int = 64, seed: int = 42, cap: int = 64) -> str:
+    """DuckDB twin of cosine_neardup_pairs (same banded-LSH candidate
+    relation as the lsh_ann oracle, asymmetric pairs, exact cosine)."""
+    from fundus_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+    plane_rows = ",\n".join(
+        f"({p}, [{', '.join(repr(w) for w in plane)}]::DOUBLE[])" for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH planes(p, w) AS (VALUES {plane_rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bits AS (
+    SELECT vec_id, p,
+           CASE WHEN list_dot_product(e, w) >= 0 THEN '1' ELSE '0' END AS bit
+    FROM v CROSS JOIN planes
+),
+banded AS (
+    SELECT vec_id, p // {rows_per_band} AS band,
+           string_agg(bit, '' ORDER BY p) AS key
+    FROM bits GROUP BY vec_id, p // {rows_per_band}
+),
+subbed AS (
+    SELECT vec_id, band, key,
+           (row_number() OVER (PARTITION BY band, key ORDER BY vec_id) - 1) // {cap} AS sub
+    FROM banded
+),
+cands AS (
+    SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+    FROM subbed l JOIN subbed r USING (band, key, sub)
+    WHERE l.vec_id < r.vec_id
+)
+SELECT a, b,
+       round(list_dot_product(qa.e, qb.e)
+             / (sqrt(list_dot_product(qa.e, qa.e)) * sqrt(list_dot_product(qb.e, qb.e))), 4) AS cos
+FROM cands JOIN v qa ON cands.a = qa.vec_id JOIN v qb ON cands.b = qb.vec_id
+WHERE round(list_dot_product(qa.e, qb.e)
+            / (sqrt(list_dot_product(qa.e, qa.e)) * sqrt(list_dot_product(qb.e, qb.e))), 4) >= {threshold}
+"""
+
+
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return ivf_topk(emb, k=3, n_centroids=8, n_probe=2, dim=64, cell_cap=4096)
+
+
+def _ivf_ann_sql(k: int = 3, n_centroids: int = 8, n_probe: int = 2, dim: int = 64, seed: int = 7, cap: int = 4096) -> str:
+    """DuckDB twin of ivf_topk: literal deterministic centroids, argmax
+    cell assignment, n_probe best cells per query, truncated inverted
+    lists, exact cosine top-k — every stage recomputed exactly."""
+    from fundus_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids, seed)
+    cent_rows = ",\n".join(
+        f"({i}, [{', '.join(repr(w) for w in c)}]::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(i, w) AS (VALUES {cent_rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+    SELECT vec_id, i, list_dot_product(e, w) AS s FROM v CROSS JOIN cents
+),
+ranked AS (
+    SELECT vec_id, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rnk
+    FROM scored
+),
+assigned AS (SELECT vec_id, i AS cell FROM ranked WHERE rnk = 1),
+inv AS (
+    SELECT vec_id AS cand_id, cell,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+    FROM assigned
+),
+probes AS (SELECT vec_id AS query_id, i AS cell FROM ranked WHERE rnk <= {n_probe}),
+cand_pairs AS (
+    SELECT DISTINCT query_id, cand_id
+    FROM probes JOIN inv USING (cell)
+    WHERE query_id != cand_id AND rn <= {cap}
+),
+cos_scored AS (
+    SELECT query_id, cand_id,
+           list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+    FROM cand_pairs JOIN v q ON query_id = q.vec_id JOIN v c ON cand_id = c.vec_id
+)
+SELECT query_id, rank, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+    FROM cos_scored
+) WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -851,7 +957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
+        "cosine_neardup": _q_cosine_neardup,
         "lsh_ann": _q_lsh_ann,
+        "ivf_ann": _q_ivf_ann,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "language_id": _q_language_id,
@@ -886,7 +994,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_jaccard_verified": _lsh_jaccard_verified_sql(),
         "simhash": _simhash_sql(),
         "cosine_topk": _COSINE_TOPK_SQL,
+        "cosine_neardup": _cosine_neardup_sql(),
         "lsh_ann": _lsh_ann_sql(),
+        "ivf_ann": _ivf_ann_sql(),
         "token_count": _TOKEN_COUNT_SQL,
         "quality_score": _QUALITY_SQL,
         "language_id": _language_id_sql(),

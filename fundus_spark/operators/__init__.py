@@ -10,12 +10,13 @@ from .dedup import (
 from .multimodal import media_features
 from .pdf import pdf_extract_text
 from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires
-from .similarity import cosine_topk, lsh_bucketed_topk
+from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_bucketed_topk
 from .textstats import fingerprint, language_id, quality_score, token_count
 
 __all__ = [
     "boilerplate_page",
     "boilerplate_strip",
+    "cosine_neardup_pairs",
     "cosine_topk",
     "exact_dedup",
     "exact_dup_groups",
@@ -24,6 +25,7 @@ __all__ = [
     "grouped_topk",
     "language_filter",
     "language_id",
+    "ivf_topk",
     "lsh_bucketed_topk",
     "lsh_candidate_pairs",
     "media_features",

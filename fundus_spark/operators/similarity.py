@@ -102,6 +102,142 @@ def lsh_bucket_key(vec_col: Column, planes: List[List[float]]) -> Column:
     return F.concat(*bits)
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    bucket_cap: Optional[int] = 1024,
+) -> DataFrame:
+    """Embedding-cosine NEAR-DUPLICATE pairs — the dedup-family twin of
+    :func:`lsh_bucketed_topk`: banded random-hyperplane LSH proposes
+    candidate pairs (asymmetric, ``a < b``, each pair once), exact
+    cosine verifies them against ``threshold``. Same two-phase shape as
+    the MinHash->Jaccard text path: the quadratic term is bounded by
+    ``bucket_cap`` sub-buckets, the exact math runs only on candidates,
+    and nothing ever forms an all-pairs join. Returns
+    ``(a, b, cos)`` with cos rounded to 4 decimals."""
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+    band_keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            lsh_bucket_key(F.col("vec"), planes[b * rows_per_band : (b + 1) * rows_per_band]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .select("vid", "vec", F.explode(F.array(*band_keys)).alias("bk"))
+        .select("vid", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    join_cols = ["band", "key"]
+    if bucket_cap is not None:
+        wsub = Window.partitionBy("band", "key").orderBy(F.asc("vid"))
+        banded = banded.withColumn("sub", ((F.row_number().over(wsub) - 1) / F.lit(bucket_cap)).cast("int"))
+        join_cols.append("sub")
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), join_cols)
+        .where(F.col("l.vid") < F.col("r.vid"))
+        .select(
+            F.col("l.vid").alias("a"),
+            F.col("r.vid").alias("b"),
+            F.col("l.vec").alias("avec"),
+            F.col("r.vec").alias("bvec"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        pairs.select("a", "b", F.round(cosine(F.col("avec"), F.col("bvec")), 4).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> List[List[float]]:
+    """Deterministic unit centroids (hash-seeded like _hyperplanes, a
+    different default seed so cells and hyperplane signs decorrelate).
+    On a real deployment these come from a k-means fit persisted next
+    to the index; keeping them library-free and recomputable lets every
+    executor — and the SQL oracle — materialize the identical codebook
+    without shipping state."""
+    return _hyperplanes(dim, n_centroids, seed)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    cell_cap: Optional[int] = 4096,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the coarse-
+    quantizer alternative to hyperplane LSH:
+
+    * every vector is assigned to its argmax-dot centroid **cell** (a
+      narrow map — one pass, no shuffle);
+    * each query probes its ``n_probe`` best cells and scores exact
+      cosine only against vectors assigned there (shuffle key = small
+      cell id; per-cell fan-out bounded by truncating each inverted
+      list to its first ``cell_cap`` members, deterministic by id);
+    * exact top-k by cosine within the probed candidates.
+
+    Recall/cost dials: ``n_centroids`` controls cell granularity,
+    ``n_probe`` recall (n_probe = n_centroids degenerates to exact
+    brute force partitioned by cell)."""
+    cents = ivf_centroids(dim, n_centroids, seed)
+    scores = F.array(
+        *[
+            F.struct(
+                _dot(F.col("vec"), F.array(*[F.lit(w) for w in c])).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    # sort_array on struct(s, i) ascending -> reverse for best-first;
+    # ties (exactly equal dots) break toward the LOWER centroid id on
+    # both engines because (s, i) sorts lexicographically.
+    ranked = F.reverse(F.sort_array(scores))
+    base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).withColumn(
+        "_ranked", ranked
+    )
+    assigned = base.select("vid", "vec", F.col("_ranked")[0]["i"].alias("cell"))
+    cand_side = assigned.select(F.col("vid").alias("cand_id"), F.col("vec").alias("cvec"), "cell")
+    if cell_cap is not None:
+        # bound per-cell fan-out by TRUNCATING the inverted list to its
+        # first cell_cap members (deterministic by id, so the SQL
+        # oracle recomputes the identical cut) — the standard IVF
+        # list-length cap; a hot cell costs n_probe*cell_cap per query
+        # instead of |cell|.
+        wcell = Window.partitionBy("cell").orderBy(F.asc("cand_id"))
+        cand_side = (
+            cand_side.withColumn("_rn", F.row_number().over(wcell))
+            .where(F.col("_rn") <= cell_cap)
+            .drop("_rn")
+        )
+    probes = base.select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.explode(F.slice("_ranked", 1, n_probe)).alias("probe"),
+    ).select("query_id", "qvec", F.col("probe")["i"].alias("cell"))
+    joined = probes.join(cand_side, "cell").where(F.col("query_id") != F.col("cand_id"))
+    scored = joined.select(
+        "query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+    ).dropDuplicates(["query_id", "cand_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k).select(
+        "query_id", "rank", "cand_id"
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     k: int = 5,
