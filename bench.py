@@ -170,16 +170,31 @@ def _measure_scaling(cores_lo: int, cores_hi: int, transcripts_path: str, n_turn
     rates_hi: list = []
     hw_los: list = []
     hw_his: list = []
+    paired: list = []
+    ratio = cores_hi / cores_lo
     for _ in range(rounds):
-        rates_lo += _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2)
-        rates_hi += _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2)
-        hw_los.append(_hw_control(transcripts_path, cores_lo))
-        hw_his.append(_hw_control(transcripts_path, cores_hi))
+        # order within a round pairs each hw-control window with the
+        # spark visit it normalizes (lo, hw_lo, hi, hw_hi): the control
+        # is only a valid denominator if it samples the same host
+        # minutes as its visit — measured drift between distant windows
+        # is 2x on this box.
+        r_lo = _scaling_run(cores_lo, transcripts_path, n_turns, timed_runs=2)
+        h_lo = _hw_control(transcripts_path, cores_lo)
+        r_hi = _scaling_run(cores_hi, transcripts_path, n_turns, timed_runs=2)
+        h_hi = _hw_control(transcripts_path, cores_hi)
+        rates_lo += r_lo
+        rates_hi += r_hi
+        hw_los.append(h_lo)
+        hw_his.append(h_hi)
+        # per-round normalized efficiency: the spark ratio divided by
+        # the SAME round's control ratio — the 4x parallelism factor
+        # cancels, so 1.0 = the pipeline scales exactly as well as raw
+        # CPU-bound work did in those minutes
+        paired.append((_median(r_hi) / _median(r_lo)) / (h_hi / h_lo))
     tps_lo = _median(rates_lo)
     tps_hi = _median(rates_hi)
     hw_lo = _median(hw_los)
     hw_hi = _median(hw_his)
-    ratio = cores_hi / cores_lo
     efficiency = (tps_hi / tps_lo) / ratio
     hw_efficiency = (hw_hi / hw_lo) / ratio
     return {
@@ -196,6 +211,8 @@ def _measure_scaling(cores_lo: int, cores_hi: int, transcripts_path: str, n_turn
         "hw_control_docs_per_sec_hi": round(hw_hi, 1),
         "hw_control_efficiency": round(hw_efficiency, 3),
         "normalized_efficiency": round(efficiency / hw_efficiency, 3),
+        "paired_normalized_rounds": [round(p, 3) for p in paired],
+        "paired_normalized_efficiency": round(_median(paired), 3),
     }
 
 

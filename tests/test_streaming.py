@@ -33,3 +33,119 @@ def test_stream_matches_batch(spark, tmp_path):
     b = {(r["conv_id"], r["turn_idx"]): r["plaintext"] for r in batch.collect()}
     s = {(r["conv_id"], r["turn_idx"]): r["plaintext"] for r in stream_result.collect()}
     assert b == s
+
+
+def _write_turn_file(spark, path, rows):
+    spark.createDataFrame(
+        rows, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _turn(conv, idx, ts):
+    import datetime
+
+    base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    html = f"<html lang='en'><head><title>T</title></head><body><main><article><p>turn {conv} {idx}</p></article></main></body></html>"
+    return (conv, idx, "tool", html, "generic", base + datetime.timedelta(minutes=ts))
+
+
+def test_stream_sessionized_conversations(spark, tmp_path):
+    """Native session-window assembly: conv 'a' goes quiet, a much
+    later conv advances the watermark past a's gap, a's session emits
+    with turns in turn_idx order."""
+    from fundus_spark.plans.extract_stage import EXTRACTION_SCHEMA
+    from fundus_spark.streaming import sessionized_conversations, write_stream_to_parquet
+
+    in_path = str(tmp_path / "in")
+    # file 1: conv a (3 turns inside one 10-min session, out of order)
+    _write_turn_file(spark, in_path, [_turn("a", 1, 2), _turn("a", 0, 0), _turn("a", 2, 4)])
+    # file 2: conv b two hours later -> watermark passes a's gap
+    _write_turn_file(spark, in_path, [_turn("b", 0, 120)])
+    # file 3: conv c even later -> watermark passes b's gap too
+    _write_turn_file(spark, in_path, [_turn("c", 0, 400)])
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+        .mapInArrow(__import__("fundus_spark.plans.extract_stage", fromlist=["_extract_batches_arrow"])._extract_batches_arrow, schema=EXTRACTION_SCHEMA)
+    )
+    sessions = sessionized_conversations(stream, gap="10 minutes", watermark="5 minutes")
+    out = str(tmp_path / "out")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["conv_id"]: r for r in spark.read.parquet(out).collect()}
+    assert "a" in got, sorted(got)
+    assert got["a"]["n_turns"] == 3
+    assert got["a"]["document"] == "turn a 0\n\nturn a 1\n\nturn a 2"
+
+
+def test_stream_inactivity_timeout_state(spark, tmp_path):
+    """applyInPandasWithState twin: conversation emits exactly when the
+    watermark passes its latest turn + gap."""
+    from fundus_spark.plans.extract_stage import EXTRACTION_SCHEMA, _extract_batches_arrow
+    from fundus_spark.streaming import conversations_with_inactivity_timeout
+
+    in_path = str(tmp_path / "in")
+    _write_turn_file(spark, in_path, [_turn("a", 1, 2), _turn("a", 0, 0)])
+    _write_turn_file(spark, in_path, [_turn("b", 0, 120)])
+    _write_turn_file(spark, in_path, [_turn("c", 0, 400)])
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+        .mapInArrow(_extract_batches_arrow, schema=EXTRACTION_SCHEMA)
+    )
+    convs = conversations_with_inactivity_timeout(stream, gap_ms=600_000, watermark="5 minutes")
+    out = str(tmp_path / "out")
+    q = (
+        convs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["conv_id"]: r for r in spark.read.parquet(out).collect()}
+    assert "a" in got, sorted(got)
+    assert got["a"]["n_turns"] == 2
+    assert got["a"]["document"] == "turn a 0\n\nturn a 1"
+
+
+def test_stream_first_wins_dedup(spark, tmp_path):
+    """Cross-micro-batch dedup: a (conv_id, turn_idx) seen in an
+    earlier batch is dropped when it reappears later."""
+    from fundus_spark.streaming import stream_first_wins_dedup
+
+    in_path = str(tmp_path / "in")
+    _write_turn_file(spark, in_path, [_turn("a", 0, 0), _turn("a", 1, 1)])
+    _write_turn_file(spark, in_path, [_turn("a", 0, 2), _turn("b", 0, 3)])  # dup of (a,0)
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+    deduped = stream_first_wins_dedup(stream, keys=("conv_id", "turn_idx"))
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    keys = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
+    assert keys == [("a", 0), ("a", 1), ("b", 0)]
