@@ -877,6 +877,53 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots gate (reference scraping/html.py:163-167 over stored
+    payloads): synthetic per-source robots.txt + URL frontier, both
+    closed-form in doc_id/source, evaluated under RFC 9309 semantics
+    (kernel/robots.py) — prefix rules, a longest-match allow override,
+    a wildcard+anchor *.pdf$ rule, and per-source crawl-delay."""
+    from fundus_spark.operators import robots_gate
+
+    docs = _read(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/doc"), F.col("doc_id")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/doc"), F.col("doc_id")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/private/ok/doc"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/files/doc"), F.col("doc_id"), F.lit(".pdf")))
+    )
+    urls = docs.select(
+        F.col("doc_id").alias("url_id"),
+        "source",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example"), path).alias("url"),
+    )
+    robots = docs.select("source").distinct().select(
+        "source",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok\nDisallow: /*.pdf$\nCrawl-delay: "),
+            (F.length("source") % 5 + 1).cast("string"),
+            F.lit("\n"),
+        ).alias("robots_txt"),
+    )
+    return robots_gate(urls, robots, user_agent="FundusBot").select(
+        "url_id", "source", "url", "allowed", "crawl_delay"
+    )
+
+
+_ROBOTS_GATE_SQL = """
+SELECT doc_id AS url_id, source,
+       'https://' || source || '.example' ||
+       CASE doc_id % 4
+            WHEN 0 THEN '/doc' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+            WHEN 2 THEN '/private/ok/doc' || CAST(doc_id AS VARCHAR)
+            ELSE '/files/doc' || CAST(doc_id AS VARCHAR) || '.pdf' END AS url,
+       CASE doc_id % 4 WHEN 1 THEN false WHEN 3 THEN false ELSE true END AS allowed,
+       CAST(length(source) % 5 + 1 AS DOUBLE) AS crawl_delay
+FROM documents
+"""
+
+
 def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import pdf_extract_text
     from fundus_spark.sources.pdf_docs import documents_as_pdfs
@@ -966,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
+        "robots_gate": _q_robots_gate,
         "pdf_extract": _q_pdf_extract,
         "boilerplate_strip": _q_boilerplate_strip,
         "language_filter": _q_language_filter,
@@ -1003,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "media_decode": _MEDIA_DECODE_SQL,
+        "robots_gate": _ROBOTS_GATE_SQL,
         "pdf_extract": _PDF_EXTRACT_SQL,
         "boilerplate_strip": _BOILERPLATE_SQL,
         "language_filter": _LANGUAGE_FILTER_SQL,

@@ -10,6 +10,7 @@ from .dedup import (
 from .multimodal import media_features
 from .pdf import pdf_extract_text
 from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires
+from .robots import robots_gate
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_bucketed_topk
 from .textstats import fingerprint, language_id, quality_score, token_count
 
@@ -34,6 +35,7 @@ __all__ = [
     "pdf_extract_text",
     "quality_score",
     "regex_filter",
+    "robots_gate",
     "requires",
     "simhash",
     "token_count",

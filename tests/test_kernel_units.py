@@ -496,3 +496,49 @@ def test_media_header_roundtrip():
     assert parse_media_header(b"GIF89a" + bytes([13, 0, 7, 0]) + b"\x00" * 8).width == 13
     assert parse_media_header(b"not a media file at all") is None
     assert parse_media_header(b"") is None
+
+
+def test_robots_matcher_rfc9309():
+    """RFC 9309 semantics the reference's `robots` package implements:
+    longest-match precedence, allow wins ties, * and $ patterns,
+    most-specific user-agent group, crawl-delay per group."""
+    from fundus_spark.kernel.robots import RobotsMatcher
+
+    m = RobotsMatcher(
+        """
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 3
+
+User-agent: SpecialBot
+Disallow: /
+Allow: /public$
+"""
+    )
+    assert m.can_fetch("FundusBot", "https://x.example/open/page")
+    assert not m.can_fetch("FundusBot", "https://x.example/private/page")
+    # longest match: Allow /private/ok (11) beats Disallow /private/ (9)
+    assert m.can_fetch("FundusBot", "https://x.example/private/ok/page")
+    assert m.crawl_delay("FundusBot") == 3.0
+    # most-specific agent group
+    assert not m.can_fetch("SpecialBot/1.0", "https://x.example/anything")
+    assert m.can_fetch("SpecialBot/1.0", "https://x.example/public")  # $ anchor
+    assert not m.can_fetch("SpecialBot/1.0", "https://x.example/public/sub")
+    assert m.crawl_delay("SpecialBot/1.0") is None
+
+    # wildcard patterns + tie -> allow wins
+    w = RobotsMatcher("User-agent: *\nDisallow: /*.pdf$\nAllow: /ok/*.pdf$\n")
+    assert not w.can_fetch("A", "https://x.example/doc.pdf")
+    assert w.can_fetch("A", "https://x.example/ok/doc.pdf")
+    assert w.can_fetch("A", "https://x.example/doc.pdfx")  # $ must anchor
+    t = RobotsMatcher("User-agent: *\nDisallow: /page\nAllow: /page\n")
+    assert t.can_fetch("A", "https://x.example/page")  # exact tie -> allow
+
+    # no groups / empty text -> allow all, no delay
+    e = RobotsMatcher("")
+    assert e.can_fetch("A", "https://x.example/anything")
+    assert e.crawl_delay("A") is None
+    # empty Disallow: records no rule (allow-all group)
+    n = RobotsMatcher("User-agent: *\nDisallow:\n")
+    assert n.can_fetch("A", "https://x.example/private/x")
