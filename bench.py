@@ -32,6 +32,10 @@ HEADLINE = [
     "ngram_jaccard",
     "simhash",
     "cosine_topk",
+    "cosine_neardup",
+    "ivf_ann",
+    "media_decode",
+    "robots_gate",
     "pricing_summary",
     "revenue_by_nation",
     "grouped_topk",

@@ -191,7 +191,10 @@ def ivf_topk(
 
     Recall/cost dials: ``n_centroids`` controls cell granularity,
     ``n_probe`` recall (n_probe = n_centroids degenerates to exact
-    brute force partitioned by cell)."""
+    brute force partitioned by cell). ``cell`` is also the SHUFFLE key
+    of the probe join — size n_centroids so cells number in the
+    thousands at corpus scale (IVF practice is ~sqrt(n) cells), or the
+    8-cell demo setting here becomes 8 hot shuffle partitions."""
     cents = ivf_centroids(dim, n_centroids, seed)
     scores = F.array(
         *[
