@@ -825,6 +825,36 @@ SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM docu
 # ---------------------------------------------------------------------------
 
 
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import winnowing_fingerprints
+
+    return winnowing_fingerprints(_read(spark, sf_dir, "documents"), k=8, window=4, max_chars=512)
+
+
+def _winnowing_sql(k: int = 8, window: int = 4, max_chars: int = 512) -> str:
+    return f"""
+WITH base AS (
+    SELECT doc_id, substr(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, {max_chars}) AS t
+    FROM documents
+),
+g AS (SELECT doc_id, t, greatest(length(t) - {k - 1}, 0) AS n FROM base),
+hashes AS (
+    SELECT doc_id, n,
+           list_transform(range(1, greatest(n, 1) + 1),
+                          i -> CAST('0x' || substr(md5(substr(t, i::INT, {k})), 1, 8) AS BIGINT)) AS hs
+    FROM g
+),
+minima AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(n - {window - 1}, 1) + 1),
+                                        j -> list_min(hs[j::INT : (j + least({window}, n) - 1)::INT]))) AS fps
+    FROM hashes
+)
+SELECT doc_id, fp FROM (SELECT doc_id, unnest(fps) AS fp FROM minima)
+WHERE fp IS NOT NULL
+"""
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import media_features
 
@@ -1011,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
+        "winnowing": _q_winnowing,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
         "robots_gate": _q_robots_gate,
@@ -1049,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "language_id": _language_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
+        "winnowing": _winnowing_sql(),
         "media_features": _MEDIA_FEATURES_SQL,
         "media_decode": _MEDIA_DECODE_SQL,
         "robots_gate": _ROBOTS_GATE_SQL,

@@ -12,7 +12,7 @@ from .pdf import pdf_extract_text
 from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires
 from .robots import robots_gate
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_bucketed_topk
-from .textstats import fingerprint, language_id, quality_score, token_count
+from .textstats import fingerprint, language_id, quality_score, token_count, winnowing_fingerprints
 
 __all__ = [
     "boilerplate_page",
@@ -39,4 +39,5 @@ __all__ = [
     "requires",
     "simhash",
     "token_count",
+    "winnowing_fingerprints",
 ]

@@ -87,3 +87,48 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace-normalized text (portable across engines)."""
     normalized = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    max_chars: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every character k-gram, slide a window of
+    ``window`` consecutive hashes, keep each window's MINIMUM — the
+    guaranteed-coverage rolling-hash selection that detects shared
+    substrings of length >= k + window - 1 between documents.
+
+    Entirely JVM column algebra: the k-gram hash array, the windowed
+    minima, and the dedup are `transform`/`slice`/`array_min`/
+    `array_distinct` over one row — no explode until the final
+    fingerprint output, no Python. ``max_chars`` bounds per-row array
+    size (at 100 TB you fingerprint a documented prefix, not unbounded
+    payloads). Hashes are md5-derived (first 8 hex chars as int64) so
+    the DuckDB oracle recomputes them exactly; swap xxhash64 for
+    production like minhash's hash_mode."""
+    normalized = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    clipped = F.substring(normalized, 1, max_chars)
+    n_grams = F.greatest(F.length(clipped) - F.lit(k - 1), F.lit(0))
+    gram_hash = lambda i: F.conv(F.substring(F.md5(F.substring(clipped, i, k)), 1, 8), 16, 10).cast("long")  # noqa: E731
+    hashes = F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash)
+    n_windows = F.greatest(n_grams - F.lit(window - 1), F.lit(1))
+    # bind the hash array to a lambda variable via a one-element array
+    # wrapper: referencing the `hashes` EXPRESSION inside each window's
+    # array_min would let Catalyst inline and recompute the full k-gram
+    # hash array per window — O(n^2) md5 calls per row (measured: a
+    # 500-doc batch went from minutes to sub-second with the binding).
+    minima = F.transform(
+        F.array(hashes),
+        lambda hs: F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(hs, j, F.least(F.lit(window), n_grams))),
+        ),
+    )[0]
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(minima)).alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
