@@ -33,7 +33,6 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "cosine_neardup",
-    "ivf_ann",
     "media_decode",
     "robots_gate",
     "pricing_summary",

@@ -51,7 +51,9 @@ def cosine_topk(
     should use :func:`lsh_bucketed_topk` instead. Pass ``None`` to
     skip the check (e.g. when the caller already knows the bound).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), _norm(F.col(vec_col)).alias("qnorm")
+    )
     if broadcast_queries:
         if max_queries is not None and q.limit(max_queries + 1).count() > max_queries:
             raise ValueError(
@@ -59,14 +61,20 @@ def cosine_topk(
                 "brute force would not broadcast — use lsh_bucketed_topk for large query sets"
             )
         q = F.broadcast(q)
-    corpus = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    # norms are precomputed ONCE per vector on each side: computing
+    # them inside the pair loop costs two extra interpreted array folds
+    # PER PAIR (higher-order functions are not codegen'd) — 3x the hot
+    # path for identical arithmetic.
+    corpus = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), _norm(F.col(vec_col)).alias("cnorm")
+    )
     scored = (
         corpus.crossJoin(q)
         .where(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("cvec"), F.col("qvec")).alias("cos"),
+            (_dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
@@ -130,9 +138,11 @@ def cosine_neardup_pairs(
         for b in range(bands)
     ]
     banded = (
-        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .select("vid", "vec", F.explode(F.array(*band_keys)).alias("bk"))
-        .select("vid", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), _norm(F.col(vec_col)).alias("nrm")
+        )
+        .select("vid", "vec", "nrm", F.explode(F.array(*band_keys)).alias("bk"))
+        .select("vid", "vec", "nrm", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
     join_cols = ["band", "key"]
     if bucket_cap is not None:
@@ -148,11 +158,17 @@ def cosine_neardup_pairs(
             F.col("r.vid").alias("b"),
             F.col("l.vec").alias("avec"),
             F.col("r.vec").alias("bvec"),
+            F.col("l.nrm").alias("anrm"),
+            F.col("r.nrm").alias("bnrm"),
         )
         .dropDuplicates(["a", "b"])
     )
     return (
-        pairs.select("a", "b", F.round(cosine(F.col("avec"), F.col("bvec")), 4).alias("cos"))
+        pairs.select(
+            "a",
+            "b",
+            F.round(_dot(F.col("avec"), F.col("bvec")) / (F.col("anrm") * F.col("bnrm")), 4).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -194,7 +210,16 @@ def ivf_topk(
     brute force partitioned by cell). ``cell`` is also the SHUFFLE key
     of the probe join — size n_centroids so cells number in the
     thousands at corpus scale (IVF practice is ~sqrt(n) cells), or the
-    8-cell demo setting here becomes 8 hot shuffle partitions."""
+    8-cell demo setting here becomes 8 hot shuffle partitions.
+
+    Deployment note: the argmax assignment is an interpreted
+    higher-order-function expression (n_centroids x dim ops/row), and
+    this one-shot query shape re-evaluates it on each side of the
+    probe self-join. At scale you MATERIALIZE the assignment once —
+    write ``cell`` as a partition/bucket column of the embedding table
+    (one narrow pass) — and probe against the stored inverted lists;
+    the oracle-gated query keeps the self-contained shape so every
+    stage stays recomputable by the SQL twin."""
     cents = ivf_centroids(dim, n_centroids, seed)
     scores = F.array(
         *[
@@ -213,7 +238,9 @@ def ivf_topk(
         "_ranked", ranked
     )
     assigned = base.select("vid", "vec", F.col("_ranked")[0]["i"].alias("cell"))
-    cand_side = assigned.select(F.col("vid").alias("cand_id"), F.col("vec").alias("cvec"), "cell")
+    cand_side = assigned.select(
+        F.col("vid").alias("cand_id"), F.col("vec").alias("cvec"), _norm(F.col("vec")).alias("cnorm"), "cell"
+    )
     if cell_cap is not None:
         # bound per-cell fan-out by TRUNCATING the inverted list to its
         # first cell_cap members (deterministic by id, so the SQL
@@ -229,11 +256,14 @@ def ivf_topk(
     probes = base.select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("qvec"),
+        _norm(F.col("vec")).alias("qnorm"),
         F.explode(F.slice("_ranked", 1, n_probe)).alias("probe"),
-    ).select("query_id", "qvec", F.col("probe")["i"].alias("cell"))
+    ).select("query_id", "qvec", "qnorm", F.col("probe")["i"].alias("cell"))
     joined = probes.join(cand_side, "cell").where(F.col("query_id") != F.col("cand_id"))
     scored = joined.select(
-        "query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+        "query_id",
+        "cand_id",
+        (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
     ).dropDuplicates(["query_id", "cand_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k).select(
@@ -278,9 +308,11 @@ def lsh_bucketed_topk(
         for b in range(bands)
     ]
     banded = (
-        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .select("vid", "vec", F.explode(F.array(*band_keys)).alias("bk"))
-        .select("vid", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), _norm(F.col(vec_col)).alias("nrm")
+        )
+        .select("vid", "vec", "nrm", F.explode(F.array(*band_keys)).alias("bk"))
+        .select("vid", "vec", "nrm", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
     join_cols = ["band", "key"]
     if bucket_cap is not None:
@@ -296,10 +328,16 @@ def lsh_bucketed_topk(
             F.col("r.vid").alias("cand_id"),
             F.col("l.vec").alias("qvec"),
             F.col("r.vec").alias("cvec"),
+            F.col("l.nrm").alias("qnorm"),
+            F.col("r.nrm").alias("cnorm"),
         )
         .dropDuplicates(["query_id", "cand_id"])
     )
-    scored = candidates.select("query_id", "cand_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    scored = candidates.select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k).select(
         "query_id", "rank", "cand_id"
