@@ -733,9 +733,12 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(_read(spark, sf_dir, "documents"))
 
 
-_TOKEN_COUNT_SQL = """
+_TOKEN_COUNT_SQL = r"""
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+|\s+'))
+           AS BIGINT) AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_actual
 FROM documents
 """

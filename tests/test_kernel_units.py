@@ -542,3 +542,19 @@ Allow: /public$
     # empty Disallow: records no rule (allow-all group)
     n = RobotsMatcher("User-agent: *\nDisallow:\n")
     assert n.can_fetch("A", "https://x.example/private/x")
+
+
+def test_bpe_split_pattern_vs_whitespace():
+    """The BPE-ish pre-tokenizer splits contractions, punctuation runs,
+    and digit runs that whitespace tokenization lumps together."""
+    import re
+
+    from fundus_spark.operators.textstats import BPE_SPLIT_PATTERN
+
+    def count(t):
+        return len(re.findall(BPE_SPLIT_PATTERN, t))
+
+    assert count("hello world") == 2
+    assert count("don't stop") == 3  # don | 't | " stop"
+    assert count("it's 2024, really!") == 6  # it | 's | " 2024" | , | " really" | !
+    assert count("a-b") == 3  # a | - | b
