@@ -1,0 +1,115 @@
+"""Property-based robustness tests (hypothesis): at 100 TB every
+malformed input that CAN occur WILL occur, and the extraction stage's
+contract is that a bad document degrades to a flagged row — which only
+holds if the kernel primitives never crash the Python worker outright
+on garbage. These run the hot kernel entry points over adversarial
+inputs; the invariants are "no exception, sane output type".
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+
+
+@SETTINGS
+@given(st.text(max_size=400))
+def test_parse_and_serialize_never_raise(html):
+    from fundus_spark.kernel import parse_html
+    from fundus_spark.kernel.transform import serialize_html, serialize_xml
+
+    doc = parse_html(html)
+    assert doc.tag == "html"
+    serialize_html(doc)
+    serialize_xml(doc)
+
+
+@SETTINGS
+@given(st.text(max_size=400))
+def test_fragment_never_raises(fragment):
+    from fundus_spark.kernel.transform import _fragment
+
+    el = _fragment(fragment)
+    assert el is None or hasattr(el, "tag")
+
+
+@SETTINGS
+@given(st.text(max_size=300))
+def test_normalize_whitespace_idempotent(text):
+    from fundus_spark.kernel.text import normalize_whitespace
+
+    once = normalize_whitespace(text)
+    assert normalize_whitespace(once) == once
+
+
+@SETTINGS
+@given(st.text(max_size=300))
+def test_heuristic_language_contract(text):
+    from fundus_spark.kernel.lang import heuristic_language
+
+    lang = heuristic_language(text)
+    assert lang is None or (isinstance(lang, str) and 2 <= len(lang) <= 3)
+
+
+@SETTINGS
+@given(st.text(max_size=200))
+def test_date_parsing_contract(value):
+    """Reference-faithful contract (utility.py:590-600): dateutil may
+    raise ParserError/OverflowError on garbage — the per-attribute
+    suppress handler catches those — but never anything outside the
+    stage's catchable family, and successes are datetimes."""
+    import datetime
+
+    from fundus_spark.kernel.generics import generic_date_parsing
+
+    try:
+        got = generic_date_parsing(value)
+    except Exception as err:  # noqa: BLE001 — asserting the family
+        assert isinstance(err, (ValueError, OverflowError, TypeError)), err
+        return
+    assert got is None or isinstance(got, datetime.datetime)
+
+
+@SETTINGS
+@given(st.binary(max_size=300))
+def test_media_header_never_raises(payload):
+    from fundus_spark.kernel.media import parse_media_header
+
+    header = parse_media_header(payload)
+    assert header is None or header.format in ("bmp", "png", "gif", "wav")
+
+
+@SETTINGS
+@given(st.text(max_size=300), st.text(max_size=80))
+def test_robots_never_raises(robots_txt, path):
+    from fundus_spark.kernel.robots import RobotsMatcher
+
+    m = RobotsMatcher(robots_txt)
+    allowed = m.can_fetch("AnyBot", "https://x.example/" + path)
+    assert isinstance(allowed, bool)
+    delay = m.crawl_delay("AnyBot")
+    assert delay is None or isinstance(delay, float)
+
+
+@SETTINGS
+@given(st.binary(max_size=400))
+def test_pdf_extract_never_raises(payload):
+    from fundus_spark.kernel.pdf import extract_pdf_text
+
+    got = extract_pdf_text(payload)
+    assert got is None or isinstance(got, str)
+
+
+@SETTINGS
+@given(st.text(max_size=400))
+def test_full_extraction_generic_rule_degrades(html):
+    """The whole kernel path the Arrow stage runs per row: with
+    error_handling='suppress' a garbage document must yield a dict,
+    never an exception."""
+    from fundus_spark.kernel import run_extraction
+    from fundus_spark.rules import resolve
+
+    out = run_extraction(resolve(None), html, None, error_handling="suppress", failures=[])
+    assert isinstance(out, dict)
