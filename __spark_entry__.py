@@ -210,6 +210,27 @@ SELECT source, doc_id, n_chars, rank FROM (
 """
 
 
+def _q_round_robin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin fair merge (reference crawler.py:585-590) — the r-th
+    document of every source precedes any (r+1)-th; oracle defines the
+    same total order directly with a global window."""
+    from fundus_spark.operators import round_robin_merge
+
+    docs = _read(spark, sf_dir, "documents")
+    return round_robin_merge(docs, "source", "doc_id").select("merge_pos", "source", "doc_id")
+
+
+_ROUND_ROBIN_SQL = """
+WITH base AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY rn, source) - 1 AS BIGINT) AS merge_pos, source, doc_id
+FROM base
+"""
+
+
 def _q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import first_wins_dedup
 
@@ -1026,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_topics": _q_extract_topics,
         "assemble_conversations": _q_assemble_conversations,
         "grouped_topk": _q_grouped_topk,
+        "round_robin_merge": _q_round_robin_merge,
         "first_wins_dedup": _q_first_wins_dedup,
         "regex_filter": _q_regex_filter,
         "requires_filter": _q_requires,
@@ -1066,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_topics": _EXTRACT_TOPICS_SQL,
         "assemble_conversations": _ASSEMBLE_SQL,
         "grouped_topk": _GROUPED_TOPK_SQL,
+        "round_robin_merge": _ROUND_ROBIN_SQL,
         "first_wins_dedup": _FIRST_WINS_SQL,
         "regex_filter": _REGEX_FILTER_SQL,
         "requires_filter": _REQUIRES_SQL,

@@ -9,7 +9,7 @@ from .dedup import (
 )
 from .multimodal import media_features
 from .pdf import pdf_extract_text
-from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires
+from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires, round_robin_merge
 from .robots import robots_gate
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_bucketed_topk
 from .textstats import fingerprint, language_id, quality_score, token_count, winnowing_fingerprints
@@ -36,6 +36,7 @@ __all__ = [
     "quality_score",
     "regex_filter",
     "robots_gate",
+    "round_robin_merge",
     "requires",
     "simhash",
     "token_count",

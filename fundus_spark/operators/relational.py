@@ -72,3 +72,32 @@ def language_filter(extracted: DataFrame, allowed: Sequence[str], lang_col: str 
     articles whose detected lang is outside the publisher's language
     set are dropped). Null lang is dropped, like a failed detection."""
     return extracted.where(F.col(lang_col).isin(list(allowed)))
+
+
+def round_robin_merge(df: DataFrame, group_col: str, order_col: str) -> DataFrame:
+    """Round-robin fair merge across groups — the reference crawler's
+    ``more_itertools.roundrobin`` over per-publisher article streams
+    (crawler.py:585-590), re-expressed as a deterministic total order:
+    the r-th item of every group comes before any (r+1)-th item, groups
+    ordered by name within a round. Emits ``merge_pos`` (0-based).
+
+    Scale shape: per-group rank and within-round rank use PARTITIONED
+    windows (keys: group / round index — both bounded); the only
+    unpartitioned step is a prefix sum over the per-round COUNTS, a
+    relation of at most max-group-size rows, never the data. No global
+    single-partition window touches row-level data.
+    """
+    w_group = Window.partitionBy(group_col).orderBy(F.asc(order_col))
+    base = df.withColumn("_rn", F.row_number().over(w_group))
+    w_round = Window.partitionBy("_rn").orderBy(F.asc(group_col))
+    in_round = base.withColumn("_pos_in_round", F.row_number().over(w_round) - 1)
+    round_sizes = base.groupBy("_rn").agg(F.count(F.lit(1)).alias("_round_n"))
+    w_prefix = Window.orderBy("_rn").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = round_sizes.select(
+        "_rn", F.coalesce(F.sum("_round_n").over(w_prefix), F.lit(0)).alias("_offset")
+    )
+    return (
+        in_round.join(F.broadcast(offsets), "_rn")
+        .withColumn("merge_pos", (F.col("_offset") + F.col("_pos_in_round")).cast("long"))
+        .drop("_rn", "_pos_in_round", "_offset")
+    )
