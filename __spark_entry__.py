@@ -935,6 +935,43 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import media_resize
+    from fundus_spark.sources.media_gen import documents_as_media
+
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    return media_resize(media, max_w=32, max_h=32)
+
+
+_MEDIA_RESIZE_SQL = """
+WITH img AS (
+    SELECT doc_id,
+           CAST(1 + doc_id % 64 AS INTEGER) AS w,
+           CAST(1 + doc_id % 48 AS INTEGER) AS h
+    FROM documents WHERE doc_id % 3 < 2
+)
+SELECT doc_id AS media_id, 'image' AS kind, w AS width, h AS height,
+       CAST(greatest(1, floor(w * least(32.0 / w, 32.0 / h, 1.0))) AS INTEGER) AS out_width,
+       CAST(greatest(1, floor(h * least(32.0 / w, 32.0 / h, 1.0))) AS INTEGER) AS out_height
+FROM img
+"""
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import media_frame_sample
+    from fundus_spark.sources.media_gen import documents_as_media
+
+    media = documents_as_media(_read(spark, sf_dir, "documents"))
+    return media_frame_sample(media, every_ms=50)
+
+
+_MEDIA_FRAMES_SQL = """
+SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGINT) AS t_ms
+FROM documents, LATERAL (SELECT unnest(generate_series(0, 2 + doc_id % 5)) AS i) t
+WHERE doc_id % 3 = 2
+"""
+
+
 def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots gate (reference scraping/html.py:163-167 over stored
     payloads): synthetic per-source robots.txt + URL frontier, both
@@ -1073,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": _q_winnowing,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
+        "media_resize": _q_media_resize,
+        "media_frame_sample": _q_media_frames,
         "robots_gate": _q_robots_gate,
         "pdf_extract": _q_pdf_extract,
         "boilerplate_strip": _q_boilerplate_strip,
@@ -1113,6 +1152,8 @@ def oracle_sql() -> dict[str, str]:
         "winnowing": _winnowing_sql(),
         "media_features": _MEDIA_FEATURES_SQL,
         "media_decode": _MEDIA_DECODE_SQL,
+        "media_resize": _MEDIA_RESIZE_SQL,
+        "media_frame_sample": _MEDIA_FRAMES_SQL,
         "robots_gate": _ROBOTS_GATE_SQL,
         "pdf_extract": _PDF_EXTRACT_SQL,
         "boilerplate_strip": _BOILERPLATE_SQL,

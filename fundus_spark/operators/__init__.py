@@ -7,7 +7,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .multimodal import media_features
+from .multimodal import media_features, media_frame_sample, media_resize
 from .pdf import pdf_extract_text
 from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires, round_robin_merge
 from .robots import robots_gate
@@ -30,6 +30,8 @@ __all__ = [
     "lsh_bucketed_topk",
     "lsh_candidate_pairs",
     "media_features",
+    "media_frame_sample",
+    "media_resize",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "pdf_extract_text",

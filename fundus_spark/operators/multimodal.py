@@ -95,3 +95,92 @@ def media_features(media: DataFrame) -> DataFrame:
     media_id first (payloads can be huge; never key a shuffle on kind —
     a corpus is usually 90% one modality)."""
     return media.repartition(F.col("media_id")).mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+    ]
+)
+
+
+def _resize_batches(max_w: int, max_h: int):
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.media import parse_media_header
+
+        for batch in batches:
+            out = {name: [] for name in RESIZE_SCHEMA.fieldNames()}
+            for row in batch.itertuples(index=False):
+                payload = bytes(row.payload or b"")
+                header = parse_media_header(payload)
+                if header is None or header.width is None:
+                    continue  # not an image we can size
+                w, h = header.width, header.height
+                # aspect-preserving fit (the real geometry; the pixel
+                # resample itself needs codec libs -> stubbed, see
+                # module docstring)
+                scale = min(max_w / w, max_h / h, 1.0)
+                out["media_id"].append(row.media_id)
+                out["kind"].append(row.kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(max(1, int(w * scale)))
+                out["out_height"].append(max(1, int(h * scale)))
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def media_resize(media: DataFrame, max_w: int = 32, max_h: int = 32) -> DataFrame:
+    """Aspect-preserving resize plumbing: REAL input dimensions (header
+    decode) and REAL output geometry (fit-within-box math, never
+    upscaled); the pixel resample is the documented codec stub. Rows
+    that are not parseable images are dropped (audio goes through
+    :func:`media_frame_sample`)."""
+    return media.repartition(F.col("media_id")).mapInPandas(_resize_batches(max_w, max_h), schema=RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("t_ms", LongType()),
+    ]
+)
+
+
+def _frame_batches(every_ms: int):
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.media import parse_media_header
+
+        for batch in batches:
+            out = {name: [] for name in FRAME_SAMPLE_SCHEMA.fieldNames()}
+            for row in batch.itertuples(index=False):
+                payload = bytes(row.payload or b"")
+                header = parse_media_header(payload)
+                if header is None or header.duration_ms is None:
+                    continue
+                t = 0
+                idx = 0
+                while t < header.duration_ms:
+                    out["media_id"].append(row.media_id)
+                    out["frame_idx"].append(idx)
+                    out["t_ms"].append(t)
+                    idx += 1
+                    t += every_ms
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def media_frame_sample(media: DataFrame, every_ms: int = 50) -> DataFrame:
+    """Uniform frame/sample-point schedule over timed media: REAL
+    offsets computed from the REAL container duration (WAV here; the
+    same schedule drives video frame extraction once codec libs exist —
+    decoding the frame at each ``t_ms`` is the documented stub)."""
+    return media.repartition(F.col("media_id")).mapInPandas(_frame_batches(every_ms), schema=FRAME_SAMPLE_SCHEMA)
