@@ -38,6 +38,14 @@ STOPWORDS: List[Tuple[str, FrozenSet[str]]] = [
     ("ro", frozenset("și în de la a cu pe este pentru care nu mai din sau dar fi o".split())),
     ("lt", frozenset("ir kad į iš yra su tai bet kaip apie buvo jau tik po metų".split())),
     ("is", frozenset("og að í á er um við sem til ekki var en því hann þá með".split())),
+    # round-3 breadth (publisher-corpus languages langdetect covers):
+    # appended at the END so tie-breaks for the established profiles
+    # are unchanged. ms/id and zu/xh are sibling pairs resolved by
+    # SIBLING_MARKERS below.
+    ("sw", frozenset("na ya wa za la kwa ni katika cha kuwa kwamba hii lakini pia baada kati yake".split())),
+    ("ms", frozenset("dan yang di ini itu dengan untuk dari dalam pada tidak akan adalah ke juga boleh kerana selepas".split())),
+    ("zu", frozenset("ukuthi futhi ngoba uma noma kodwa lokhu khona manje kakhulu kanye nje lapho ngesikhathi".split())),
+    ("xh", frozenset("ukuba kwaye ngoba xa kodwa oku kuba apha ngoku kakhulu kunye kuphela emva phambi".split())),
 ]
 
 STOPWORD_CODES = [code for code, _ in STOPWORDS]
@@ -52,6 +60,7 @@ SCRIPT_RANGES: List[Tuple[str, str]] = [
     ("he", "֐-׿"),
     ("el", "Ͱ-Ͽ"),
     ("th", "฀-๿"),
+    ("hi", "ऀ-ॿ"),  # devanagari
     ("ar", "؀-ۿ"),
 ]
 
@@ -85,6 +94,26 @@ SIBLING_MARKERS: List[Tuple[FrozenSet[str], Dict[str, FrozenSet[str]]]] = [
 SIBLING_CHARGRAMS: List[Tuple[FrozenSet[str], Dict[str, Tuple[str, ...]]]] = [
     (frozenset({"da", "no"}), {"da": ("øj",), "no": ("øy",)}),
 ]
+
+_EXTRA_SIBLINGS = [
+    # Indonesian/Malay: shared core function words; divergent cognates
+    (
+        frozenset({"id", "ms"}),
+        {
+            "id": frozenset("bisa karena setelah kantor pemerintah uang senin".split()),
+            "ms": frozenset("boleh kerana selepas pejabat kerajaan wang isnin".split()),
+        },
+    ),
+    # Zulu/Xhosa: shared Nguni core; divergent function words
+    (
+        frozenset({"zu", "xh"}),
+        {
+            "zu": frozenset("ukuthi futhi uma manje kanye lokhu lapho".split()),
+            "xh": frozenset("ukuba kwaye xa ngoku kunye oku apha".split()),
+        },
+    ),
+]
+SIBLING_MARKERS.extend(_EXTRA_SIBLINGS)
 
 # Vietnamese: Latin script with unique diacritics (both cases — ALL-CAPS
 # headlines must still hit the script vote; there is no vi Latin

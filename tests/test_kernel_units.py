@@ -558,3 +558,42 @@ def test_bpe_split_pattern_vs_whitespace():
     assert count("don't stop") == 3  # don | 't | " stop"
     assert count("it's 2024, really!") == 6  # it | 's | " 2024" | , | " really" | !
     assert count("a-b") == 3  # a | - | b
+
+
+def test_language_breadth_round3():
+    """Round-3 detector breadth: Devanagari script (hi) and the
+    remaining publisher-corpus Latin languages (sw, ms/id and zu/xh
+    sibling pairs resolved by divergent cognate markers)."""
+    from fundus_spark.kernel.lang import heuristic_language
+
+    assert heuristic_language("आज मौसम अच्छा है हम दोस्तों के साथ पार्क जा रहे हैं और खुश हैं") == "hi"
+    assert (
+        heuristic_language(
+            "habari ya leo ni kwamba watu wengi katika mji huu wanataka amani lakini pia maendeleo ya nchi yake"
+        )
+        == "sw"
+    )
+    assert (
+        heuristic_language(
+            "kerajaan berkata anda boleh memohon selepas tarikh itu kerana proses telah bermula dan ini untuk semua pejabat"
+        )
+        == "ms"
+    )
+    assert (
+        heuristic_language(
+            "pemerintah mengatakan anda bisa mendaftar setelah tanggal itu karena proses sudah dimulai dan ini untuk semua kantor"
+        )
+        == "id"
+    )
+    assert (
+        heuristic_language(
+            "abantu abaningi bathi ukuthi lokhu kubalulekile futhi uma singasebenza kanye ngoba isikhathi sifikile manje lapho"
+        )
+        == "zu"
+    )
+    assert (
+        heuristic_language(
+            "abantu abaninzi bathi ukuba oku kubalulekile kwaye xa singasebenza kunye ngoba ixesha lifikile ngoku apha"
+        )
+        == "xh"
+    )
