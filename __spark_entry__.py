@@ -1019,6 +1019,28 @@ FROM documents
 """
 
 
+def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-NEWS-shaped WARC source (reference scraping/html.py:268-317)
+    over stored bytes: each source's documents are packed into a real
+    multi-member .warc.gz (sources/warc_gen.py) and exploded back into
+    response records by the from-scratch reader (kernel/warc.py)."""
+    from fundus_spark.operators import warc_extract
+    from fundus_spark.sources.warc_gen import documents_as_warcs
+
+    warcs = documents_as_warcs(_read(spark, sf_dir, "documents"))
+    return warc_extract(warcs)
+
+
+_WARC_EXTRACT_SQL = """
+SELECT source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INTEGER) AS record_idx,
+       'https://' || source || '.example/article/' || CAST(doc_id AS VARCHAR) AS url,
+       strftime(DATE '2024-01-01' + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d') || 'T00:00:00Z' AS warc_date,
+       text AS html
+FROM documents
+"""
+
+
 def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import pdf_extract_text
     from fundus_spark.sources.pdf_docs import documents_as_pdfs
@@ -1113,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_frame_sample": _q_media_frames,
         "robots_gate": _q_robots_gate,
+        "warc_extract": _q_warc_extract,
         "pdf_extract": _q_pdf_extract,
         "boilerplate_strip": _q_boilerplate_strip,
         "language_filter": _q_language_filter,
@@ -1155,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": _MEDIA_RESIZE_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
         "robots_gate": _ROBOTS_GATE_SQL,
+        "warc_extract": _WARC_EXTRACT_SQL,
         "pdf_extract": _PDF_EXTRACT_SQL,
         "boilerplate_strip": _BOILERPLATE_SQL,
         "language_filter": _LANGUAGE_FILTER_SQL,

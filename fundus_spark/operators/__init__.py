@@ -12,6 +12,7 @@ from .pdf import pdf_extract_text
 from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires, round_robin_merge
 from .robots import robots_gate
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_bucketed_topk
+from .warc import warc_extract
 from .textstats import fingerprint, language_id, quality_score, token_count, winnowing_fingerprints
 
 __all__ = [
@@ -42,5 +43,6 @@ __all__ = [
     "requires",
     "simhash",
     "token_count",
+    "warc_extract",
     "winnowing_fingerprints",
 ]

@@ -597,3 +597,27 @@ def test_language_breadth_round3():
         )
         == "xh"
     )
+
+
+def test_warc_reader_robustness():
+    """From-scratch WARC reader: multi-member gzip, response filter,
+    charset fallback, truncated-tail tolerance (kernel/warc.py)."""
+    from fundus_spark.kernel.warc import build_warc, iter_warc_records, warc_response_records
+
+    recs = [("https://a.example/1", "2024-01-02T00:00:00Z", "héllo wörld")]
+    data = build_warc(recs)
+    got = warc_response_records(data)
+    assert [(r.target_uri, r.body) for r in got] == [("https://a.example/1", "héllo wörld")]
+    # truncated tail ends iteration, no raise
+    assert len(warc_response_records(data + b"WARC/1.0\r\ngarbage")) == 1
+    # non-response records are filtered but iterated
+    meta = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    both = meta + build_warc(recs, compress=False)
+    assert len(list(iter_warc_records(both))) == 2
+    assert len(warc_response_records(both)) == 1
+    # bad declared charset degrades to replacement decoding
+    bad = build_warc(recs, compress=False).replace(b"charset=utf-8", b"charset=bogus")
+    assert warc_response_records(bad)[0].body is not None
+    assert warc_response_records(b"") == []
