@@ -1041,6 +1041,37 @@ FROM documents
 """
 
 
+def _q_warc_to_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL CC-NEWS pipeline as one Spark plan:
+    .warc.gz bytes -> response records -> HTML -> extracted articles
+    (crawler.py CCNewsCrawler end-to-end). WARC bodies carry the
+    synthetic generic-rule articles, so the chained result shares
+    extract_documents' closed-form oracle."""
+    from fundus_spark.operators import warc_extract
+    from fundus_spark.plans import extract_articles
+    from fundus_spark.sources.warc_gen import documents_as_warcs
+
+    warcs = documents_as_warcs(_read(spark, sf_dir, "documents"), wrap_html=True)
+    records = warc_extract(warcs)
+    transcripts = records.select(
+        F.col("source").alias("conv_id"),
+        F.col("record_idx").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.col("html").alias("text"),
+        F.lit("generic").alias("tool"),
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias("ts"),
+    )
+    extracted = extract_articles(transcripts)
+    return extracted.select(
+        F.regexp_extract("title", r"^Document (\d+)$", 1).cast("long").alias("doc_id"),
+        "title",
+        "plaintext",
+        F.col("authors")[0].alias("author0"),
+        "publishing_date",
+        "free_access",
+    )
+
+
 def _q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import pdf_extract_text
     from fundus_spark.sources.pdf_docs import documents_as_pdfs
@@ -1136,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frames,
         "robots_gate": _q_robots_gate,
         "warc_extract": _q_warc_extract,
+        "warc_to_articles": _q_warc_to_articles,
         "pdf_extract": _q_pdf_extract,
         "boilerplate_strip": _q_boilerplate_strip,
         "language_filter": _q_language_filter,
@@ -1179,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": _MEDIA_FRAMES_SQL,
         "robots_gate": _ROBOTS_GATE_SQL,
         "warc_extract": _WARC_EXTRACT_SQL,
+        "warc_to_articles": _EXTRACT_DOCUMENTS_SQL,
         "pdf_extract": _PDF_EXTRACT_SQL,
         "boilerplate_strip": _BOILERPLATE_SQL,
         "language_filter": _LANGUAGE_FILTER_SQL,

@@ -88,3 +88,34 @@ def documents_as_transcripts(documents: DataFrame) -> DataFrame:
         F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
         F.col("doc_id"),
     )
+
+
+def py_doc_to_html(doc_id: int, text: str) -> str:
+    """Python twin of :func:`doc_to_html` (MUST stay in lockstep with
+    the Column template above) for builders that assemble payloads
+    inside pandas stages (e.g. sources/warc_gen.py)."""
+    from datetime import date, timedelta
+
+    title = f"Document {doc_id}"
+    author = f"Author {doc_id % 5}"
+    day = (date(2024, 1, 1) + timedelta(days=doc_id % 365)).isoformat()
+    ld = (
+        '{"@context":"http://schema.org","@type":"NewsArticle","headline":"'
+        + title
+        + '","author":[{"@type":"Person","name":"'
+        + author
+        + '"}],"datePublished":"'
+        + day
+        + 'T00:00:00+00:00"}'
+    )
+    return (
+        "<!DOCTYPE html><html lang='en'><head><meta charset='utf-8'><title>"
+        + title
+        + "</title><meta name='keywords' content='k"
+        + str(doc_id % 7)
+        + ", shared'><script type='application/ld+json'>"
+        + ld
+        + "</script></head><body><main><article><p>"
+        + text
+        + "</p></article></main></body></html>"
+    )

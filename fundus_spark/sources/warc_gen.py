@@ -13,27 +13,33 @@ from pyspark.sql import DataFrame
 from ..kernel.warc import build_warc
 
 
-def _build_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    from datetime import date, timedelta
+def _build_group_factory(wrap_html: bool):
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from datetime import date, timedelta
 
-    pdf = pdf.sort_values("doc_id")
-    source = pdf["source"].iloc[0]
-    records = []
-    for row in pdf.itertuples(index=False):
-        day = (date(2024, 1, 1) + timedelta(days=int(row.doc_id) % 365)).isoformat()
-        records.append(
-            (
-                f"https://{source}.example/article/{int(row.doc_id)}",
-                f"{day}T00:00:00Z",
-                row.text,
-            )
-        )
-    return pd.DataFrame({"source": [source], "payload": [build_warc(records)]})
+        from .doc_html import py_doc_to_html
+
+        pdf = pdf.sort_values("doc_id")
+        source = pdf["source"].iloc[0]
+        records = []
+        for row in pdf.itertuples(index=False):
+            doc_id = int(row.doc_id)
+            day = (date(2024, 1, 1) + timedelta(days=doc_id % 365)).isoformat()
+            body = py_doc_to_html(doc_id, row.text) if wrap_html else row.text
+            records.append((f"https://{source}.example/article/{doc_id}", f"{day}T00:00:00Z", body))
+        return pd.DataFrame({"source": [source], "payload": [build_warc(records)]})
+
+    return build
 
 
-def documents_as_warcs(documents: DataFrame) -> DataFrame:
+def documents_as_warcs(documents: DataFrame, wrap_html: bool = False) -> DataFrame:
+    """``wrap_html=False``: record bodies are the raw document text
+    (exact round-trip oracle). ``wrap_html=True``: bodies are the
+    synthetic generic-rule articles (py_doc_to_html), so the chained
+    WARC->extraction pipeline has the same closed-form oracle as
+    ``extract_documents``."""
     return (
         documents.select("doc_id", "source", "text")
         .groupBy("source")
-        .applyInPandas(_build_group, schema="source string, payload binary")
+        .applyInPandas(_build_group_factory(wrap_html), schema="source string, payload binary")
     )

@@ -621,3 +621,15 @@ def test_warc_reader_robustness():
     bad = build_warc(recs, compress=False).replace(b"charset=utf-8", b"charset=bogus")
     assert warc_response_records(bad)[0].body is not None
     assert warc_response_records(b"") == []
+
+
+def test_doc_html_python_twin_lockstep(spark=None):
+    """py_doc_to_html must equal the Column template byte-for-byte
+    (warc_gen builds payloads through the python twin)."""
+    import sys
+
+    from fundus_spark.sources.doc_html import py_doc_to_html
+
+    html = py_doc_to_html(7, "text body")
+    assert html.startswith("<!DOCTYPE html><html lang='en'>")
+    assert "Document 7" in html and "Author 2" in html and "2024-01-08T00:00:00+00:00" in html
