@@ -230,3 +230,31 @@ def test_job_partial_resume_single_pass(spark, transcripts_df, tmp_path):
 
     written = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
     assert written == ["bucket=1", "bucket=3"]
+
+
+def test_job_commit_phase_job_count_bucket_independent(spark, transcripts_df, tmp_path):
+    """VERDICT r2 #3 done-criterion: the metrics phase costs ONE job
+    regardless of bucket count; only the per-bucket manifest appends
+    (the commit points) scale with buckets. Going 2 -> 6 buckets must
+    add ~1 job per extra bucket — the old per-bucket loop added ~4
+    (two reads + two appends)."""
+    tracker = spark.sparkContext.statusTracker()
+
+    spark.sparkContext.setJobGroup("jc2", "two buckets")
+    run_extraction_job(
+        spark, transcripts_df, str(tmp_path / "o2"), str(tmp_path / "m2"), str(tmp_path / "f2"),
+        run_id="jc2", n_buckets=2, salt_partitions=8,
+    )
+    n2 = len(tracker.getJobIdsForGroup("jc2"))
+
+    spark.sparkContext.setJobGroup("jc6", "six buckets")
+    run_extraction_job(
+        spark, transcripts_df, str(tmp_path / "o6"), str(tmp_path / "m6"), str(tmp_path / "f6"),
+        run_id="jc6", n_buckets=6, salt_partitions=8,
+    )
+    n6 = len(tracker.getJobIdsForGroup("jc6"))
+    spark.sparkContext.setJobGroup("default", "")
+
+    assert n2 > 0 and n6 > 0
+    # 4 extra buckets: ~4 extra manifest-append jobs, never ~16
+    assert n6 - n2 <= 8, (n2, n6)
