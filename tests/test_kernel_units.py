@@ -623,11 +623,9 @@ def test_warc_reader_robustness():
     assert warc_response_records(b"") == []
 
 
-def test_doc_html_python_twin_lockstep(spark=None):
+def test_doc_html_python_twin_lockstep():
     """py_doc_to_html must equal the Column template byte-for-byte
     (warc_gen builds payloads through the python twin)."""
-    import sys
-
     from fundus_spark.sources.doc_html import py_doc_to_html
 
     html = py_doc_to_html(7, "text body")
