@@ -332,6 +332,41 @@ GROUP BY n_name
 """
 
 
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (selective dim filter -> two joins -> agg ->
+    global top-k): Catalyst pushes both date filters into the scans and
+    AQE picks the join strategy; the explicit top-10 rides the sort."""
+    customer = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     return (
@@ -345,6 +380,51 @@ _EVENTS_DAILY_SQL = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
        COUNT(*) AS n, round(SUM(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (the same construct the streaming
+    conversation assembler uses) in batch over the events table: a
+    session closes after 30 idle minutes per user. The DuckDB oracle
+    recomputes sessions with the classic gaps-and-islands construction
+    (lag -> new-session flag -> running sum), proving the semantics
+    rather than mirroring the operator."""
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_EVENT_SESSIONS_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+islands AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       round(SUM(value), 2) AS total_value
+FROM islands
+GROUP BY user_id, session_id
 """
 
 
@@ -1143,7 +1223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "requires_filter": _q_requires,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
+        "shipping_priority": _q_shipping_priority,
         "events_daily": _q_events_daily,
+        "event_sessions": _q_event_sessions,
         "events_json": _q_events_json,
         "exact_dedup": _q_exact_dedup,
         "minhash_signatures": _q_minhash,
@@ -1188,7 +1270,9 @@ def oracle_sql() -> dict[str, str]:
         "requires_filter": _REQUIRES_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+        "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
+        "event_sessions": _EVENT_SESSIONS_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_signatures": _minhash_oracle_sql(),
