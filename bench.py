@@ -37,6 +37,8 @@ HEADLINE = [
     "robots_gate",
     "pricing_summary",
     "revenue_by_nation",
+    "shipping_priority",
+    "event_sessions",
     "grouped_topk",
     "quality_score",
     "language_id",
