@@ -3,7 +3,12 @@
 Each source's documents become HTTP response records (URL, WARC-Date,
 and body all closed-form in doc_id/text) inside a real multi-member
 gzip WARC file (kernel/warc.py builder — the CC-NEWS layout), so the
-``warc_extract`` round trip has an exact DuckDB oracle."""
+``warc_extract`` round trip has an exact DuckDB oracle.
+
+Test/bench synthesis only: one applyInPandas group per source holds
+that source's documents in memory, which is fine for fixture-scale
+corpora — production WARC files already exist on disk and flow through
+``operators/warc.py`` one file per row (no grouping)."""
 
 from __future__ import annotations
 
