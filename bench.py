@@ -50,6 +50,18 @@ def _run_headline(spark, sf_dir):
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # untimed warm-up: spawn the Python workers, JIT the scan, import
+    # the kernel — so the first timed query measures the query, not
+    # session startup (a ~5s one-off that previously landed entirely
+    # on extract_documents)
+    from pyspark.sql import functions as F
+
+    from fundus_spark.plans import extract_articles
+    from fundus_spark.sources.doc_html import documents_as_transcripts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
+    extract_articles(documents_as_transcripts(docs).drop("doc_id")).count()
+
     timings = {}
     for name in HEADLINE:
         started = time.time()
