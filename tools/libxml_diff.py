@@ -17,7 +17,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-lib = ctypes.CDLL("libxml2.so.2")
+# default = system 2.9.14; pass LIBXML_SO=/root/miniconda/lib/libxml2.so.2.13.9
+# to diff against the lxml-5.x-era parser instead (both exist on this box;
+# see the il Giornale forensics in rules/il_giornale.py for why both matter)
+import os
+
+lib = ctypes.CDLL(os.environ.get("LIBXML_SO", "libxml2.so.2"))
 
 
 class xmlNode(Structure):
