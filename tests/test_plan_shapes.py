@@ -1,0 +1,79 @@
+"""Physical-plan invariants: the properties that make these queries
+scale are asserted on the EXECUTED plan, so a refactor that silently
+adds a shuffle, drops a filter pushdown, or loses a broadcast fails
+here rather than at 100 TB.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_plans", str(Path(__file__).resolve().parent.parent / "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["spark_entry_plans"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_stage_is_zero_shuffle(spark):
+    """The 100 TB contract: scan -> mapInArrow -> output with NO
+    Exchange anywhere (pure narrow map; parallelism comes from scan
+    splits, never a repartition)."""
+    from fundus_spark.plans import extract_articles
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "source as conv_id",
+        "cast(doc_id as int) as turn_idx",
+        "'tool' as role",
+        "text",
+        "'generic' as tool",
+        "cast(null as timestamp) as ts",
+    )
+    plan = _plan(extract_articles(df))
+    assert "Exchange" not in plan, plan
+
+
+def test_small_dims_broadcast(spark, entry):
+    qs = entry.queries()
+    plan = _plan(qs["revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(qs["robots_gate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filters_reach_the_scan(spark, entry):
+    qs = entry.queries()
+    plan = _plan(qs["shipping_priority"](spark, SF_DIR))
+    # all three scans carry their predicate
+    assert "l_shipdate" in plan and "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment)" in plan
+    # top-10 rides TakeOrderedAndProject, never a global sort of the agg
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_prunes_columns(spark, entry):
+    """pricing_summary touches 7 of 16 lineitem columns; the scan's
+    ReadSchema must not include untouched ones like l_comment-ish
+    fields (column pruning)."""
+    qs = entry.queries()
+    plan = _plan(qs["pricing_summary"](spark, SF_DIR))
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines
+    assert "l_partkey" not in scan_lines[0]
+    assert "l_suppkey" not in scan_lines[0]
