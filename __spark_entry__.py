@@ -600,6 +600,61 @@ WHERE round(inter / (za.n + zb.n - inter), 4) >= {threshold}
 """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full content-dedup chain: LSH candidates -> exact Jaccard verify
+    -> connected components -> every document labeled with its cluster
+    (own id when it has no near-dup). Iterative min-label propagation,
+    O(diameter) rounds, one shuffle per round."""
+    from fundus_spark.operators import connected_components, lsh_candidate_pairs, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs, n_perm=8, bands=4, k=4)
+    pairs = ngram_jaccard_pairs(docs, k=4, threshold=0.01, candidates=cands)
+    comp = connected_components(pairs)
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
+def _dedup_clusters_sql(n_perm: int = 8, bands: int = 4, k: int = 4, threshold: float = 0.01) -> str:
+    return f"""
+WITH RECURSIVE verified AS (
+    SELECT a, b FROM ({_lsh_jaccard_verified_sql(n_perm, bands, k, threshold)}) v
+),
+edges AS (SELECT a AS src, b AS dst FROM verified UNION SELECT b, a FROM verified),
+reach(node, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp USING (doc_id)
+"""
+
+
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection: keep only the minimum-id document of each
+    near-dup cluster (first-wins over content clusters — the corpus a
+    training run would actually consume)."""
+    from fundus_spark.operators import dedup_survivors, lsh_candidate_pairs, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs, n_perm=8, bands=4, k=4)
+    pairs = ngram_jaccard_pairs(docs, k=4, threshold=0.01, candidates=cands)
+    return dedup_survivors(docs, pairs).select("doc_id", "source", "n_chars")
+
+
+def _dedup_survivors_sql(n_perm: int = 8, bands: int = 4, k: int = 4, threshold: float = 0.01) -> str:
+    return f"""
+SELECT c.doc_id, d.source, d.n_chars
+FROM ({_dedup_clusters_sql(n_perm, bands, k, threshold)}) c
+JOIN documents d USING (doc_id)
+WHERE c.doc_id = c.cluster_id
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import simhash
 
@@ -1233,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_candidates": _q_lsh_candidates,
         "lsh_jaccard_verified": _q_lsh_jaccard_verified,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup": _q_cosine_neardup,
@@ -1279,6 +1336,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "lsh_candidates": _lsh_candidates_sql(),
         "lsh_jaccard_verified": _lsh_jaccard_verified_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_survivors": _dedup_survivors_sql(),
         "simhash": _simhash_sql(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_neardup": _cosine_neardup_sql(),

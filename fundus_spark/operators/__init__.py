@@ -1,5 +1,7 @@
 from .boilerplate import boilerplate_page, boilerplate_strip
 from .dedup import (
+    connected_components,
+    dedup_survivors,
     exact_dedup,
     exact_dup_groups,
     lsh_candidate_pairs,
@@ -20,6 +22,8 @@ __all__ = [
     "boilerplate_strip",
     "cosine_neardup_pairs",
     "cosine_topk",
+    "connected_components",
+    "dedup_survivors",
     "exact_dedup",
     "exact_dup_groups",
     "fingerprint",

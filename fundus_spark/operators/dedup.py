@@ -223,3 +223,82 @@ def simhash(
         ).alias("simhash"),
     )
     return sim
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected near-duplicate pair graph:
+    returns ``(doc_id, cluster_id)`` for every node that appears in
+    ``pairs``, where ``cluster_id`` is the minimum node id reachable in
+    the component. This is the step that turns pairwise LSH/Jaccard
+    output into an actual deduplicated corpus (the reference dedups by
+    exact URL only, crawler.py:447-450 — content-level clustering is the
+    100 TB generalization).
+
+    Algorithm: iterative min-label propagation — each round every node
+    adopts ``min(own label, neighbors' labels)``. Pure DataFrame
+    algebra: one join (edges x labels) + one groupBy(node) per round, so
+    one-to-two shuffles per round and O(component diameter) rounds.
+    Near-dup clusters from LSH banding are quasi-cliques (diameter 2-3),
+    so the loop converges in a handful of rounds even at 10^12 edges;
+    ``localCheckpoint`` after every round truncates the lineage so the
+    plan does not grow with the iteration count (on a real cluster with
+    unreliable-block concerns, set ``spark.checkpoint.dir`` and swap in
+    ``checkpoint`` — same shape). Convergence is detected by counting
+    label changes, one tiny action per round on the label relation
+    (|nodes| rows, never the documents).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("new_lbl"), "lbl")
+        ).localCheckpoint(eager=True)
+        changed = updated.where(F.col("new_lbl") < F.col("lbl")).limit(1).count()
+        labels = updated.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """First-wins survivor selection over near-duplicate clusters: every
+    document gets ``cluster_id`` = min id in its connected component
+    (its own id if it appears in no pair), and only the canonical
+    minimum-id document of each cluster survives. The companion of
+    :func:`connected_components` — together they are the standard
+    LSH -> verify -> cluster -> keep-one dedup chain for training-data
+    pipelines.
+
+    Scale shape: the component relation is |clustered nodes| rows (tiny
+    vs the corpus — only docs that had a near-dup pair), so the final
+    join is broadcastable; survivors are selected with a filter, not a
+    window over the corpus.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    out = (
+        df.join(F.broadcast(comp), df[id_col] == comp["doc_id"], "left")
+        .select(df["*"], F.coalesce(comp["cluster_id"], df[id_col]).alias("cluster_id"))
+    )
+    return out.where(F.col(id_col) == F.col("cluster_id"))

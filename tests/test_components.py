@@ -1,0 +1,45 @@
+"""Unit tests for connected-components dedup clustering
+(`operators/dedup.py`): min-label propagation over near-dup pairs and
+first-wins survivor selection. Reference analogue: fundus dedups by
+exact URL only (src/fundus/scraping/crawler.py:447-450); content-level
+clustering is the 100 TB generalization over verified LSH pairs.
+"""
+
+from __future__ import annotations
+
+from fundus_spark.operators import connected_components, dedup_survivors
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "a long, b long")
+
+
+def test_chain_converges_to_min_label(spark):
+    # 0-1-2-3-4 chain: diameter 4 forces multiple propagation rounds
+    pairs = _pairs(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (10, 10), (11, 10)}
+
+
+def test_pair_order_is_irrelevant(spark):
+    # edges given high-to-low: label must still flow to the minimum
+    pairs = _pairs(spark, [(4, 3), (3, 2), (2, 1), (1, 0)])
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == {(i, 0) for i in range(5)}
+
+
+def test_empty_pairs_yield_empty_components(spark):
+    pairs = _pairs(spark, []).limit(0)
+    comp = connected_components(pairs)
+    assert comp.count() == 0
+    assert comp.columns == ["doc_id", "cluster_id"]
+
+
+def test_survivors_keep_min_per_cluster_and_all_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = _pairs(spark, [(1, 3), (3, 5)])  # cluster {1,3,5} -> survivor 1
+    out = dedup_survivors(docs, pairs)
+    assert set(out.columns) == {"doc_id", "text", "cluster_id"}
+    assert {r.doc_id for r in out.collect()} == {0, 1, 2, 4}
