@@ -600,6 +600,42 @@ WHERE round(inter / (za.n + zb.n - inter), 4) >= {threshold}
 """
 
 
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manku/Jain/Sarma bit-block SimHash dedup: pigeonhole banding on
+    (max_hamming+1) signature blocks proposes candidates via equi-join,
+    bit_count(XOR) verifies — never an all-pairs scan."""
+    from fundus_spark.operators import simhash_neardup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, bits=32, max_hamming=3)
+
+
+def _simhash_neardup_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    nblocks = max_hamming + 1
+    base, rem = divmod(bits, nblocks)
+    starts, widths, off = [], [], 0
+    for b in range(nblocks):
+        w = base + (1 if b < rem else 0)
+        starts.append(off)
+        widths.append(w)
+        off += w
+    block_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS block, (simhash >> {starts[b]}) & {2 ** widths[b] - 1} AS key FROM sim"
+        for b in range(nblocks)
+    )
+    return f"""
+WITH sim AS (SELECT * FROM ({_simhash_sql(bits)}) s),
+blocked AS ({block_union}),
+cand AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+    FROM blocked l JOIN blocked r USING (block, key)
+    WHERE l.doc_id < r.doc_id
+)
+SELECT a, b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full content-dedup chain: LSH candidates -> exact Jaccard verify
     -> connected components -> every document labeled with its cluster
@@ -1288,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_candidates": _q_lsh_candidates,
         "lsh_jaccard_verified": _q_lsh_jaccard_verified,
+        "simhash_neardup": _q_simhash_neardup,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_survivors": _q_dedup_survivors,
         "simhash": _q_simhash,
@@ -1336,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "lsh_candidates": _lsh_candidates_sql(),
         "lsh_jaccard_verified": _lsh_jaccard_verified_sql(),
+        "simhash_neardup": _simhash_neardup_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_survivors": _dedup_survivors_sql(),
         "simhash": _simhash_sql(),

@@ -8,6 +8,7 @@ from .dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from .multimodal import media_features, media_frame_sample, media_resize
 from .pdf import pdf_extract_text
@@ -46,6 +47,7 @@ __all__ = [
     "round_robin_merge",
     "requires",
     "simhash",
+    "simhash_neardup_pairs",
     "token_count",
     "warc_extract",
     "winnowing_fingerprints",

@@ -302,3 +302,67 @@ def dedup_survivors(
         .select(df["*"], F.coalesce(comp["cluster_id"], df[id_col]).alias("cluster_id"))
     )
     return out.where(F.col(id_col) == F.col("cluster_id"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """SimHash near-duplicate pairs ``(a, b, hamming)`` with
+    ``hamming <= max_hamming``, found without an all-pairs comparison:
+    the signature is split into ``max_hamming + 1`` bit blocks, and by
+    pigeonhole any pair within the hamming radius agrees exactly on at
+    least one block — so candidates come from equi-joining on
+    (block index, block value), then one cheap
+    ``bit_count(a XOR b)`` verify. The classic Manku/Jain/Sarma
+    (WWW'07) web-dedup shape: at 10^12 docs the block join is
+    near-linear while the verify touches only candidates.
+
+    Scale notes: block width = bits/(max_hamming+1) sets bucket
+    cardinality — at production scale use ``bits=64`` so each block key
+    space is ~2^16 and buckets stay small; a corpus-hot block value
+    (e.g. all-zero signatures from empty docs) is the skew key, so
+    filter empty/trivial docs upstream. Shuffles: one groupBy(doc) for
+    the signature, one equi-join on (block, key), one distinct.
+    """
+    nblocks = max_hamming + 1
+    sig = simhash(df, text_col, id_col, bits, hash_mode)
+    base, rem = divmod(bits, nblocks)
+    starts, widths = [], []
+    off = 0
+    for b in range(nblocks):
+        w = base + (1 if b < rem else 0)
+        starts.append(off)
+        widths.append(w)
+        off += w
+    blocked = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col("simhash"), starts[b]).bitwiseAND(F.lit(2 ** widths[b] - 1)).alias("key"),
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    cand = (
+        blocked.alias("l")
+        .join(blocked.alias("r"), ["block", "key"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

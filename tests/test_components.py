@@ -43,3 +43,19 @@ def test_survivors_keep_min_per_cluster_and_all_singletons(spark):
     out = dedup_survivors(docs, pairs)
     assert set(out.columns) == {"doc_id", "text", "cluster_id"}
     assert {r.doc_id for r in out.collect()} == {0, 1, 2, 4}
+
+
+def test_simhash_neardup_identical_docs_distance_zero(spark):
+    from fundus_spark.operators import simhash_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # identical -> hamming 0
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.a, r.b): r.hamming for r in simhash_neardup_pairs(docs, bits=32, max_hamming=3).collect()}
+    assert rows.get((1, 2)) == 0
+    assert all(h <= 3 for h in rows.values())
