@@ -600,6 +600,60 @@ WHERE round(inter / (za.n + zb.n - inter), 4) >= {threshold}
 """
 
 
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SPLIT_WEIGHTS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+
+def _bucket_sql(salt: str) -> str:
+    return f"CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum hash-bucket sampling (dataset mixing):
+    decisions depend only on (salt, doc_id) — reproducible across
+    engines and stable under corpus growth. Narrow filter, no shuffle."""
+    from fundus_spark.operators import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(docs, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT, salt="mix")
+    return out.select("doc_id", "source")
+
+
+def _stratified_sample_sql() -> str:
+    b = 2**32
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(r * b)}" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {_bucket_sql("mix")} < (CASE {cases} ELSE {int(_SAMPLE_DEFAULT * b)} END)
+"""
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated train/val/test assignment by cumulative hash-bucket
+    ranges: independent jobs with the same salt agree on membership, and
+    a grown corpus never moves an existing row between splits."""
+    from fundus_spark.operators import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    return split_assign(docs, _SPLIT_WEIGHTS, salt="split").select("doc_id", "split")
+
+
+def _split_assign_sql() -> str:
+    b = 2**32
+    cum = 0.0
+    whens = []
+    for name, w in _SPLIT_WEIGHTS[:-1]:
+        cum += w
+        whens.append(f"WHEN {_bucket_sql('split')} < {int(cum * b)} THEN '{name}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(whens)} ELSE '{_SPLIT_WEIGHTS[-1][0]}' END AS split
+FROM documents
+"""
+
+
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manku/Jain/Sarma bit-block SimHash dedup: pigeonhole banding on
     (max_hamming+1) signature blocks proposes candidates via equi-join,
@@ -1325,6 +1379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": _q_lsh_candidates,
         "lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "simhash_neardup": _q_simhash_neardup,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_survivors": _q_dedup_survivors,
         "simhash": _q_simhash,
@@ -1374,6 +1430,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidates": _lsh_candidates_sql(),
         "lsh_jaccard_verified": _lsh_jaccard_verified_sql(),
         "simhash_neardup": _simhash_neardup_sql(),
+        "stratified_sample": _stratified_sample_sql(),
+        "split_assign": _split_assign_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_survivors": _dedup_survivors_sql(),
         "simhash": _simhash_sql(),

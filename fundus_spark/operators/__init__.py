@@ -14,6 +14,7 @@ from .multimodal import media_features, media_frame_sample, media_resize
 from .pdf import pdf_extract_text
 from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires, round_robin_merge
 from .robots import robots_gate
+from .sampling import deterministic_sample, hash_bucket, split_assign, stratified_sample
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_bucketed_topk
 from .warc import warc_extract
 from .textstats import fingerprint, language_id, quality_score, token_count, winnowing_fingerprints
@@ -25,11 +26,13 @@ __all__ = [
     "cosine_topk",
     "connected_components",
     "dedup_survivors",
+    "deterministic_sample",
     "exact_dedup",
     "exact_dup_groups",
     "fingerprint",
     "first_wins_dedup",
     "grouped_topk",
+    "hash_bucket",
     "language_filter",
     "language_id",
     "ivf_topk",
@@ -44,6 +47,8 @@ __all__ = [
     "quality_score",
     "regex_filter",
     "robots_gate",
+    "split_assign",
+    "stratified_sample",
     "round_robin_merge",
     "requires",
     "simhash",

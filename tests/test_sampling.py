@@ -1,0 +1,48 @@
+"""Deterministic sampling / split assignment (`operators/sampling.py`):
+the properties that matter at 100 TB — decisions depend only on
+(salt, id), so they are reproducible, stable under corpus growth, and
+coordinated across independent jobs.
+"""
+
+from __future__ import annotations
+
+from fundus_spark.operators import deterministic_sample, split_assign, stratified_sample
+
+
+def _docs(spark, n, src="s"):
+    return spark.createDataFrame([(i, src) for i in range(n)], "doc_id long, source string")
+
+
+def test_sample_is_deterministic_and_growth_stable(spark):
+    small = {r.doc_id for r in deterministic_sample(_docs(spark, 200), 0.3, salt="x").collect()}
+    big = {r.doc_id for r in deterministic_sample(_docs(spark, 400), 0.3, salt="x").collect()}
+    assert small == {d for d in big if d < 200}  # growing the corpus never flips a prior decision
+    again = {r.doc_id for r in deterministic_sample(_docs(spark, 200), 0.3, salt="x").collect()}
+    assert small == again
+    assert 0.15 < len(small) / 200 < 0.45  # roughly the requested rate
+
+
+def test_salt_changes_the_sample(spark):
+    a = {r.doc_id for r in deterministic_sample(_docs(spark, 300), 0.5, salt="a").collect()}
+    b = {r.doc_id for r in deterministic_sample(_docs(spark, 300), 0.5, salt="b").collect()}
+    assert a != b
+
+
+def test_stratified_rates_apply_per_stratum(spark):
+    rows = [(i, "keep_all" if i % 2 == 0 else "drop_all") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, {"keep_all": 1.0, "drop_all": 0.0}, default_rate=0.5)
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    assert all(s == "keep_all" for _, s in got)
+    assert len(got) == 200
+
+
+def test_split_partitions_every_row_exactly_once_and_consistently(spark):
+    out = split_assign(_docs(spark, 1000), (("train", 0.8), ("val", 0.1), ("test", 0.1)), salt="s")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 1000
+    frac_train = sum(1 for v in rows.values() if v == "train") / 1000
+    assert 0.7 < frac_train < 0.9
+    # an independent job over a subset agrees on every shared id
+    sub = split_assign(_docs(spark, 100), (("train", 0.8), ("val", 0.1), ("test", 0.1)), salt="s")
+    assert all(rows[r.doc_id] == r.split for r in sub.collect())
