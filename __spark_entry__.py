@@ -654,6 +654,29 @@ FROM documents
 """
 
 
+def _q_pack_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing per source shard: windowed
+    cumulative sum gives each doc its stream offset and fixed-budget
+    chunk id. One shuffle on the shard key; per-shard sorted pass."""
+    from fundus_spark.operators import pack_by_budget
+
+    docs = _read(spark, sf_dir, "documents")
+    out = pack_by_budget(docs, budget=4096, token_col="n_chars", part_col="source", order_col="doc_id")
+    return out.select("doc_id", "source", "pack_offset", "pack_bin")
+
+
+_PACK_SQL = """
+SELECT doc_id, source,
+       CAST(COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset,
+       CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS pack_bin
+FROM documents
+"""
+
+
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manku/Jain/Sarma bit-block SimHash dedup: pigeonhole banding on
     (max_hamming+1) signature blocks proposes candidates via equi-join,
@@ -1380,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "simhash_neardup": _q_simhash_neardup,
         "stratified_sample": _q_stratified_sample,
+        "pack_by_budget": _q_pack_by_budget,
         "split_assign": _q_split_assign,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_survivors": _q_dedup_survivors,
@@ -1431,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_jaccard_verified": _lsh_jaccard_verified_sql(),
         "simhash_neardup": _simhash_neardup_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "pack_by_budget": _PACK_SQL,
         "split_assign": _split_assign_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_survivors": _dedup_survivors_sql(),

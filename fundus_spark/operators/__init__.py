@@ -11,6 +11,7 @@ from .dedup import (
     simhash_neardup_pairs,
 )
 from .multimodal import media_features, media_frame_sample, media_resize
+from .packing import pack_by_budget
 from .pdf import pdf_extract_text
 from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires, round_robin_merge
 from .robots import robots_gate
@@ -46,6 +47,7 @@ __all__ = [
     "pdf_extract_text",
     "quality_score",
     "regex_filter",
+    "pack_by_budget",
     "robots_gate",
     "split_assign",
     "stratified_sample",

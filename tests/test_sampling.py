@@ -46,3 +46,13 @@ def test_split_partitions_every_row_exactly_once_and_consistently(spark):
     # an independent job over a subset agrees on every shared id
     sub = split_assign(_docs(spark, 100), (("train", 0.8), ("val", 0.1), ("test", 0.1)), salt="s")
     assert all(rows[r.doc_id] == r.split for r in sub.collect())
+
+
+def test_pack_by_budget_offsets_and_bins(spark):
+    from fundus_spark.operators import pack_by_budget
+
+    rows = [(1, "s", 60), (2, "s", 60), (3, "s", 60), (4, "t", 250)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {r.doc_id: (r.pack_offset, r.pack_bin) for r in pack_by_budget(df, budget=100).collect()}
+    # shard s stream: offsets 0,60,120 -> bins 0,0,1; shard t independent
+    assert got == {1: (0, 0), 2: (60, 0), 3: (120, 1), 4: (0, 0)}
