@@ -1013,6 +1013,34 @@ FROM documents
 """
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc count, total/mean/median length.
+    Median here is EXACT `percentile` so the DuckDB oracle matches
+    bit-for-bit; at 100 TB swap in `approx_percentile` (t-digest,
+    map-side combinable) — same query shape, bounded memory."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        )
+    )
+
+
+_CORPUS_STATS_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS mean_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS median_chars
+FROM documents
+GROUP BY source
+"""
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import quality_score
 
@@ -1414,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": _q_ivf_ann,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
+        "corpus_stats": _q_corpus_stats,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "winnowing": _q_winnowing,
@@ -1466,6 +1495,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": _ivf_ann_sql(),
         "token_count": _TOKEN_COUNT_SQL,
         "quality_score": _QUALITY_SQL,
+        "corpus_stats": _CORPUS_STATS_SQL,
         "language_id": _language_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "winnowing": _winnowing_sql(),
