@@ -1041,6 +1041,32 @@ GROUP BY source
 """
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters: duplicate-2-gram char fraction and
+    top-2-gram char share, via explode -> two map-side-combinable
+    aggregations (no within-row O(n^2) HOF scan)."""
+    from fundus_spark.operators import repetition_score
+
+    return repetition_score(_read(spark, sf_dir, "documents"), n=2)
+
+
+_REPETITION_SQL = """
+WITH grams AS (
+    SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i) t
+),
+per_gram AS (
+    SELECT doc_id, gram, COUNT(*) AS c, LENGTH(gram) AS glen
+    FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       ROUND(SUM(glen * (c - 1)) / SUM(glen * c), 4) AS dup_gram_frac,
+       ROUND(MAX(glen * c) / SUM(glen * c), 4) AS top_gram_frac
+FROM per_gram GROUP BY doc_id
+"""
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import quality_score
 
@@ -1443,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "corpus_stats": _q_corpus_stats,
+        "repetition_score": _q_repetition,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "winnowing": _q_winnowing,
@@ -1496,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _TOKEN_COUNT_SQL,
         "quality_score": _QUALITY_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
+        "repetition_score": _REPETITION_SQL,
         "language_id": _language_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "winnowing": _winnowing_sql(),

@@ -18,7 +18,7 @@ from .robots import robots_gate
 from .sampling import deterministic_sample, hash_bucket, split_assign, stratified_sample
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_bucketed_topk
 from .warc import warc_extract
-from .textstats import fingerprint, language_id, quality_score, token_count, winnowing_fingerprints
+from .textstats import fingerprint, language_id, quality_score, repetition_score, token_count, winnowing_fingerprints
 
 __all__ = [
     "boilerplate_page",
@@ -46,6 +46,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pdf_extract_text",
     "quality_score",
+    "repetition_score",
     "regex_filter",
     "pack_by_budget",
     "robots_gate",

@@ -145,3 +145,43 @@ def winnowing_fingerprints(
         df.select("doc_id", F.explode(F.array_distinct(minima)).alias("fp"))
         .where(F.col("fp").isNotNull())
     )
+
+
+def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher/MassiveText repetition-quality signals per document over
+    word ``n``-grams (Rae et al. 2021 §A1.1 "repetition" filters):
+
+    * ``dup_gram_frac`` — fraction of n-gram characters contributed by
+      repeat occurrences: ``sum(len(g) * (count(g) - 1)) / sum(len(g)
+      * count(g))`` over the doc's grams. High values flag looping /
+      boilerplate-stuffed text.
+    * ``top_gram_frac`` — character share of the single most frequent
+      n-gram: ``max(len(g) * count(g)) / sum(len(g) * count(g))``.
+
+    Scale shape: explode -> groupBy(doc, gram) -> groupBy(doc), both
+    map-side combinable; no within-row O(n²) higher-order-function
+    scan, so a pathological 1 MB document costs O(grams) not
+    O(grams²). Ties in ``top_gram_frac`` need no tiebreak — only the
+    maximal char mass is reported, not the gram.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+    per_gram = exploded.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c"), F.length(F.col("gram")).alias("glen")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("glen") * F.col("c")).alias("_total"),
+            F.sum(F.col("glen") * (F.col("c") - 1)).alias("_dup"),
+            F.max(F.col("glen") * F.col("c")).alias("_top"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("_dup") / F.col("_total"), 4).alias("dup_gram_frac"),
+            F.round(F.col("_top") / F.col("_total"), 4).alias("top_gram_frac"),
+        )
+    )

@@ -56,3 +56,17 @@ def test_pack_by_budget_offsets_and_bins(spark):
     got = {r.doc_id: (r.pack_offset, r.pack_bin) for r in pack_by_budget(df, budget=100).collect()}
     # shard s stream: offsets 0,60,120 -> bins 0,0,1; shard t independent
     assert got == {1: (0, 0), 2: (60, 0), 3: (120, 1), 4: (0, 0)}
+
+
+def test_repetition_score_known_values(spark):
+    from fundus_spark.operators import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab ab"), (2, "one two three four")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.dup_gram_frac, r.top_gram_frac) for r in repetition_score(df, n=2).collect()}
+    # doc 1: grams = ['ab ab'] x3 -> dup = 2/3, top = 3/3
+    assert got[1] == (round(2 / 3, 4), 1.0)
+    # doc 2: grams 'one two'(7), 'two three'(9), 'three four'(10), all
+    # unique -> dup 0, top = 10/26
+    assert got[2] == (0.0, round(10 / 26, 4))
