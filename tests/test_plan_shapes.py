@@ -77,3 +77,37 @@ def test_scan_prunes_columns(spark, entry):
     assert scan_lines
     assert "l_partkey" not in scan_lines[0]
     assert "l_suppkey" not in scan_lines[0]
+
+
+def test_sampling_ops_are_narrow_zero_shuffle(spark, entry):
+    """Hash-bucket sampling and split assignment must stay pure
+    filter/projection over a pruned scan — no Exchange anywhere."""
+    qs = entry.queries()
+    for name in ("stratified_sample", "split_assign"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "Exchange" not in plan, name
+        assert "BatchScan" in plan or "FileScan" in plan, name
+
+
+def test_packing_has_exactly_one_exchange_on_shard_key(spark, entry):
+    """Sequence packing = one shuffle on the shard key feeding the
+    window; a second Exchange would mean an accidental repartition."""
+    plan = _plan(entry.queries()["pack_by_budget"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_simhash_neardup_has_no_cartesian(spark, entry):
+    """Bit-block banding must produce an equi-join on (block, key);
+    a cartesian/BNL product would be the all-pairs scan it exists to
+    avoid."""
+    plan = _plan(entry.queries()["simhash_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_survivors_broadcasts_component_labels(spark, entry):
+    """The component relation is |clustered nodes| rows; joining it
+    back to the corpus must broadcast, never shuffle the fact side."""
+    plan = _plan(entry.queries()["dedup_survivors"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
