@@ -713,6 +713,34 @@ SELECT a, b, hamming FROM cand WHERE hamming <= {max_hamming}
 """
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus docs sharing a word k-gram with
+    the benchmark split (here: source src0 plays the eval set; k=4 at
+    fixture scale — production uses 13-grams per GPT-3 appendix C).
+    Benchmark shingles broadcast; corpus never shuffles until the final
+    per-doc count."""
+    from fundus_spark.operators import contamination_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return contamination_flags(corpus, bench, k=4)
+
+
+_CONTAMINATION_SQL = """
+WITH sh AS (
+    SELECT doc_id, source, array_to_string(toks[i:i+3], ' ') AS shingle
+    FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i) t
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+corp AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE source <> 'src0')
+SELECT corp.doc_id, COUNT(*) AS n_shared_grams
+FROM corp JOIN bench USING (shingle)
+GROUP BY corp.doc_id
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full content-dedup chain: LSH candidates -> exact Jaccard verify
     -> connected components -> every document labeled with its cluster
@@ -1461,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_survivors": _q_dedup_survivors,
+        "contamination": _q_contamination,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup": _q_cosine_neardup,
@@ -1515,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _split_assign_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_survivors": _dedup_survivors_sql(),
+        "contamination": _CONTAMINATION_SQL,
         "simhash": _simhash_sql(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_neardup": _cosine_neardup_sql(),

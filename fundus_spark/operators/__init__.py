@@ -1,6 +1,7 @@
 from .boilerplate import boilerplate_page, boilerplate_strip
 from .dedup import (
     connected_components,
+    contamination_flags,
     dedup_survivors,
     exact_dedup,
     exact_dup_groups,
@@ -26,6 +27,7 @@ __all__ = [
     "cosine_neardup_pairs",
     "cosine_topk",
     "connected_components",
+    "contamination_flags",
     "dedup_survivors",
     "deterministic_sample",
     "exact_dedup",

@@ -366,3 +366,34 @@ def simhash_neardup_pairs(
         .distinct()
     )
     return cand.where(F.col("hamming") <= max_hamming)
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Eval-set decontamination (the GPT-3 appendix-C / PaLM 13-gram
+    procedure, here over word ``k``-grams): flag every corpus document
+    sharing at least one k-gram with any benchmark document, returning
+    ``(doc_id, n_shared_grams)`` — the distinct contaminated-gram count
+    per corpus doc. Downstream drops or masks flagged docs before
+    training.
+
+    Scale shape: the benchmark side is eval sets — thousands of docs,
+    not billions — so its distinct-shingle relation is broadcast and
+    the corpus side never shuffles: explode -> broadcast-hash-join ->
+    groupBy(doc_id) with map-side partial counts. One shuffle total
+    (the final per-doc count), corpus scanned once.
+    """
+    corpus_shingles = shingle_relation(corpus, text_col, id_col, k).distinct()
+    bench_grams = (
+        shingle_relation(benchmark, text_col, id_col, k).select("shingle").distinct()
+    )
+    return (
+        corpus_shingles.join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

@@ -59,3 +59,21 @@ def test_simhash_neardup_identical_docs_distance_zero(spark):
     rows = {(r.a, r.b): r.hamming for r in simhash_neardup_pairs(docs, bits=32, max_hamming=3).collect()}
     assert rows.get((1, 2)) == 0
     assert all(h <= 3 for h in rows.values())
+
+
+def test_contamination_flags_counts_distinct_shared_grams(spark):
+    from fundus_spark.operators import contamination_flags
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely novel words with no overlap present"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_shared_grams for r in contamination_flags(corpus, bench, k=4).collect()}
+    # bench 4-grams: 'quick brown fox jumps', 'brown fox jumps over'; both in doc 1
+    assert got == {1: 2}
