@@ -677,6 +677,134 @@ FROM documents
 """
 
 
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation chain as ONE plan: length+repetition
+    quality gate -> exact dedup -> LSH/Jaccard near-dup components ->
+    survivor selection -> decontamination vs the src0 eval split ->
+    deterministic train/val/test assignment -> per-source sequence
+    packing. Every stage individually oracle-gated elsewhere; this
+    query gates the composition end to end."""
+    from fundus_spark.plans import curate_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    out = curate_corpus(
+        corpus,
+        benchmark=bench,
+        min_chars=20,
+        max_dup_gram_frac=0.9,
+        jaccard_threshold=0.01,
+        contamination_k=8,
+        pack_budget=4096,
+    )
+    return out.select("doc_id", "source", "split", "n_tokens", "pack_offset", "pack_bin")
+
+
+def _curate_sql() -> str:
+    b = 2**32
+    t_train = int(0.9 * b)
+    t_val = int(0.95 * b)
+    perms = ",\n".join(
+        f"MIN(CAST('0x' || substr(md5('p{j}:' || shingle), 1, 8) AS BIGINT)) AS h{j}" for j in range(8)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {bb} AS band, CAST(h{bb * 2} AS VARCHAR) || ',' || CAST(h{bb * 2 + 1} AS VARCHAR) AS key FROM sig"
+        for bb in range(4)
+    )
+    return f"""
+WITH RECURSIVE
+base AS (
+    SELECT * FROM documents
+    WHERE source <> 'src0' AND LENGTH(TRIM(text)) >= 20
+),
+grams2 AS (
+    SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM base),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i) t
+),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c, LENGTH(gram) AS glen FROM grams2 GROUP BY doc_id, gram),
+rep_ok AS (
+    SELECT doc_id FROM pg GROUP BY doc_id
+    HAVING ROUND(SUM(glen * (c - 1)) / SUM(glen * c), 4) <= 0.9
+),
+gated AS (SELECT base.* FROM base JOIN rep_ok USING (doc_id)),
+keep AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM (SELECT doc_id, md5(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM gated)
+    GROUP BY fp
+),
+ded AS (SELECT gated.* FROM gated JOIN keep USING (doc_id)),
+shingles AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM ded),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i) t
+),
+sig AS (SELECT doc_id, {perms} FROM shingles GROUP BY doc_id),
+banded AS ({band_union}),
+cand AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM banded l JOIN banded r USING (band, key)
+    WHERE l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inters AS (
+    SELECT cand.a, cand.b, COUNT(*) AS inter
+    FROM cand
+    JOIN shingles sa ON sa.doc_id = cand.a
+    JOIN shingles sb ON sb.doc_id = cand.b AND sb.shingle = sa.shingle
+    GROUP BY cand.a, cand.b
+),
+pairs AS (
+    SELECT a, b FROM inters
+    JOIN sizes za ON inters.a = za.doc_id
+    JOIN sizes zb ON inters.b = zb.doc_id
+    WHERE ROUND(inter / (za.n + zb.n - inter), 4) >= 0.01
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+surv AS (
+    SELECT ded.* FROM ded LEFT JOIN comp USING (doc_id)
+    WHERE COALESCE(comp.cluster_id, ded.doc_id) = ded.doc_id
+),
+shc AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM surv),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i) t
+),
+bench AS (
+    SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS shingle
+    FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE source = 'src0'),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i) t
+),
+contaminated AS (SELECT DISTINCT shc.doc_id FROM shc JOIN bench USING (shingle)),
+clean AS (
+    SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+final AS (
+    SELECT doc_id, source,
+           CASE WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) < {t_train} THEN 'train'
+                WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) < {t_val} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM clean
+)
+SELECT doc_id, source, split, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS pack_bin
+FROM final
+"""
+
+
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manku/Jain/Sarma bit-block SimHash dedup: pigeonhole banding on
     (max_hamming+1) signature blocks proposes candidates via equi-join,
@@ -1490,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_survivors": _q_dedup_survivors,
         "contamination": _q_contamination,
+        "curate_corpus": _q_curate,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup": _q_cosine_neardup,
@@ -1545,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_survivors": _dedup_survivors_sql(),
         "contamination": _CONTAMINATION_SQL,
+        "curate_corpus": _curate_sql(),
         "simhash": _simhash_sql(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_neardup": _cosine_neardup_sql(),

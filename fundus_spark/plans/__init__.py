@@ -1,4 +1,5 @@
 from .assemble import assemble_conversations, ordered_turns
+from .curate import curate_corpus
 from .extract_stage import EXTRACTION_SCHEMA, extract_articles
 from .job import JobResult, run_extraction_job
 from .session import build_session

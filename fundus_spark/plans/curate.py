@@ -1,0 +1,100 @@
+"""End-to-end corpus curation: the full training-data assembly chain
+composed from the shipped operators, as one declarative plan.
+
+    raw documents
+      -> quality gate        (Gopher repetition + length filters)
+      -> exact dedup         (first-wins on normalized-text hash)
+      -> near-dup dedup      (LSH candidates -> Jaccard verify ->
+                              connected components -> survivors)
+      -> decontamination     (drop docs colliding with the eval set's
+                              n-grams; benchmark side broadcast)
+      -> split assignment    (deterministic train/val/test buckets)
+      -> sequence packing    (per-shard concat-and-chunk offsets)
+
+Every stage is the scale-correct shape documented on its operator:
+the quality gate and split are narrow zero-shuffle maps, exact dedup
+is one map-side-combinable aggregation, the near-dup chain is banded
+(never all-pairs) with a broadcast label join, decontamination
+broadcasts the benchmark shingles, and packing shuffles once on the
+shard key. No stage collects to the driver.
+
+The reference has no curation surface (it emits articles one by one;
+`crawler.py` dedups by exact URL only) — this is the 100 TB
+generalization the training pipeline needs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import (
+    contamination_flags,
+    dedup_survivors,
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    pack_by_budget,
+    repetition_score,
+    split_assign,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+    max_dup_gram_frac: float = 0.9,
+    jaccard_threshold: float = 0.8,
+    contamination_k: int = 8,
+    split_weights: Sequence[Tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    split_salt: str = "split",
+    pack_budget: int = 4096,
+    shard_col: str = "source",
+    lsh_perm: int = 8,
+    lsh_bands: int = 4,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """Returns the training-ready corpus: quality-gated, exact- and
+    near-dup-deduplicated, decontaminated against ``benchmark`` (if
+    given), with ``split`` and ``pack_offset``/``pack_bin`` columns.
+    Deterministic end to end — every stage is reproducible from
+    (input, parameters) alone, so reruns and incremental jobs agree."""
+    gated = docs.where(F.length(F.trim(F.col(text_col))) >= min_chars)
+    rep = repetition_score(gated, text_col=text_col, id_col=id_col, n=2).where(
+        F.col("dup_gram_frac") <= max_dup_gram_frac
+    )
+    gated = gated.join(rep.select(id_col), id_col)
+
+    keep_ids = exact_dedup(gated, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    deduped = gated.join(keep_ids, id_col, "left_semi")
+
+    cands = lsh_candidate_pairs(
+        deduped, text_col=text_col, id_col=id_col, n_perm=lsh_perm, bands=lsh_bands, k=shingle_k
+    )
+    pairs = ngram_jaccard_pairs(
+        deduped, text_col=text_col, id_col=id_col, k=shingle_k,
+        threshold=jaccard_threshold, candidates=cands,
+    )
+    survivors = dedup_survivors(deduped, pairs, id_col=id_col)
+
+    if benchmark is not None:
+        flagged = contamination_flags(
+            survivors, benchmark, text_col=text_col, id_col=id_col, k=contamination_k
+        )
+        survivors = survivors.join(
+            F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+        )
+
+    assigned = split_assign(survivors, weights=split_weights, salt=split_salt, id_col=id_col)
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    with_tokens = assigned.withColumn("n_tokens", toks.cast("long"))
+    return pack_by_budget(
+        with_tokens, budget=pack_budget, token_col="n_tokens", part_col=shard_col, order_col=id_col
+    )
