@@ -58,6 +58,7 @@ def curate_corpus(
     lsh_perm: int = 8,
     lsh_bands: int = 4,
     shingle_k: int = 4,
+    materialize_stages: bool = True,
 ) -> DataFrame:
     """Returns the training-ready corpus: quality-gated, exact- and
     near-dup-deduplicated, decontaminated against ``benchmark`` (if
@@ -74,6 +75,14 @@ def curate_corpus(
         F.col("keep_id").alias(id_col)
     )
     deduped = gated.join(keep_ids, id_col, "left_semi")
+    if materialize_stages:
+        # the deduped relation feeds four branches (LSH shingles,
+        # Jaccard sizes, survivor join, contamination shingles);
+        # materializing the stage boundary runs the quality gate +
+        # exact dedup once instead of per branch — exactly what a
+        # production pipeline does by writing each stage to the lake
+        # (swap localCheckpoint for a table write + re-read there)
+        deduped = deduped.localCheckpoint(eager=True)
 
     cands = lsh_candidate_pairs(
         deduped, text_col=text_col, id_col=id_col, n_perm=lsh_perm, bands=lsh_bands, k=shingle_k
@@ -83,6 +92,8 @@ def curate_corpus(
         threshold=jaccard_threshold, candidates=cands,
     )
     survivors = dedup_survivors(deduped, pairs, id_col=id_col)
+    if materialize_stages:
+        survivors = survivors.localCheckpoint(eager=True)
 
     if benchmark is not None:
         flagged = contamination_flags(
