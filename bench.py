@@ -35,6 +35,7 @@ HEADLINE = [
     "cosine_neardup",
     "media_decode",
     "robots_gate",
+    "curate_corpus",
     "pricing_summary",
     "revenue_by_nation",
     "shipping_priority",
