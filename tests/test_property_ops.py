@@ -1,0 +1,110 @@
+"""Property-based equivalence tests for the distributed dedup/assembly
+operators: random inputs, compared against tiny pure-Python reference
+implementations (union-find, cumsum, set algebra). The fixed-corpus
+DuckDB oracles pin these ops on realistic data; these pin them on the
+adversarial shapes (self-loop-free chains, singleton groups, empty
+inputs) random generation finds.
+
+Few examples per test — every example is a Spark roundtrip.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SPARK_SETTINGS = settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+    max_size=20,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@SPARK_SETTINGS
+@given(edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    from fundus_spark.operators import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 1)], "a long, b long"
+    )
+    if not edges:
+        pairs = pairs.limit(0)
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    want = _union_find_components(edges)
+    assert got == want
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(1, 50)), min_size=1, max_size=12
+    ),
+    st.integers(10, 60),
+)
+def test_pack_by_budget_matches_cumsum(spark, rows, budget):
+    from fundus_spark.operators import pack_by_budget
+
+    data = [(i, f"g{g}", n) for i, (g, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, source string, n_tokens long")
+    got = {r.doc_id: (r.pack_offset, r.pack_bin) for r in pack_by_budget(df, budget=budget).collect()}
+    want = {}
+    for grp in {g for _, g, _ in data}:
+        offset = 0
+        for i, g, n in data:  # data is already doc_id-ordered
+            if g != grp:
+                continue
+            want[i] = (offset, offset // budget)
+            offset += n
+    assert got == want
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(st.lists(st.sampled_from("abcdef"), min_size=1, max_size=10), min_size=1, max_size=6),
+    st.lists(st.lists(st.sampled_from("abcdef"), min_size=1, max_size=10), min_size=1, max_size=3),
+    st.integers(1, 3),
+)
+def test_contamination_matches_set_algebra(spark, corpus_tokens, bench_tokens, k):
+    from fundus_spark.operators import contamination_flags
+
+    def grams(toks):
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus_tokens)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(bench_tokens)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_shared_grams for r in contamination_flags(corpus, bench, k=k).collect()}
+    bench_grams = set().union(*[grams(t) for t in bench_tokens])
+    want = {}
+    for i, t in enumerate(corpus_tokens):
+        shared = len(grams(t) & bench_grams)
+        if shared:
+            want[i] = shared
+    assert got == want
