@@ -264,6 +264,7 @@ def connected_components(
     edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -277,7 +278,17 @@ def connected_components(
         changed = updated.where(F.col("new_lbl") < F.col("lbl")).limit(1).count()
         labels = updated.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # partial labels would silently split real clusters — refuse.
+        # max_rounds bounds component DIAMETER, not size; LSH near-dup
+        # graphs are quasi-cliques (diameter 2-3), so hitting this
+        # means a pathological chain — raise max_rounds deliberately.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds; "
+            "a component has diameter > max_rounds"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

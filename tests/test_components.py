@@ -77,3 +77,14 @@ def test_contamination_flags_counts_distinct_shared_grams(spark):
     got = {r.doc_id: r.n_shared_grams for r in contamination_flags(corpus, bench, k=4).collect()}
     # bench 4-grams: 'quick brown fox jumps', 'brown fox jumps over'; both in doc 1
     assert got == {1: 2}
+
+
+def test_components_raise_rather_than_return_partial_labels(spark):
+    import pytest as _pytest
+
+    from fundus_spark.operators import connected_components
+
+    # diameter-4 chain cannot converge in 1 round
+    pairs = _pairs(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1).collect()
