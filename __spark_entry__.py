@@ -537,12 +537,12 @@ def _q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs, n_perm=8, bands=4, k=4)
 
 
-def _lsh_candidates_sql(n_perm: int = 8, bands: int = 4, k: int = 4) -> str:
+def _lsh_candidates_sql(n_perm: int = 8, bands: int = 4, k: int = 4, relation: str = "documents") -> str:
     rpb = n_perm // bands
     shingle_rel = f"""
         SELECT DISTINCT doc_id,
                array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
-        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {relation}),
              LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i) t
     """
     perms = ",\n".join(
@@ -575,13 +575,15 @@ def _q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, k=4, threshold=0.01, candidates=cands)
 
 
-def _lsh_jaccard_verified_sql(n_perm: int = 8, bands: int = 4, k: int = 4, threshold: float = 0.01) -> str:
+def _lsh_jaccard_verified_sql(
+    n_perm: int = 8, bands: int = 4, k: int = 4, threshold: float = 0.01, relation: str = "documents"
+) -> str:
     return f"""
-WITH cands AS ({_lsh_candidates_sql(n_perm, bands, k)}),
+WITH cands AS ({_lsh_candidates_sql(n_perm, bands, k, relation)}),
 shingles AS (
     SELECT DISTINCT doc_id,
            array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {relation}),
          LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i) t
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
@@ -705,13 +707,6 @@ def _curate_sql() -> str:
     b = 2**32
     t_train = int(0.9 * b)
     t_val = int(0.95 * b)
-    perms = ",\n".join(
-        f"MIN(CAST('0x' || substr(md5('p{j}:' || shingle), 1, 8) AS BIGINT)) AS h{j}" for j in range(8)
-    )
-    band_union = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {bb} AS band, CAST(h{bb * 2} AS VARCHAR) || ',' || CAST(h{bb * 2 + 1} AS VARCHAR) AS key FROM sig"
-        for bb in range(4)
-    )
     return f"""
 WITH RECURSIVE
 base AS (
@@ -735,31 +730,8 @@ keep AS (
     GROUP BY fp
 ),
 ded AS (SELECT gated.* FROM gated JOIN keep USING (doc_id)),
-shingles AS (
-    SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS shingle
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM ded),
-         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i) t
-),
-sig AS (SELECT doc_id, {perms} FROM shingles GROUP BY doc_id),
-banded AS ({band_union}),
-cand AS (
-    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-    FROM banded l JOIN banded r USING (band, key)
-    WHERE l.doc_id < r.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-inters AS (
-    SELECT cand.a, cand.b, COUNT(*) AS inter
-    FROM cand
-    JOIN shingles sa ON sa.doc_id = cand.a
-    JOIN shingles sb ON sb.doc_id = cand.b AND sb.shingle = sa.shingle
-    GROUP BY cand.a, cand.b
-),
 pairs AS (
-    SELECT a, b FROM inters
-    JOIN sizes za ON inters.a = za.doc_id
-    JOIN sizes zb ON inters.b = zb.doc_id
-    WHERE ROUND(inter / (za.n + zb.n - inter), 4) >= 0.01
+    SELECT a, b FROM ({_lsh_jaccard_verified_sql(8, 4, 4, 0.01, relation="ded")}) v
 ),
 edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
 reach(node, lbl) AS (

@@ -215,10 +215,18 @@ def simhash(
         for b in range(bits)
     ]
     agg = hashed.groupBy("doc_id").agg(*bit_cols)
+    # shiftleft(1L, b) instead of a 2**b literal so bits=64 works: bit
+    # 63 is Long.MIN_VALUE, which no positive literal can express —
+    # the summed two's-complement pattern is still the exact signature
     sim = agg.select(
         "doc_id",
         sum(
-            [F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint") for b in range(bits)],
+            [
+                F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                for b in range(bits)
+            ],
             F.lit(0).cast("bigint"),
         ).alias("simhash"),
     )
@@ -251,6 +259,15 @@ def connected_components(
     ``checkpoint`` — same shape). Convergence is detected by counting
     label changes, one tiny action per round on the label relation
     (|nodes| rows, never the documents).
+
+    Cache lifecycle: each round's eager checkpoint caches a |clustered
+    nodes|-row RDD; superseded rounds are released by Spark's
+    ContextCleaner once the driver-side DataFrame is garbage-collected
+    (``spark.cleaner.referenceTracking``, on by default), so steady
+    state holds O(1) label snapshots. On clusters where lazy GC-driven
+    cleanup is too slow, set a checkpoint dir with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` and swap
+    ``localCheckpoint`` for ``checkpoint``.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

@@ -40,6 +40,7 @@ from ..operators import (
     repetition_score,
     split_assign,
 )
+from ..operators.dedup import shingle_relation
 
 
 def curate_corpus(
@@ -69,7 +70,9 @@ def curate_corpus(
     rep = repetition_score(gated, text_col=text_col, id_col=id_col, n=2).where(
         F.col("dup_gram_frac") <= max_dup_gram_frac
     )
-    gated = gated.join(rep.select(id_col), id_col)
+    # repetition_score / contamination_flags emit their id as "doc_id";
+    # alias back so a caller's id_col keeps working end to end
+    gated = gated.join(rep.select(F.col("doc_id").alias(id_col)), id_col)
 
     keep_ids = exact_dedup(gated, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)
@@ -84,12 +87,19 @@ def curate_corpus(
         # (swap localCheckpoint for a table write + re-read there)
         deduped = deduped.localCheckpoint(eager=True)
 
+    # the distinct shingle relation feeds BOTH the banding and the
+    # verify phase; compute it once (Catalyst does not reuse the
+    # explode+distinct exchange across the two consumers)
+    shingles = shingle_relation(deduped, text_col=text_col, id_col=id_col, k=shingle_k).distinct()
+    if materialize_stages:
+        shingles = shingles.localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
-        deduped, text_col=text_col, id_col=id_col, n_perm=lsh_perm, bands=lsh_bands, k=shingle_k
+        deduped, text_col=text_col, id_col=id_col, n_perm=lsh_perm, bands=lsh_bands,
+        k=shingle_k, shingles=shingles,
     )
     pairs = ngram_jaccard_pairs(
         deduped, text_col=text_col, id_col=id_col, k=shingle_k,
-        threshold=jaccard_threshold, candidates=cands,
+        threshold=jaccard_threshold, candidates=cands, shingles=shingles,
     )
     survivors = dedup_survivors(deduped, pairs, id_col=id_col)
     if materialize_stages:
@@ -100,7 +110,7 @@ def curate_corpus(
             survivors, benchmark, text_col=text_col, id_col=id_col, k=contamination_k
         )
         survivors = survivors.join(
-            F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+            F.broadcast(flagged.select(F.col("doc_id").alias(id_col))), id_col, "left_anti"
         )
 
     assigned = split_assign(survivors, weights=split_weights, salt=split_salt, id_col=id_col)

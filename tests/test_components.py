@@ -88,3 +88,31 @@ def test_components_raise_rather_than_return_partial_labels(spark):
     pairs = _pairs(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_rounds=1).collect()
+
+
+def test_simhash_neardup_bits64_production_config(spark):
+    # the docstring-recommended production config: bit 63 is
+    # Long.MIN_VALUE, unreachable via positive literals
+    from fundus_spark.operators import simhash_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "other words here now")],
+        "doc_id long, text string",
+    )
+    rows = {(r.a, r.b): r.hamming for r in simhash_neardup_pairs(docs, bits=64, max_hamming=3).collect()}
+    assert rows.get((1, 2)) == 0
+
+
+def test_curate_corpus_respects_custom_id_col(spark):
+    from fundus_spark.plans import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (i, "s%d" % (i % 2), " ".join("w%d_%d" % (i, j) for j in range(30)))
+            for i in range(8)
+        ],
+        "my_id long, source string, text string",
+    )
+    out = curate_corpus(docs, id_col="my_id", pack_budget=100)
+    rows = out.select("my_id", "split", "pack_bin").collect()
+    assert len(rows) == 8
