@@ -33,9 +33,20 @@ from pyspark.sql import functions as F
 _BUCKETS = 2**32
 
 
-def hash_bucket(id_col: Column, salt: str = "") -> Column:
-    """Uniform bigint bucket in [0, 2^32) from (salt, id) — the first 8
-    md5 hex digits, identical in any md5-capable engine."""
+def hash_bucket(id_col: Column, salt: str = "", mode: str = "md5") -> Column:
+    """Uniform bigint bucket in [0, 2^32) from (salt, id).
+
+    * ``md5`` (default): first 8 md5 hex digits — identical in any
+      md5-capable engine, so the DuckDB oracle recomputes the exact
+      sample/split membership.
+    * ``xxhash64`` (production): Spark's native hash folded to 32 bits,
+      ~3-4x cheaper per row but engine-specific. Same twin-mode
+      contract as the minhash operators; a given corpus must pick ONE
+      mode and keep it — the two modes define different (equally valid)
+      sample/split universes.
+    """
+    if mode == "xxhash64":
+        return F.pmod(F.xxhash64(F.concat(F.lit(salt), id_col.cast("string"))), F.lit(_BUCKETS)).cast("bigint")
     return F.conv(F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8), 16, 10).cast("bigint")
 
 
@@ -44,11 +55,11 @@ def _threshold(rate: float) -> int:
 
 
 def deterministic_sample(
-    df: DataFrame, rate: float, salt: str = "", id_col: str = "doc_id"
+    df: DataFrame, rate: float, salt: str = "", id_col: str = "doc_id", mode: str = "md5"
 ) -> DataFrame:
     """Keep each row iff ``u(id) < rate``. A superset corpus always
     samples to a superset (per-row decisions are independent)."""
-    return df.where(hash_bucket(F.col(id_col), salt) < F.lit(_threshold(rate)))
+    return df.where(hash_bucket(F.col(id_col), salt, mode) < F.lit(_threshold(rate)))
 
 
 def stratified_sample(
@@ -58,6 +69,7 @@ def stratified_sample(
     default_rate: float = 0.0,
     salt: str = "",
     id_col: str = "doc_id",
+    mode: str = "md5",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (dataset mixing: e.g. keep 5%
     of crawl, 100% of curated). ``rates`` maps stratum value -> keep
@@ -71,7 +83,7 @@ def stratified_sample(
     thr: Column = F.lit(_threshold(default_rate))
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(_threshold(rate))).otherwise(thr)
-    return df.where(hash_bucket(F.col(id_col), salt) < thr)
+    return df.where(hash_bucket(F.col(id_col), salt, mode) < thr)
 
 
 def split_assign(
@@ -79,6 +91,7 @@ def split_assign(
     weights: Sequence[Tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
     salt: str = "split",
     id_col: str = "doc_id",
+    mode: str = "md5",
 ) -> DataFrame:
     """Assign every row a split label by cumulative hash-bucket ranges:
     with weights ((train, .9), (val, .05), (test, .05)), ids whose
@@ -87,7 +100,7 @@ def split_assign(
     communicate agree on the split, and growing the corpus never moves
     an existing row between splits. Weights must sum to ~1; the last
     split absorbs rounding."""
-    bucket = hash_bucket(F.col(id_col), salt)
+    bucket = hash_bucket(F.col(id_col), salt, mode)
     expr = F.lit(weights[-1][0])
     cum = 0.0
     bounds = []

@@ -70,3 +70,12 @@ def test_repetition_score_known_values(spark):
     # doc 2: grams 'one two'(7), 'two three'(9), 'three four'(10), all
     # unique -> dup 0, top = 10/26
     assert got[2] == (0.0, round(10 / 26, 4))
+
+
+def test_xxhash64_mode_same_properties_different_universe(spark):
+    a = {r.doc_id for r in deterministic_sample(_docs(spark, 300), 0.5, salt="x", mode="xxhash64").collect()}
+    b = {r.doc_id for r in deterministic_sample(_docs(spark, 600), 0.5, salt="x", mode="xxhash64").collect()}
+    assert a == {d for d in b if d < 300}  # growth-stable in production mode too
+    md5 = {r.doc_id for r in deterministic_sample(_docs(spark, 300), 0.5, salt="x").collect()}
+    assert a != md5  # distinct (equally valid) sample universes
+    assert 0.3 < len(a) / 300 < 0.7
