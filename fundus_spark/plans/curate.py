@@ -69,7 +69,16 @@ def curate_corpus(
     (input, parameters) alone, so reruns and incremental jobs agree.
     ``hash_mode="xxhash64"`` swaps the LSH shingle hash for the ~3-4x
     cheaper native hash at 100 TB (md5 default keeps the DuckDB oracle
-    exact — same twin-mode contract as the minhash operators)."""
+    exact — same twin-mode contract as the minhash operators).
+
+    Incremental contract: the quality gate, exact dedup, split, and
+    packing decisions are pure per-row functions of (row, parameters),
+    so they never flip when the corpus grows. Near-dup survivorship is
+    corpus-dependent by nature, but with monotonically increasing doc
+    ids a NEW document can never displace an existing survivor (the
+    canonical doc is the cluster minimum) — growth only ever removes
+    new docs, which is exactly the property an incremental append-only
+    curation run needs."""
     gated = docs.where(F.length(F.trim(F.col(text_col))) >= min_chars)
     rep = repetition_score(gated, text_col=text_col, id_col=id_col, n=2).where(
         F.col("dup_gram_frac") <= max_dup_gram_frac
