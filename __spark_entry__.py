@@ -1195,6 +1195,49 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass: inject a closed-form email/IP/phone per doc
+    (derived from doc_id, so both engines synthesize identical text),
+    scrub with the portable patterns, return clean text + counts."""
+    from fundus_spark.operators import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +"),
+            (F.col("doc_id") * 7 + F.lit(1000000000)).cast("string"),
+            F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 :: "), F.col("text"),
+        ).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
+def _pii_scrub_sql() -> str:
+    from fundus_spark.operators.pii import EMAIL_PATTERN, IPV4_PATTERN, PHONE_PATTERN
+
+    e, i, p = EMAIL_PATTERN, IPV4_PATTERN, PHONE_PATTERN
+    return f"""
+WITH injected AS (
+    SELECT doc_id,
+           'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or +'
+           || CAST(doc_id * 7 + 1000000000 AS VARCHAR) || ' at 10.0.'
+           || CAST(doc_id % 256 AS VARCHAR) || '.1 :: ' || text AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'),
+                                     '{i}', '<IP>', 'g'),
+                      '{p}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones
+FROM injected
+"""
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import quality_score
 
@@ -1600,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "corpus_stats": _q_corpus_stats,
         "repetition_score": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "winnowing": _q_winnowing,
@@ -1656,6 +1700,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
         "repetition_score": _REPETITION_SQL,
+        "pii_scrub": _pii_scrub_sql(),
         "language_id": _language_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "winnowing": _winnowing_sql(),

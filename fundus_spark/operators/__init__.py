@@ -14,6 +14,7 @@ from .dedup import (
 from .multimodal import media_features, media_frame_sample, media_resize
 from .packing import pack_by_budget
 from .pdf import pdf_extract_text
+from .pii import pii_scrub
 from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires, round_robin_merge
 from .robots import robots_gate
 from .sampling import deterministic_sample, hash_bucket, split_assign, stratified_sample
@@ -51,6 +52,7 @@ __all__ = [
     "repetition_score",
     "regex_filter",
     "pack_by_budget",
+    "pii_scrub",
     "robots_gate",
     "split_assign",
     "stratified_sample",

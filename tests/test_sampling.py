@@ -79,3 +79,20 @@ def test_xxhash64_mode_same_properties_different_universe(spark):
     md5 = {r.doc_id for r in deterministic_sample(_docs(spark, 300), 0.5, salt="x").collect()}
     assert a != md5  # distinct (equally valid) sample universes
     assert 0.3 < len(a) / 300 < 0.7
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from fundus_spark.operators import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex.org and b@x.co, server 192.168.0.1, call +4915112345678 now"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[1].clean_text == "mail <EMAIL> and <EMAIL>, server <IP>, call <PHONE> now"
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (2, 1, 1)
+    assert got[2].clean_text == "no pii here at all"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 0, 0)
