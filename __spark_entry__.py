@@ -1195,6 +1195,38 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained add-one bigram LM quality score (CCNet-style):
+    two count aggregations train the model, one equi-join scores every
+    doc by mean bigram log-probability."""
+    from fundus_spark.operators import bigram_logprob_score
+
+    return bigram_logprob_score(_read(spark, sf_dir, "documents"))
+
+
+_BIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+    SELECT doc_id, i AS pos, toks[i] AS w, len(toks) AS n
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t
+),
+inst AS (
+    SELECT a.doc_id, a.w AS w1, b.w AS w2
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
+v AS (SELECT COUNT(*) AS vocab FROM uni),
+bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM inst GROUP BY w1, w2)
+SELECT inst.doc_id,
+       ROUND(AVG(LN((bi.c2 + 1) / (uni.c1 + v.vocab))), 4) AS avg_logprob
+FROM inst
+JOIN bi USING (w1, w2)
+JOIN uni ON uni.w = inst.w1
+CROSS JOIN v
+GROUP BY inst.doc_id
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII hygiene pass: inject a closed-form email/IP/phone per doc
     (derived from doc_id, so both engines synthesize identical text),
@@ -1644,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "repetition_score": _q_repetition,
         "pii_scrub": _q_pii_scrub,
+        "bigram_logprob": _q_bigram_logprob,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "winnowing": _q_winnowing,
@@ -1701,6 +1734,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _CORPUS_STATS_SQL,
         "repetition_score": _REPETITION_SQL,
         "pii_scrub": _pii_scrub_sql(),
+        "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "language_id": _language_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "winnowing": _winnowing_sql(),

@@ -20,9 +20,18 @@ from .robots import robots_gate
 from .sampling import deterministic_sample, hash_bucket, split_assign, stratified_sample
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_bucketed_topk
 from .warc import warc_extract
-from .textstats import fingerprint, language_id, quality_score, repetition_score, token_count, winnowing_fingerprints
+from .textstats import (
+    bigram_logprob_score,
+    fingerprint,
+    language_id,
+    quality_score,
+    repetition_score,
+    token_count,
+    winnowing_fingerprints,
+)
 
 __all__ = [
+    "bigram_logprob_score",
     "boilerplate_page",
     "boilerplate_strip",
     "cosine_neardup_pairs",

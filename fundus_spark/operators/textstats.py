@@ -185,3 +185,49 @@ def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.round(F.col("_top") / F.col("_total"), 4).alias("top_gram_frac"),
         )
     )
+
+
+def bigram_logprob_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet/KenLM-style statistical quality score, self-trained: fit an
+    add-one-smoothed bigram language model on the corpus itself, then
+    score every document by its mean bigram log-probability
+    ``avg(ln((C(w1,w2)+1) / (C(w1)+V)))`` — unusually improbable word
+    sequences (garbled text, spam keyword stuffing) score low. Docs
+    with fewer than 2 tokens are dropped (no bigrams to score).
+
+    Everything is column algebra — the "training" is two
+    map-side-combinable count aggregations over the exploded bigram
+    relation, the "inference" one equi-join of bigram instances to
+    their counts. At fixture scale the model relations are broadcast-
+    size; at 100 TB they shuffle-join on the bigram key (hot-word skew
+    lands on stopword bigrams — AQE skew-join handles it) and the
+    model can be persisted once and reused across scoring runs.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")),
+        )
+    )
+    inst = df.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_size = uni.count()
+    bi = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        inst.join(bi, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(vocab_size)))), 4
+            ).alias("avg_logprob")
+        )
+    )
+    return scored

@@ -96,3 +96,18 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (2, 1, 1)
     assert got[2].clean_text == "no pii here at all"
     assert (got[2].n_emails, got[2].n_ips, got[2].n_phones) == (0, 0, 0)
+
+
+def test_bigram_logprob_known_values(spark):
+    import math
+
+    from fundus_spark.operators import bigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.avg_logprob for r in bigram_logprob_score(df).collect()}
+    # vocab = {a,b,c,solo} -> V=4, C(a)=3; C(a,b)=2, C(a,c)=1
+    assert got[1] == got[2] == round(math.log(3 / 7), 4)   # (2+1)/(3+4)
+    assert got[3] == round(math.log(2 / 7), 4)             # (1+1)/(3+4)
+    assert 4 not in got  # <2 tokens: no bigrams to score
