@@ -1195,6 +1195,34 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per doc with a deterministic (score desc,
+    term asc) tiebreak; WindowGroupLimit pushes the rank filter down."""
+    from fundus_spark.operators import tfidf_topk
+
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
+
+
+_TFIDF_SQL = """
+WITH terms AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+docfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, term, ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained add-one bigram LM quality score (CCNet-style):
     two count aggregations train the model, one equi-join scores every
@@ -1677,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": _q_repetition,
         "pii_scrub": _q_pii_scrub,
         "bigram_logprob": _q_bigram_logprob,
+        "tfidf_topk": _q_tfidf_topk,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "winnowing": _q_winnowing,
@@ -1735,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": _REPETITION_SQL,
         "pii_scrub": _pii_scrub_sql(),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
+        "tfidf_topk": _TFIDF_SQL,
         "language_id": _language_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "winnowing": _winnowing_sql(),

@@ -26,6 +26,7 @@ from .textstats import (
     language_id,
     quality_score,
     repetition_score,
+    tfidf_topk,
     token_count,
     winnowing_fingerprints,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "robots_gate",
     "split_assign",
     "stratified_sample",
+    "tfidf_topk",
     "round_robin_merge",
     "requires",
     "simhash",

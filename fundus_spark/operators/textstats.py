@@ -231,3 +231,37 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text", id_col: str = "d
         )
     )
     return scored
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-``k`` keywords per document by tf-idf (term frequency x
+    ``ln(N / doc_frequency)``), the classic topic-tagging signal.
+    Ordering is fully deterministic: score is rounded before ranking
+    and ties break on the term string, so the DuckDB oracle replays
+    the exact same window.
+
+    Scale shape: explode -> per-doc term counts (map-side combinable)
+    -> doc-frequency agg over distinct (doc, term) -> join -> per-doc
+    window top-k (WindowGroupLimit pushes the rank filter below the
+    sort at 100 TB). N is one count on the input relation.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(docfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )

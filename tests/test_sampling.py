@@ -111,3 +111,21 @@ def test_bigram_logprob_known_values(spark):
     assert got[1] == got[2] == round(math.log(3 / 7), 4)   # (2+1)/(3+4)
     assert got[3] == round(math.log(2 / 7), 4)             # (1+1)/(3+4)
     assert 4 not in got  # <2 tokens: no bigrams to score
+
+
+def test_tfidf_topk_known_ordering(spark):
+    import math
+
+    from fundus_spark.operators import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana shared"), (2, "cherry shared"), (3, "shared shared")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in tfidf_topk(df, k=2).collect()}
+    # 'shared' appears in all 3 docs -> idf = ln(1) = 0
+    assert rows[(1, 1)] == ("apple", round(2 * math.log(3), 6))
+    assert rows[(1, 2)] == ("banana", round(math.log(3), 6))
+    assert rows[(2, 1)] == ("cherry", round(math.log(3), 6))
+    assert rows[(2, 2)] == ("shared", 0.0)
+    assert rows[(3, 1)] == ("shared", 0.0)
