@@ -1189,8 +1189,10 @@ per_gram AS (
     FROM grams GROUP BY doc_id, gram
 )
 SELECT doc_id,
-       ROUND(SUM(glen * (c - 1)) / SUM(glen * c), 4) AS dup_gram_frac,
-       ROUND(MAX(glen * c) / SUM(glen * c), 4) AS top_gram_frac
+       CASE WHEN SUM(glen * c) > 0
+            THEN ROUND(SUM(glen * (c - 1)) / SUM(glen * c), 4) ELSE 0.0 END AS dup_gram_frac,
+       CASE WHEN SUM(glen * c) > 0
+            THEN ROUND(MAX(glen * c) / SUM(glen * c), 4) ELSE 0.0 END AS top_gram_frac
 FROM per_gram GROUP BY doc_id
 """
 

@@ -181,8 +181,15 @@ def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         )
         .select(
             "doc_id",
-            F.round(F.col("_dup") / F.col("_total"), 4).alias("dup_gram_frac"),
-            F.round(F.col("_top") / F.col("_total"), 4).alias("top_gram_frac"),
+            # _total = 0 iff the doc has no gram characters (empty or
+            # all-whitespace text): no repetition by definition, and an
+            # unguarded division crashes under ANSI mode
+            F.when(F.col("_total") > 0, F.round(F.col("_dup") / F.col("_total"), 4))
+            .otherwise(F.lit(0.0))
+            .alias("dup_gram_frac"),
+            F.when(F.col("_total") > 0, F.round(F.col("_top") / F.col("_total"), 4))
+            .otherwise(F.lit(0.0))
+            .alias("top_gram_frac"),
         )
     )
 

@@ -129,3 +129,13 @@ def test_tfidf_topk_known_ordering(spark):
     assert rows[(2, 1)] == ("cherry", round(math.log(3), 6))
     assert rows[(2, 2)] == ("shared", 0.0)
     assert rows[(3, 1)] == ("shared", 0.0)
+
+
+def test_repetition_score_handles_empty_and_null_text(spark):
+    from fundus_spark.operators import repetition_score
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, None), (4, "a b")], "doc_id long, text string")
+    got = {r.doc_id: (r.dup_gram_frac, r.top_gram_frac) for r in repetition_score(df, n=2).collect()}
+    assert got[1] == (0.0, 0.0) and got[2] == (0.0, 0.0)
+    assert 3 not in got  # null text contributes no grams, hence no row
+    assert got[4] == (0.0, 1.0)
