@@ -111,3 +111,22 @@ def test_dedup_survivors_broadcasts_component_labels(spark, entry):
     back to the corpus must broadcast, never shuffle the fact side."""
     plan = _plan(entry.queries()["dedup_survivors"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_is_narrow_zero_shuffle(spark, entry):
+    plan = _plan(entry.queries()["pii_scrub"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_tfidf_rank_filter_pushes_below_sort(spark, entry):
+    """row_number <= k must ride WindowGroupLimit (partial top-k before
+    the shuffle), not filter after a full per-doc sort."""
+    plan = _plan(entry.queries()["tfidf_topk"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_has_no_cartesian(spark, entry):
+    plan = _plan(entry.queries()["bigram_logprob"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
