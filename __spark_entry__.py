@@ -498,6 +498,42 @@ def _q_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", F.posexplode("signature").alias("perm", "minhash"))
 
 
+def _minhash_xxhash_sql(n_perm: int = 8, k: int = 4) -> str:
+    """Exact oracle for the PRODUCTION hash mode: Spark's xxhash64
+    (XXH64, seed 42) reimplemented in pure DuckDB SQL — HUGEINT modular
+    arithmetic with overflow-safe split multiplication, recursive CTEs
+    over byte positions (fundus_spark/xxh64_sql.py, self-tested against
+    Spark ground truth in tools/xxh64_sql.py). Upgrades minhash_xxhash
+    from a rows-only check to a fully value-gated query."""
+    from fundus_spark.xxh64_sql import xxh64_hash_cte
+
+    return f"""
+WITH RECURSIVE
+shing AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i) t
+),
+salted AS (
+    SELECT 'p' || CAST(j AS VARCHAR) || ':' || shingle AS s, shingle, j
+    FROM (SELECT DISTINCT shingle FROM shing),
+         (SELECT unnest(generate_series(0, {n_perm - 1})) AS j)
+),
+sset AS (SELECT DISTINCT s FROM salted),
+{xxh64_hash_cte('sset')},
+hashed AS (
+    SELECT salted.shingle, salted.j, (xh.h % 4294967296) AS h32
+    FROM salted JOIN xh USING (s)
+)
+SELECT shing.doc_id,
+       CAST(hashed.j AS INTEGER) AS perm,
+       CAST(MIN(hashed.h32) AS BIGINT) AS minhash
+FROM shing JOIN hashed USING (shingle)
+GROUP BY shing.doc_id, hashed.j
+"""
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import ngram_jaccard_pairs
 
@@ -1744,6 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _EVENTS_JSON_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_signatures": _minhash_oracle_sql(),
+        "minhash_xxhash": _minhash_xxhash_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "lsh_candidates": _lsh_candidates_sql(),
         "lsh_jaccard_verified": _lsh_jaccard_verified_sql(),
