@@ -5,9 +5,10 @@ transcripts table synthesized deterministically from the sf0.001
 ``documents`` parquet.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-(SURVEY.md §2 + the training-data ops), each with a DuckDB-runnable
-ANSI-SQL oracle unless genuinely non-SQL-expressible (those are marked
-rows-only below).
+(SURVEY.md §2 + the training-data ops), EVERY one with a
+DuckDB-runnable ANSI-SQL oracle — including the xxhash64 production
+pipeline, whose oracle reimplements Spark's XXH64 in pure SQL
+(``fundus_spark/xxh64_sql.py``).
 """
 
 from __future__ import annotations
@@ -488,9 +489,9 @@ def _minhash_oracle_sql(n_perm: int = 8, k: int = 4) -> str:
 
 def _q_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production hash mode: same minhash pipeline with native xxhash64
-    instead of md5 (not SQL-portable -> rows-only check by design; the
-    md5 twin above is the oracle-gated one). Benched side by side so
-    the md5-portability cost is measured, not guessed."""
+    instead of md5. Benched beside the md5 twin so the md5-portability
+    cost is measured, not guessed — and exactly value-gated like every
+    other query, via the pure-SQL XXH64 oracle (_minhash_xxhash_sql)."""
     from fundus_spark.operators import minhash_signatures
 
     docs = _read(spark, sf_dir, "documents")
