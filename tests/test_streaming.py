@@ -149,3 +149,47 @@ def test_stream_first_wins_dedup(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     keys = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
     assert keys == [("a", 0), ("a", 1), ("b", 0)]
+
+
+def test_stream_narrow_curation_ops_match_batch(spark, tmp_path):
+    """The narrow curation operators (PII scrub, split assignment,
+    deterministic sampling) are pure per-row maps, so the SAME operator
+    code composes with readStream unchanged — stream output must equal
+    the batch result row-for-row."""
+    from fundus_spark.operators import deterministic_sample, pii_scrub, split_assign
+
+    rows = [
+        (i, f"doc {i} mail u{i}@ex.org ip 10.0.0.{i % 256} words here")
+        for i in range(40)
+    ]
+    input_path = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(input_path)
+
+    def chain(df):
+        scrubbed = pii_scrub(df)
+        kept = deterministic_sample(scrubbed, 0.5, salt="s")
+        return split_assign(kept, salt="sp")
+
+    stream_df = chain(
+        spark.readStream.schema("doc_id long, text string").parquet(input_path)
+    )
+    assert stream_df.isStreaming
+    out_path = str(tmp_path / "docs_out")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "docs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        (r.doc_id, r.clean_text, r.split, r.n_emails, r.n_ips)
+        for r in chain(spark.read.parquet(input_path)).collect()
+    }
+    stream = {
+        (r.doc_id, r.clean_text, r.split, r.n_emails, r.n_ips)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert batch == stream and len(batch) > 0
