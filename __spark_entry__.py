@@ -814,6 +814,56 @@ FROM final
 """
 
 
+def _q_multisignal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-evidence dedup: text near-dup pairs (LSH -> Jaccard
+    verify) and embedding near-dup pairs (banded hyperplane LSH ->
+    exact cosine) merge into ONE edge set, and connected components
+    cluster over both signals — a doc pair linked by EITHER signal
+    lands in the same cluster. Demonstrates that the dedup operators
+    compose: each pair source keeps its own scale-correct shape and the
+    clustering consumes their union."""
+    from fundus_spark.operators import (
+        connected_components,
+        cosine_neardup_pairs,
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cands = lsh_candidate_pairs(docs, n_perm=8, bands=4, k=4)
+    tpairs = ngram_jaccard_pairs(docs, k=4, threshold=0.01, candidates=cands).select("a", "b")
+    vpairs = cosine_neardup_pairs(
+        emb, threshold=0.2, bands=4, rows_per_band=2, dim=64, bucket_cap=64
+    ).select("a", "b")
+    pairs = tpairs.union(vpairs).distinct()
+    comp = connected_components(pairs)
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
+def _multisignal_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE
+tpairs AS (SELECT a, b FROM ({_lsh_jaccard_verified_sql(8, 4, 4, 0.01)}) t),
+vpairs AS (SELECT a, b FROM ({_cosine_neardup_sql(0.2, 4, 2, 64, 42, 64)}) v),
+pairs AS (SELECT a, b FROM tpairs UNION SELECT a, b FROM vpairs),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp USING (doc_id)
+"""
+
+
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manku/Jain/Sarma bit-block SimHash dedup: pigeonhole banding on
     (max_hamming+1) signature blocks proposes candidates via equi-join,
@@ -1733,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "contamination": _q_contamination,
         "curate_corpus": _q_curate,
+        "multisignal_clusters": _q_multisignal_clusters,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup": _q_cosine_neardup,
@@ -1793,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": _dedup_survivors_sql(),
         "contamination": _CONTAMINATION_SQL,
         "curate_corpus": _curate_sql(),
+        "multisignal_clusters": _multisignal_clusters_sql(),
         "simhash": _simhash_sql(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_neardup": _cosine_neardup_sql(),
