@@ -829,12 +829,19 @@ def _q_multisignal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    from fundus_spark.operators.dedup import shingle_relation
+
     docs = _read(spark, sf_dir, "documents")
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    cands = lsh_candidate_pairs(docs, n_perm=8, bands=4, k=4)
-    tpairs = ngram_jaccard_pairs(docs, k=4, threshold=0.01, candidates=cands).select("a", "b")
+    # one distinct shingle relation feeds both the banding and the
+    # verify phase (Catalyst won't reuse the exchange across branches)
+    shingles = shingle_relation(docs, k=4).distinct()
+    cands = lsh_candidate_pairs(docs, n_perm=8, bands=4, k=4, shingles=shingles)
+    tpairs = ngram_jaccard_pairs(
+        docs, k=4, threshold=0.01, candidates=cands, shingles=shingles
+    ).select("a", "b")
     vpairs = cosine_neardup_pairs(
         emb, threshold=0.2, bands=4, rows_per_band=2, dim=64, bucket_cap=64
     ).select("a", "b")
@@ -1267,8 +1274,11 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REPETITION_SQL = """
 WITH grams AS (
+    -- text IS NOT NULL mirrors Spark: explode of a null gram array
+    -- emits no row, so null-text docs are absent from the output
     SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE text IS NOT NULL),
          LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i) t
 ),
 per_gram AS (
@@ -1377,13 +1387,16 @@ WITH injected AS (
     FROM documents
 )
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'),
-                                     '{i}', '<IP>', 'g'),
-                      '{p}', '<PHONE>', 'g') AS clean_text,
+       regexp_replace(after_ip, '{p}', '<PHONE>', 'g') AS clean_text,
        CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones
-FROM injected
+       CAST(len(regexp_extract_all(after_email, '{i}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(after_ip, '{p}')) AS BIGINT) AS n_phones
+FROM (
+    SELECT doc_id, text,
+           regexp_replace(text, '{e}', '<EMAIL>', 'g') AS after_email,
+           regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g') AS after_ip
+    FROM injected
+) staged
 """
 
 

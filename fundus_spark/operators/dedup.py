@@ -36,10 +36,13 @@ def _portable_hash32(col: Column, salt: str = "", mode: str = "md5") -> Column:
       recomputes the full pipeline exactly. One md5 per shingle,
       vectorized JVM-side.
     * ``xxhash64`` (production mode): Spark's native 64-bit xxHash
-      folded to 32 bits — ~3-4x cheaper per shingle than md5 but not
-      portable to the oracle. Use at 100 TB; keep md5 for
-      correctness-gated runs.
+      folded to 32 bits — ~3-4x cheaper per shingle than md5, and since
+      round 3 ALSO exactly oracle-gated (Spark's XXH64 is reimplemented
+      in pure DuckDB SQL, ``fundus_spark/xxh64_sql.py``); md5 remains
+      the default for engine-agnostic portability beyond DuckDB.
     """
+    if mode not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash mode {mode!r}: expected 'md5' or 'xxhash64'")
     if mode == "xxhash64":
         return F.pmod(F.xxhash64(F.concat(F.lit(salt), col)), F.lit(2**32)).cast("bigint")
     return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10).cast("bigint")

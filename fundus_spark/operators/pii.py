@@ -10,11 +10,11 @@ so the DuckDB oracle replays the exact same redactions — the same
 portability contract as the BPE pre-tokenizer in ``textstats``.
 
 Scale shape: a narrow per-row map — zero shuffles, pipelined into the
-scan. Replacement order is fixed (email, then IPv4, then phone) so
-counts and output are deterministic; counts are taken on the ORIGINAL
-text, where the three pattern classes are mutually non-overlapping by
-construction (emails contain no 9-digit runs or dotted quads, IPv4
-octets are too short for the phone rule).
+scan. Replacement order is fixed (email, then IPv4, then phone), and
+each class is COUNTED on the text as it stands when its replacement
+runs, so counts always reconcile with the placeholder tokens in the
+output even where the pattern classes overlap (a 9-digit run inside an
+email local part belongs to the email pass, not the phone pass).
 """
 
 from __future__ import annotations
@@ -29,20 +29,26 @@ PHONE_PATTERN = r"\+\d{9,15}\b"
 
 def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Returns ``(doc_id, clean_text, n_emails, n_ips, n_phones)`` with
-    each PII class replaced by a typed placeholder token."""
-    col = F.col(text_col)
+    each PII class replaced by a typed placeholder token.
 
-    def _count(pattern: str):
+    Each count is taken on the text as it stands when that class's
+    replacement runs (emails on the original, IPs after the email pass,
+    phones after both), so every count equals the number of its
+    placeholder tokens in ``clean_text`` even when patterns overlap —
+    e.g. a 9-digit run inside an email local part is consumed by the
+    email pass and correctly NOT counted as a phone."""
+    def _count(col, pattern: str):
         # group index 0 (whole match) must be explicit in Spark
         return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long")
 
-    clean = F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>")
-    clean = F.regexp_replace(clean, IPV4_PATTERN, "<IP>")
-    clean = F.regexp_replace(clean, PHONE_PATTERN, "<PHONE>")
+    col = F.col(text_col)
+    after_email = F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_PATTERN, "<IP>")
+    clean = F.regexp_replace(after_ip, PHONE_PATTERN, "<PHONE>")
     return df.select(
         F.col(id_col).alias("doc_id"),
         clean.alias("clean_text"),
-        _count(EMAIL_PATTERN).alias("n_emails"),
-        _count(IPV4_PATTERN).alias("n_ips"),
-        _count(PHONE_PATTERN).alias("n_phones"),
+        _count(col, EMAIL_PATTERN).alias("n_emails"),
+        _count(after_email, IPV4_PATTERN).alias("n_ips"),
+        _count(after_ip, PHONE_PATTERN).alias("n_phones"),
     )

@@ -45,6 +45,10 @@ def hash_bucket(id_col: Column, salt: str = "", mode: str = "md5") -> Column:
       mode and keep it — the two modes define different (equally valid)
       sample/split universes.
     """
+    if mode not in ("md5", "xxhash64"):
+        # a typo'd mode silently selecting the other hash would put the
+        # run in a different sample/split universe — fail at build time
+        raise ValueError(f"unknown hash mode {mode!r}: expected 'md5' or 'xxhash64'")
     if mode == "xxhash64":
         return F.pmod(F.xxhash64(F.concat(F.lit(salt), id_col.cast("string"))), F.lit(_BUCKETS)).cast("bigint")
     return F.conv(F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8), 16, 10).cast("bigint")

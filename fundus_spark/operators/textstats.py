@@ -225,15 +225,20 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text", id_col: str = "d
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    vocab_size = uni.count()
+    # vocab size as a lazy scalar-aggregate cross join (the SQL
+    # oracle's `v` CTE shape), NOT an eager .count(): no extra corpus
+    # scan at operator-construction time, and the plan stays a single
+    # lazy DAG (usable under readStream)
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab"))
     bi = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     scored = (
         inst.join(bi, ["w1", "w2"])
         .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.avg(F.log((F.col("c2") + 1) / (F.col("c1") + F.lit(vocab_size)))), 4
+                F.avg(F.log((F.col("c2") + 1) / (F.col("c1") + F.col("vocab")))), 4
             ).alias("avg_logprob")
         )
     )
@@ -254,17 +259,19 @@ def tfidf_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k:
     """
     from pyspark.sql import Window
 
-    n_docs = df.count()
+    # corpus size as a lazy scalar aggregate (no eager .count() job,
+    # no extra scan; see bigram_logprob_score note)
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     terms = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(docfreq, "term").select(
+    scored = tf.join(docfreq, "term").crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

