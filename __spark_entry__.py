@@ -740,14 +740,14 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "split", "n_tokens", "pack_offset", "pack_bin")
 
 
-def _curate_sql() -> str:
+def _curate_sql(docs_rel: str = "documents") -> str:
     b = 2**32
     t_train = int(0.9 * b)
     t_val = int(0.95 * b)
     return f"""
 WITH RECURSIVE
 base AS (
-    SELECT * FROM documents
+    SELECT * FROM {docs_rel}
     WHERE source <> 'src0' AND LENGTH(TRIM(text)) >= 20
 ),
 grams2 AS (
@@ -788,7 +788,7 @@ shc AS (
 ),
 bench AS (
     SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS shingle
-    FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE source = 'src0'),
+    FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM {docs_rel} WHERE source = 'src0'),
          LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i) t
 ),
 contaminated AS (SELECT DISTINCT shc.doc_id FROM shc JOIN bench USING (shingle)),
@@ -812,6 +812,52 @@ SELECT doc_id, source, split, n_tokens,
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS pack_bin
 FROM final
 """
+
+
+def _q_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone end-to-end: .warc.gz bytes -> WARC records -> HTML
+    -> article extraction (the zero-shuffle mapInArrow kernel stage) ->
+    the FULL curation chain (quality gate, exact + near-dup dedup,
+    decontamination, split, packing). A user's entire
+    crawl-to-training-corpus pipeline as one gated plan; the oracle is
+    the composed curate SQL over the closed-form extracted plaintext."""
+    from fundus_spark.operators import warc_extract
+    from fundus_spark.plans import curate_corpus, extract_articles
+    from fundus_spark.sources.warc_gen import documents_as_warcs
+
+    warcs = documents_as_warcs(_read(spark, sf_dir, "documents"), wrap_html=True)
+    records = warc_extract(warcs)
+    transcripts = records.select(
+        F.col("source").alias("conv_id"),
+        F.col("record_idx").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.col("html").alias("text"),
+        F.lit("generic").alias("tool"),
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias("ts"),
+    )
+    extracted = extract_articles(transcripts)
+    docs = extracted.select(
+        F.regexp_extract("title", r"^Document (\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("conv_id").alias("source"),
+        F.col("plaintext").alias("text"),
+    )
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    out = curate_corpus(
+        corpus,
+        benchmark=bench,
+        min_chars=20,
+        max_dup_gram_frac=0.9,
+        jaccard_threshold=0.01,
+        contamination_k=8,
+        pack_budget=4096,
+    )
+    return out.select("doc_id", "source", "split", "n_tokens", "pack_offset", "pack_bin")
+
+
+_EXTRACTED_DOCS_REL = (
+    "(SELECT doc_id, source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text FROM documents)"
+)
 
 
 def _q_multisignal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1797,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "curate_corpus": _q_curate,
         "multisignal_clusters": _q_multisignal_clusters,
+        "crawl_to_corpus": _q_crawl_to_corpus,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup": _q_cosine_neardup,
@@ -1858,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "curate_corpus": _curate_sql(),
         "multisignal_clusters": _multisignal_clusters_sql(),
+        "crawl_to_corpus": _curate_sql(docs_rel=_EXTRACTED_DOCS_REL),
         "simhash": _simhash_sql(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "cosine_neardup": _cosine_neardup_sql(),
