@@ -1,5 +1,6 @@
 from .assemble import assemble_conversations, ordered_turns
 from .curate import curate_corpus
+from .curate_job import CurateJobResult, run_curate_job
 from .extract_stage import EXTRACTION_SCHEMA, extract_articles
 from .job import JobResult, run_extraction_job
 from .session import build_session

@@ -1,0 +1,62 @@
+"""Stage-checkpointed resumable curation job (`plans/curate_job.py`):
+each stage writes to the lake and commits to a manifest; a re-submit
+reads committed stages back instead of recomputing. Determinism means
+a resumed run yields the identical corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from fundus_spark.plans import curate_corpus, run_curate_job
+
+
+def _docs(spark):
+    rows = [
+        (i, "s%d" % (i % 3), " ".join("w%d_%d" % (i % 6, j) for j in range(25)))
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_job_matches_inline_chain_and_resumes(spark, tmp_path):
+    docs = _docs(spark)
+    bench = docs.where("source = 's0'")
+    corpus = docs.where("source <> 's0'")
+    wd = str(tmp_path / "curate_wd")
+
+    r1 = run_curate_job(spark, corpus, wd, benchmark=bench, jaccard_threshold=0.2)
+    assert r1.stages_run == ["gated", "deduped", "survivors", "final"]
+    assert r1.stages_resumed == []
+
+    inline = curate_corpus(corpus, benchmark=bench, jaccard_threshold=0.2)
+    got = {
+        (r.doc_id, r.split, r.pack_offset, r.pack_bin)
+        for r in spark.read.parquet(os.path.join(wd, "final")).collect()
+    }
+    want = {(r.doc_id, r.split, r.pack_offset, r.pack_bin) for r in inline.collect()}
+    assert got == want and r1.rows_out == len(want)
+
+    # full resume: nothing recomputed
+    r2 = run_curate_job(spark, corpus, wd, benchmark=bench, jaccard_threshold=0.2)
+    assert r2.stages_run == [] and r2.stages_resumed == ["gated", "deduped", "survivors", "final"]
+    assert r2.rows_out == r1.rows_out
+
+
+def test_job_resumes_from_last_committed_stage(spark, tmp_path):
+    docs = _docs(spark)
+    corpus = docs.where("source <> 's0'")
+    wd = str(tmp_path / "curate_wd2")
+    run_curate_job(spark, corpus, wd, jaccard_threshold=0.2)
+
+    # simulate a crash after 'deduped' committed: drop the last two
+    # manifest commits (their stage dirs may exist — retry overwrites)
+    manifest = os.path.join(wd, "_curate_manifest.json")
+    lines = [l for l in open(manifest) if json.loads(l)["stage"] in ("gated", "deduped")]
+    open(manifest, "w").writelines(lines)
+
+    r = run_curate_job(spark, corpus, wd, jaccard_threshold=0.2)
+    assert r.stages_resumed == ["gated", "deduped"]
+    assert r.stages_run == ["survivors", "final"]
+    assert r.rows_out > 0
