@@ -1340,6 +1340,36 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy (bits/char) — low-entropy junk
+    detector; bounded lambda-bound within-row array algebra."""
+    from fundus_spark.operators import char_entropy
+
+    return char_entropy(_read(spark, sf_dir, "documents"), max_chars=2048)
+
+
+_CHAR_ENTROPY_SQL = """
+WITH base AS (
+    SELECT doc_id, substr(trim(text), 1, 2048) AS s
+    FROM documents WHERE text IS NOT NULL
+),
+chars AS (
+    SELECT doc_id, substr(s, i, 1) AS ch
+    FROM base, LATERAL (SELECT unnest(generate_series(1, len(s))) AS i) t
+    WHERE len(s) > 0
+),
+freq AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id),
+e AS (
+    SELECT freq.doc_id, -SUM((c / n) * log2(c / n)) AS ent
+    FROM freq JOIN tot USING (doc_id) GROUP BY freq.doc_id
+)
+SELECT doc_id, ROUND(ent, 4) AS entropy_bits FROM e
+UNION ALL
+SELECT doc_id, 0.0 AS entropy_bits FROM base WHERE len(s) = 0
+"""
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf keywords per doc with a deterministic (score desc,
     term asc) tiebreak; WindowGroupLimit pushes the rank filter down."""
@@ -1856,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "bigram_logprob": _q_bigram_logprob,
         "tfidf_topk": _q_tfidf_topk,
+        "char_entropy": _q_char_entropy,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
         "winnowing": _q_winnowing,
@@ -1918,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "tfidf_topk": _TFIDF_SQL,
+        "char_entropy": _CHAR_ENTROPY_SQL,
         "language_id": _language_id_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "winnowing": _winnowing_sql(),

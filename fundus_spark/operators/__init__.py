@@ -22,6 +22,7 @@ from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_buckete
 from .warc import warc_extract
 from .textstats import (
     bigram_logprob_score,
+    char_entropy,
     fingerprint,
     language_id,
     quality_score,
@@ -34,6 +35,7 @@ from .textstats import (
 __all__ = [
     "bigram_logprob_score",
     "boilerplate_page",
+    "char_entropy",
     "boilerplate_strip",
     "cosine_neardup_pairs",
     "cosine_topk",

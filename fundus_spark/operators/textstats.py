@@ -279,3 +279,39 @@ def tfidf_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k:
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_chars: int = 2048
+) -> DataFrame:
+    """Shannon entropy (bits/char) of the character distribution over
+    the first ``max_chars`` characters — the classic low-entropy junk
+    detector (repetitive filler, padding, encoded blobs score low;
+    natural text sits ~4 bits/char). Pure within-row array algebra:
+    O(distinct_chars x len) per doc via lambda-BOUND arrays (binding
+    the char array once keeps Catalyst from inlining it per element —
+    the winnowing lesson), bounded by ``max_chars``. Zero shuffles.
+    Docs with empty/null text yield entropy 0.0 / no row respectively
+    (split of null emits nothing through explode-free select: null in,
+    null out -> filtered)."""
+    raw = F.split(F.substring(F.trim(F.col(text_col)), 1, max_chars), "")
+    # defensively drop empty split artifacts, then BIND the char array
+    # to a lambda variable via the one-element-array wrapper (the
+    # winnowing lesson above): referencing the split EXPRESSION inside
+    # the nested per-distinct-char filter would let Catalyst inline and
+    # recompute the split once per (distinct char x char) — O(n^2)
+    ent = F.transform(
+        F.array(F.filter(raw, lambda c: c != F.lit(""))),
+        lambda cs: F.when(F.size(cs) > 0, F.aggregate(
+            F.transform(
+                F.array_distinct(cs),
+                lambda c: F.size(F.filter(cs, lambda x: x == c)) / F.size(cs),
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc - p * F.log2(p),
+        )).otherwise(F.lit(0.0)),
+    )[0]
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.round(ent, 4).alias("entropy_bits"))
+    )

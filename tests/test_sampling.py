@@ -152,3 +152,20 @@ def test_pii_counts_reconcile_with_placeholders_on_overlap(spark):
     r = pii_scrub(df).collect()[0]
     assert r.clean_text == "write to <EMAIL> today"
     assert (r.n_emails, r.n_ips, r.n_phones) == (1, 0, 0)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from fundus_spark.operators import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.entropy_bits for r in char_entropy(df).collect()}
+    assert got[1] == 0.0          # single symbol -> zero entropy
+    assert got[2] == 1.0          # two equiprobable symbols -> 1 bit
+    assert got[3] == round(math.log2(4), 4)  # four equiprobable -> 2 bits
+    assert got[4] == 0.0          # empty text -> defined as 0
+    assert 5 not in got           # null text -> no row (oracle parity)
