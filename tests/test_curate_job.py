@@ -60,3 +60,11 @@ def test_job_resumes_from_last_committed_stage(spark, tmp_path):
     assert r.stages_resumed == ["gated", "deduped"]
     assert r.stages_run == ["survivors", "final"]
     assert r.rows_out > 0
+
+
+def test_curate_materialization_flag_does_not_change_results(spark):
+    docs = _docs(spark)
+    a = curate_corpus(docs, jaccard_threshold=0.2, materialize_stages=True)
+    b = curate_corpus(docs, jaccard_threshold=0.2, materialize_stages=False)
+    key = lambda r: (r.doc_id, r.split, r.pack_offset, r.pack_bin)  # noqa: E731
+    assert {key(r) for r in a.collect()} == {key(r) for r in b.collect()}
