@@ -49,12 +49,23 @@ def _portable_hash32(col: Column, salt: str = "", mode: str = "md5") -> Column:
 
 
 def word_shingles(text_col: Column, k: int = 4) -> Column:
-    """Array of word k-grams (space-joined)."""
+    """Array of word k-grams (space-joined).
+
+    The token array is BOUND to a lambda variable via the one-element
+    array wrapper: referencing the split EXPRESSION inside the
+    per-position transform would let Catalyst inline and re-evaluate
+    the full split once per shingle — O(tokens^2) per row (a 40k-token
+    document took minutes; bound, milliseconds)."""
     toks = F.split(F.trim(text_col), r"\s+")
-    n = F.size(toks)
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
+    return F.transform(
+        F.array(toks),
+        lambda ts: F.when(F.size(ts) < k, F.array(F.concat_ws(" ", ts))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - k + 1),
+                lambda i: F.concat_ws(" ", F.slice(ts, i, k)),
+            )
+        ),
+    )[0]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

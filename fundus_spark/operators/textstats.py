@@ -123,24 +123,31 @@ def winnowing_fingerprints(
     payloads). Hashes are md5-derived (first 8 hex chars as int64) so
     the DuckDB oracle recomputes them exactly; swap xxhash64 for
     production like minhash's hash_mode."""
+    # BOTH heavy intermediates are bound to lambda variables via the
+    # one-element-array wrapper: the normalized+clipped STRING first
+    # (else the whitespace regexp_replace re-runs per k-gram AND per
+    # window — measured 18s on one 200KB doc, sub-second bound), then
+    # the hash ARRAY (else the full k-gram hash array recomputes per
+    # window — O(n^2) md5 calls).
     normalized = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     clipped = F.substring(normalized, 1, max_chars)
-    n_grams = F.greatest(F.length(clipped) - F.lit(k - 1), F.lit(0))
-    gram_hash = lambda i: F.conv(F.substring(F.md5(F.substring(clipped, i, k)), 1, 8), 16, 10).cast("long")  # noqa: E731
-    hashes = F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash)
-    n_windows = F.greatest(n_grams - F.lit(window - 1), F.lit(1))
-    # bind the hash array to a lambda variable via a one-element array
-    # wrapper: referencing the `hashes` EXPRESSION inside each window's
-    # array_min would let Catalyst inline and recompute the full k-gram
-    # hash array per window — O(n^2) md5 calls per row (measured: a
-    # 500-doc batch went from minutes to sub-second with the binding).
-    minima = F.transform(
-        F.array(hashes),
-        lambda hs: F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(hs, j, F.least(F.lit(window), n_grams))),
-        ),
-    )[0]
+
+    def _winnow(s):
+        ng = F.greatest(F.length(s) - F.lit(k - 1), F.lit(0))
+        hashes = F.transform(
+            F.sequence(F.lit(1), F.greatest(ng, F.lit(1))),
+            lambda i: F.conv(F.substring(F.md5(F.substring(s, i, k)), 1, 8), 16, 10).cast("long"),
+        )
+        n_windows = F.greatest(ng - F.lit(window - 1), F.lit(1))
+        return F.transform(
+            F.array(hashes),
+            lambda hs: F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(hs, j, F.least(F.lit(window), ng))),
+            ),
+        )[0]
+
+    minima = F.transform(F.array(clipped), _winnow)[0]
     return (
         df.select("doc_id", F.explode(F.array_distinct(minima)).alias("fp"))
         .where(F.col("fp").isNotNull())
@@ -164,10 +171,12 @@ def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     O(grams²). Ties in ``top_gram_frac`` need no tiebreak — only the
     maximal char mass is reported, not the gram.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    from .dedup import word_shingles
+
+    # word_shingles binds the token array (one-element-array wrapper)
+    # so Catalyst cannot inline the split per gram — O(tokens^2)
+    # otherwise (one 40k-token doc took 196s; bound, <2s)
+    grams = word_shingles(F.col(text_col), n)
     exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
     per_gram = exploded.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("c"), F.length(F.col("gram")).alias("glen")
@@ -211,12 +220,19 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text", id_col: str = "d
     model can be persisted once and reused across scoring runs.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")),
-        )
-    )
+    # bind the token array: referencing the split expression inside the
+    # per-position lambda would re-evaluate it per bigram (O(tokens^2))
+    bigrams = F.transform(
+        F.array(toks),
+        lambda ts: F.when(
+            F.size(ts) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 1),
+                lambda i: F.struct(F.element_at(ts, i).alias("w1"), F.element_at(ts, i + 1).alias("w2")),
+            )
+        ),
+    )[0]
     inst = df.select(F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bg")).select(
         "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )

@@ -169,3 +169,21 @@ def test_char_entropy_known_values(spark):
     assert got[3] == round(math.log2(4), 4)  # four equiprobable -> 2 bits
     assert got[4] == 0.0          # empty text -> defined as 0
     assert 5 not in got           # null text -> no row (oracle parity)
+
+
+def test_large_row_operators_are_linear_not_quadratic(spark):
+    """One 40k-token document through the gram/shingle family. With the
+    token/string arrays lambda-BOUND these run in seconds; if a refactor
+    lets Catalyst inline the split per position again (O(tokens^2)),
+    they take minutes — the bound is generous but catches that class."""
+    import time
+
+    from fundus_spark.operators import minhash_signatures, repetition_score, winnowing_fingerprints
+
+    big = " ".join("tok%d" % (i % 997) for i in range(40000))
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    t0 = time.time()
+    assert repetition_score(df).count() == 1
+    assert winnowing_fingerprints(df).count() > 0
+    assert minhash_signatures(df).count() == 1
+    assert time.time() - t0 < 120, "gram/shingle operators regressed to quadratic per-row cost"
