@@ -18,13 +18,19 @@ from typing import Optional
 
 from .dom import Element
 from .langdata import (
+    BG_CHARS,
     CYRILLIC_RANGE,
+    DEVANAGARI_MARKERS,
+    FA_CHARS,
+    MK_CHARS,
     RU_CHARS,
+    RU_NOT_BG_CHARS,
     SCRIPT_RANGES,
     SIBLING_CHARGRAMS,
     SIBLING_MARKERS,
     STOPWORDS,
     UK_CHARS,
+    UR_CHARS,
     VI_CHARS,
 )
 
@@ -39,18 +45,59 @@ _CYRILLIC_RE = re.compile(f"[{CYRILLIC_RANGE[0]}-{CYRILLIC_RANGE[1]}]")
 def script_language(text: str, min_hits: int = 10) -> Optional[str]:
     """Unicode-script vote for non-Latin scripts (deterministic:
     ranges checked in fixed order; kana beats han so ja beats zh on
-    mixed text; uk/ru disambiguated by orthography-unique letters)."""
+    mixed text). Shared scripts get a second-stage vote: Devanagari
+    splits hi/mr/ne by function-word markers (hi default), Arabic
+    script splits ar/fa/ur by orthography-unique letters (Urdu checked
+    first — Persian's extra letters all exist in Urdu), and Cyrillic
+    splits ru/uk/bg/mk by orthography-unique letters."""
     sample = text[:4000]
     for code, pattern in _SCRIPT_RES:
         if len(pattern.findall(sample)) >= min_hits:
+            if code == "hi":
+                return _devanagari_language(sample)
+            if code == "ar":
+                return _arabic_script_language(sample)
             return code
     if len(_CYRILLIC_RE.findall(sample)) >= min_hits:
-        uk = sum(1 for ch in sample if ch in UK_CHARS)
-        ru = sum(1 for ch in sample if ch in RU_CHARS)
-        return "uk" if uk > ru else "ru"
+        return _cyrillic_language(sample)
     if sum(1 for ch in sample if ch in VI_CHARS) >= min_hits:
         return "vi"
     return None
+
+
+def _devanagari_language(sample: str) -> str:
+    tallies = [
+        (code, sum(sample.count(m) for m in markers)) for code, markers in DEVANAGARI_MARKERS
+    ]
+    best = max(tallies, key=lambda kv: kv[1])
+    return best[0] if best[1] > 0 else "hi"
+
+
+def _arabic_script_language(sample: str) -> str:
+    # Urdu first: its retroflex/do-chashmi letters are unique, while
+    # Persian's پ/چ/ژ/گ also occur in Urdu text.
+    if sum(1 for ch in sample if ch in UR_CHARS) >= 2:
+        return "ur"
+    if sum(1 for ch in sample if ch in FA_CHARS) >= 2:
+        return "fa"
+    return "ar"
+
+
+def _cyrillic_language(sample: str) -> str:
+    if sum(1 for ch in sample if ch in MK_CHARS) >= 2:
+        return "mk"
+    uk = sum(1 for ch in sample if ch in UK_CHARS)
+    ru = sum(1 for ch in sample if ch in RU_CHARS)
+    if uk > ru:
+        return "uk"
+    # Bulgarian reads ъ as a frequent vowel; Russian text always shows
+    # ы/э/ё long before its rare separator-ъ appears.
+    if (
+        sum(1 for ch in sample if ch in BG_CHARS) >= 2
+        and sum(1 for ch in sample if ch in RU_NOT_BG_CHARS) == 0
+    ):
+        return "bg"
+    return "ru"
 
 
 def html_lang(doc: Element) -> Optional[str]:

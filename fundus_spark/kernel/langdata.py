@@ -46,6 +46,27 @@ STOPWORDS: List[Tuple[str, FrozenSet[str]]] = [
     ("ms", frozenset("dan yang di ini itu dengan untuk dari dalam pada tidak akan adalah ke juga boleh kerana selepas".split())),
     ("zu", frozenset("ukuthi futhi ngoba uma noma kodwa lokhu khona manje kakhulu kanye nje lapho ngesikhathi".split())),
     ("xh", frozenset("ukuba kwaye ngoba xa kodwa oku kuba apha ngoku kakhulu kunye kuphela emva phambi".split())),
+    # round-4 breadth: the remaining langdetect Latin-script languages
+    # (langdetect profile set minus prior coverage), so the validated
+    # `lang` attribute degrades gracefully on off-corpus CC-NEWS input.
+    # Appended at the END — established profiles keep their tie-breaks.
+    # Cross-profile shared words are pruned per the module convention
+    # (e.g. fi/et share ja/on/ei; af shares most core words with nl —
+    # those pairs keep only their distinctive words, and af/nl + cs/sk
+    # get SIBLING_MARKERS below).
+    ("fi", frozenset("että hän oli mutta myös ovat niin vain kun jos mukaan hänen sanoo jotka voi vuonna".split())),
+    ("et", frozenset("et ta aga kui oma siis nagu välja üle ning juba kus selle tema või veel".split())),
+    ("hu", frozenset("az és hogy nem egy meg már csak volt mint még vagy szerint ezt azt ha".split())),
+    ("lv", frozenset("un ka par ar uz arī tika gada pēc tiek vairāk savu kas viņš bija lai".split())),
+    ("sk", frozenset("sa je že som už aj pre ako podľa ale roku ktorý bol tento môže byť".split())),
+    ("sl", frozenset("in je da se na za so bi pa tudi kot ki še bo lahko ni".split())),
+    ("hr", frozenset("i u na je su od kao ali iz će bio nije biti ima još samo".split())),
+    ("ca", frozenset("els amb què més però també fins molt dels seva aquest ha estat entre ja sobre".split())),
+    ("sq", frozenset("dhe në të një për me nga është si më po ka do kjo këtë e".split())),
+    ("af", frozenset("nie vir word hulle baie gesê ons teen oor sal wees jaar deur het dit".split())),
+    ("cy", frozenset("yn y yr ei bod wedi gan am fod hefyd ond mae roedd hyn wrth".split())),
+    ("so", frozenset("iyo oo ka ku ay waa uu loo soo kale laga waxaa ayaa inuu dhan".split())),
+    ("tl", frozenset("ang ng sa na mga ay at para hindi ito kanyang mula noong ngunit din siya".split())),
 ]
 
 STOPWORD_CODES = [code for code, _ in STOPWORDS]
@@ -53,6 +74,10 @@ STOPWORD_MAP: Dict[str, FrozenSet[str]] = dict(STOPWORDS)
 
 # script ranges: (code, ranges) — first match with enough hits wins.
 # uk vs ru disambiguation: characters unique to each orthography.
+# Rows whose script is shared by several langdetect languages carry a
+# second-stage discriminator: Devanagari (hi/mr/ne) by function-word
+# substrings, Arabic script (ar/fa/ur) by orthography-unique letters,
+# Cyrillic (ru/uk/bg/mk) by orthography-unique letters.
 SCRIPT_RANGES: List[Tuple[str, str]] = [
     ("ja", "぀-ヿ"),  # hiragana + katakana
     ("ko", "가-힯ᄀ-ᇿ"),  # hangul
@@ -60,13 +85,43 @@ SCRIPT_RANGES: List[Tuple[str, str]] = [
     ("he", "֐-׿"),
     ("el", "Ͱ-Ͽ"),
     ("th", "฀-๿"),
-    ("hi", "ऀ-ॿ"),  # devanagari
-    ("ar", "؀-ۿ"),
+    ("hi", "ऀ-ॿ"),  # devanagari (hi default; mr/ne via markers below)
+    ("bn", "ঀ-৿"),  # bengali
+    ("pa", "਀-੿"),  # gurmukhi
+    ("gu", "઀-૿"),  # gujarati
+    ("ta", "஀-௿"),  # tamil
+    ("te", "ఀ-౿"),  # telugu
+    ("kn", "ಀ-೿"),  # kannada
+    ("ml", "ഀ-ൿ"),  # malayalam
+    ("ar", "؀-ۿ"),  # arabic script (ar default; fa/ur via letters below)
 ]
 
 UK_CHARS = frozenset("іїєґІЇЄҐ")
 RU_CHARS = frozenset("ыэъёЫЭЪЁ")
 CYRILLIC_RANGE = ("Ѐ", "ӿ")
+# Macedonian-unique Cyrillic letters (ѕ/ѓ/ќ exist in no other standard
+# orthography; љ/њ/џ are shared with Serbian so excluded)
+MK_CHARS = frozenset("ѕѓќЅЃЌ")
+# Bulgarian: no unique letters, but ъ is a frequent VOWEL (~2-4% of
+# letters) while Russian uses it only as a rare separator — so "ъ
+# present, ы/э/ё absent" separates bg from ru deterministically.
+BG_CHARS = frozenset("ъЪ")
+RU_NOT_BG_CHARS = frozenset("ыэёЫЭЁ")
+
+# Arabic-script discrimination: Urdu's retroflex/do-chashmi letters
+# exist in neither Persian nor Arabic; Persian's four extra letters
+# (پ چ ژ گ) exist in Urdu too, so Urdu must be checked FIRST.
+UR_CHARS = frozenset("ٹڈڑںےہھۓ")
+FA_CHARS = frozenset("پچژگ")
+
+# Devanagari discrimination (hi/mr/ne share the script; langdetect
+# separates them statistically): space-delimited function-word
+# substrings unique to each language's prose.
+DEVANAGARI_MARKERS: List[Tuple[str, Tuple[str, ...]]] = [
+    ("mr", (" आहे", " आणि", " च्या", " मध्ये", " केली", " असून", " झाले")),
+    ("ne", (" छ।", " छन्", " गरेको", " भएको", " लागि", " गर्दै", " रहेको")),
+    ("hi", (" है", " और", " की", " में", " नहीं", " के लिए", " हैं")),
+]
 
 # Sibling-language discrimination: da/no (bokmål) share most function
 # words, so the stopword vote ties on real Danish/Norwegian text. These
@@ -110,6 +165,24 @@ _EXTRA_SIBLINGS = [
         {
             "zu": frozenset("ukuthi futhi uma manje kanye lokhu lapho".split()),
             "xh": frozenset("ukuba kwaye xa ngoku kunye oku apha".split()),
+        },
+    ),
+    # Czech/Slovak: shared West-Slavic core; orthography-divergent
+    # cognates (když/keď, ještě/ešte, protože/pretože, řekl/povedal)
+    (
+        frozenset({"cs", "sk"}),
+        {
+            "cs": frozenset("když ještě protože také řekl které jsou jsem byl být".split()),
+            "sk": frozenset("keď ešte pretože tiež povedal ktoré sú som bol byť".split()),
+        },
+    ),
+    # Afrikaans/Dutch: af evolved from nl and shares most core function
+    # words; divergent cognates (nie/niet, gesê/gezegd, word/wordt)
+    (
+        frozenset({"af", "nl"}),
+        {
+            "af": frozenset("nie hulle baie gesê word sal wees hierdie geword teen".split()),
+            "nl": frozenset("niet zij veel gezegd wordt zullen zijn deze geworden tegen".split()),
         },
     ),
 ]

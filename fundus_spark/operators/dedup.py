@@ -329,6 +329,7 @@ def dedup_survivors(
     id_col: str = "doc_id",
     a_col: str = "a",
     b_col: str = "b",
+    broadcast_max_rows: int = 10_000_000,
 ) -> DataFrame:
     """First-wins survivor selection over near-duplicate clusters: every
     document gets ``cluster_id`` = min id in its connected component
@@ -338,15 +339,24 @@ def dedup_survivors(
     LSH -> verify -> cluster -> keep-one dedup chain for training-data
     pipelines.
 
-    Scale shape: the component relation is |clustered nodes| rows (tiny
-    vs the corpus — only docs that had a near-dup pair), so the final
-    join is broadcastable; survivors are selected with a filter, not a
-    window over the corpus.
+    Scale shape: the component relation is |clustered nodes| rows (only
+    docs that had a near-dup pair) — usually tiny vs the corpus, so the
+    final join broadcasts. But "usually" is corpus-dependent: a
+    pathological corpus where most documents have a near-dup would blow
+    an unconditional broadcast, so the label relation is broadcast only
+    while it is under ``broadcast_max_rows`` (~10M (long, long) rows
+    ≈ 160 MB — safely under a 1-2 GiB executor broadcast budget);
+    above that it falls back to a plain shuffle hash join on the id —
+    same result, one extra exchange. The count is one action over the
+    already-checkpointed label relation, so it costs no recompute.
     """
     comp = connected_components(pairs, a_col, b_col)
+    # comp is localCheckpoint-materialized by connected_components, so
+    # this count reads the cached relation, not the upstream pipeline
+    comp_side = F.broadcast(comp) if comp.count() <= broadcast_max_rows else comp
     out = (
-        df.join(F.broadcast(comp), df[id_col] == comp["doc_id"], "left")
-        .select(df["*"], F.coalesce(comp["cluster_id"], df[id_col]).alias("cluster_id"))
+        df.join(comp_side, df[id_col] == comp_side["doc_id"], "left")
+        .select(df["*"], F.coalesce(comp_side["cluster_id"], df[id_col]).alias("cluster_id"))
     )
     return out.where(F.col(id_col) == F.col("cluster_id"))
 

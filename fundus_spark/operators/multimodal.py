@@ -15,10 +15,10 @@ for a Pillow/torchaudio/PyAV call on a real deployment.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable, Iterator
+from typing import Iterable, Iterator, Optional, Union
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -90,11 +90,28 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def media_features(media: DataFrame) -> DataFrame:
-    """Binary payloads -> typed feature rows. Repartitions uniformly on
-    media_id first (payloads can be huge; never key a shuffle on kind —
-    a corpus is usually 90% one modality)."""
-    return media.repartition(F.col("media_id")).mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
+def _maybe_repartition(media: DataFrame, repartition_on: Optional[Union[str, Column]]) -> DataFrame:
+    """Decode stages are stateless narrow maps, so by default they run
+    on the scan's OWN partitioning: a fresh file scan is already
+    byte-uniform (``spark.sql.files.maxPartitionBytes`` splits it), and
+    a forced repartition would shuffle every payload byte — at 100 TB
+    of media that shuffle IS the job's dominant cost. Pass
+    ``repartition_on`` (e.g. ``"media_id"``) only when the input
+    arrives from a skewed upstream shuffle; never key it on ``kind`` —
+    a corpus is usually 90% one modality."""
+    if repartition_on is None:
+        return media
+    col = F.col(repartition_on) if isinstance(repartition_on, str) else repartition_on
+    return media.repartition(col)
+
+
+def media_features(
+    media: DataFrame, repartition_on: Optional[Union[str, Column]] = None
+) -> DataFrame:
+    """Binary payloads -> typed feature rows via a zero-shuffle
+    Arrow-batched map (see :func:`_maybe_repartition` for when to opt
+    into a redistribution first)."""
+    return _maybe_repartition(media, repartition_on).mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
@@ -136,13 +153,21 @@ def _resize_batches(max_w: int, max_h: int):
     return fn
 
 
-def media_resize(media: DataFrame, max_w: int = 32, max_h: int = 32) -> DataFrame:
+def media_resize(
+    media: DataFrame,
+    max_w: int = 32,
+    max_h: int = 32,
+    repartition_on: Optional[Union[str, Column]] = None,
+) -> DataFrame:
     """Aspect-preserving resize plumbing: REAL input dimensions (header
     decode) and REAL output geometry (fit-within-box math, never
     upscaled); the pixel resample is the documented codec stub. Rows
     that are not parseable images are dropped (audio goes through
-    :func:`media_frame_sample`)."""
-    return media.repartition(F.col("media_id")).mapInPandas(_resize_batches(max_w, max_h), schema=RESIZE_SCHEMA)
+    :func:`media_frame_sample`). Zero-shuffle by default — see
+    :func:`_maybe_repartition`."""
+    return _maybe_repartition(media, repartition_on).mapInPandas(
+        _resize_batches(max_w, max_h), schema=RESIZE_SCHEMA
+    )
 
 
 FRAME_SAMPLE_SCHEMA = StructType(
@@ -178,9 +203,14 @@ def _frame_batches(every_ms: int):
     return fn
 
 
-def media_frame_sample(media: DataFrame, every_ms: int = 50) -> DataFrame:
+def media_frame_sample(
+    media: DataFrame, every_ms: int = 50, repartition_on: Optional[Union[str, Column]] = None
+) -> DataFrame:
     """Uniform frame/sample-point schedule over timed media: REAL
     offsets computed from the REAL container duration (WAV here; the
     same schedule drives video frame extraction once codec libs exist —
-    decoding the frame at each ``t_ms`` is the documented stub)."""
-    return media.repartition(F.col("media_id")).mapInPandas(_frame_batches(every_ms), schema=FRAME_SAMPLE_SCHEMA)
+    decoding the frame at each ``t_ms`` is the documented stub).
+    Zero-shuffle by default — see :func:`_maybe_repartition`."""
+    return _maybe_repartition(media, repartition_on).mapInPandas(
+        _frame_batches(every_ms), schema=FRAME_SAMPLE_SCHEMA
+    )

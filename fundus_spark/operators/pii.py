@@ -24,7 +24,19 @@ from pyspark.sql import functions as F
 
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-PHONE_PATTERN = r"\+\d{9,15}\b"
+# Four alternates, leftmost-first in both Java regex and RE2:
+#   +4930123456789            compact international
+#   +49 30 1234567            separated international (space/dot/dash)
+#   (555) 867-5309            US parenthesized area code
+#   555-867-5309 / 555.867.5309  US dashed/dotted national
+# National formats run AFTER the IPv4 pass, so dotted-quad addresses
+# are already <IP> placeholders and cannot be half-eaten as phones.
+PHONE_PATTERN = (
+    r"(?:\+\d{9,15}\b"
+    r"|\+\d{1,3}[ .-]\d{2,4}[ .-]\d{5,10}\b"
+    r"|\(\d{3}\) ?\d{3}-\d{4}\b"
+    r"|\b\d{3}[.-]\d{3}[.-]\d{4}\b)"
+)
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -74,11 +74,17 @@ def curate_corpus(
     Incremental contract: the quality gate, exact dedup, split, and
     packing decisions are pure per-row functions of (row, parameters),
     so they never flip when the corpus grows. Near-dup survivorship is
-    corpus-dependent by nature, but with monotonically increasing doc
-    ids a NEW document can never displace an existing survivor (the
-    canonical doc is the cluster minimum) — growth only ever removes
-    new docs, which is exactly the property an incremental append-only
-    curation run needs."""
+    corpus-dependent by nature; with monotonically increasing doc ids
+    it is stable as long as new documents do not MERGE previously
+    separate clusters — a new doc joining one existing cluster can
+    never displace its survivor (the canonical doc is the cluster
+    minimum, and the new id is larger). The one exception: a new
+    document that bridges two previously separate clusters merges
+    them, and the merged cluster keeps only the smaller of the two old
+    minima — demoting at most one prior survivor per merge. An
+    append-only incremental run that must never demote survivors
+    should freeze prior cluster labels and assign new docs to them
+    (union-find against the frozen labels) instead of re-clustering."""
     gated = docs.where(F.length(F.trim(F.col(text_col))) >= min_chars)
     rep = repetition_score(gated, text_col=text_col, id_col=id_col, n=2).where(
         F.col("dup_gram_frac") <= max_dup_gram_frac

@@ -12,16 +12,20 @@ Scale design (SURVEY.md §3.2 lifecycle):
   predicate cannot prune parquet files, so a per-bucket loop would cost
   ``n_buckets`` full-table scans — 4096 buckets over 100 TB would read
   ~400 PB. One pass reads the table once regardless of bucket count.
-* Commit protocol: the partitioned data write lands first; the
-  per-bucket manifest append is the commit point. A crash between the
-  two leaves uncommitted ``bucket=K`` directories that the retry's
-  dynamic-overwrite rewrite replaces idempotently. A resume submit
-  re-extracts only the uncommitted buckets — still one scan.
+* Commit protocol: the partitioned data write lands first; ONE atomic
+  multi-bucket manifest append is the commit point (all pending
+  buckets' rows in a single single-task write — all-or-nothing at the
+  job-commit rename). A crash before it leaves uncommitted
+  ``bucket=K`` directories that the retry's dynamic-overwrite rewrite
+  replaces idempotently. A resume submit re-extracts only the
+  uncommitted buckets — still one scan.
 * Per-bucket metrics are read back from the written output with a
   ``bucket IN (...)`` predicate over the partition column, aggregated
-  by ``(bucket, _partition_id)`` in ONE job, so lineage never
-  recomputes the stage and the commit phase does not scale with bucket
-  count.
+  by ``(bucket, _partition_id)`` in ONE job, and written partitioned by
+  ``(run_id, bucket)`` with dynamic partition overwrite — a resume
+  REPLACES the crashed attempt's orphaned metrics partitions instead
+  of duplicating them, so lineage reads need no dedup rule and the
+  commit phase does not scale with bucket count.
 
 Resume read-back contract (object stores / Iceberg): the read-back and
 resume logic rely ONLY on partition-pruned scans of the output table —
@@ -104,26 +108,33 @@ def run_extraction_job(
             .partitionBy("bucket")
             .parquet(output_path)
         )
-        # Commit phase. Metrics for ALL pending buckets come from ONE
-        # partition-pruned read of the written output (the bucket
-        # predicate prunes to exactly the bucket=K directories of this
-        # batch — on Iceberg this is the same partition-pruned metadata
-        # scan; see read-back contract below) aggregated by
-        # (bucket, _partition_id): one Spark job regardless of bucket
-        # count, where the old per-bucket loop cost 2 jobs + 2 appends
-        # per bucket (~16k sequential driver round-trips at 4096
-        # buckets). The per-bucket manifest append stays the commit
-        # point: manifest rows are materialized on the driver (they are
-        # n_buckets tiny rows) and appended one bucket at a time in
-        # bucket order, so a crash mid-phase leaves a correct
-        # prefix-committed manifest and the resume re-runs only the
-        # unappended buckets.
+        # Commit phase — constant job count, idempotent under resume.
+        #
+        # Metrics for ALL pending buckets come from ONE partition-pruned
+        # read of the written output (the bucket predicate prunes to
+        # exactly the bucket=K directories of this batch — on Iceberg
+        # the same metadata-only prune) aggregated by
+        # (bucket, _partition_id). The metrics table is partitioned by
+        # (run_id, bucket) and written with DYNAMIC PARTITION OVERWRITE:
+        # a resume that re-runs not-yet-manifested buckets REPLACES
+        # their orphaned metrics partitions from the crashed attempt
+        # instead of appending duplicates (round-3 advisory: a plain
+        # append here duplicated metrics rows for every bucket whose
+        # manifest commit had not landed). Committed buckets are not in
+        # `remaining`, so their partitions are untouched.
         written = spark.read.parquet(output_path).where(F.col("bucket").isin(remaining))
         metrics = bucketed_partition_metrics(written, run_id)
-        append_rows(spark, metrics, metrics_path)
+        (
+            metrics.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "bucket")
+            .parquet(metrics_path)
+        )
         manifest_rows = {
             r["bucket"]: r
-            for r in metrics.groupBy("bucket")
+            for r in spark.read.parquet(metrics_path)
+            .where((F.col("run_id") == run_id) & F.col("bucket").isin(remaining))
+            .groupBy("bucket")
             .agg(
                 F.sum("input_turns").alias("input_turns"),
                 F.sum("output_turns").alias("output_turns"),
@@ -133,14 +144,24 @@ def run_extraction_job(
             )
             .collect()
         }
+        # ONE atomic multi-bucket manifest append (round-3 verdict #9):
+        # all pending buckets' rows land in a single single-task append
+        # — the file rename at job commit makes the batch all-or-nothing,
+        # which is strictly stronger than the old prefix-commit loop
+        # (4096 sequential driver round-trips at 4096 buckets) and keeps
+        # the same resume contract: a bucket is committed iff its
+        # manifest row is readable, and the data write preceding it is
+        # idempotent dynamic overwrite either way.
+        now = datetime.datetime.now(datetime.timezone.utc)
+        data = []
         for bucket in remaining:
             row = manifest_rows.get(bucket)
             if row is None:
                 # a bucket can legitimately receive zero rows (hash gap
                 # at tiny inputs); commit it empty so resume skips it.
-                data = [(run_id, bucket, 0, 0, 0, 0, datetime.datetime.now(datetime.timezone.utc))]
+                data.append((run_id, bucket, 0, 0, 0, 0, now))
             else:
-                data = [
+                data.append(
                     (
                         run_id,
                         bucket,
@@ -150,9 +171,9 @@ def run_extraction_job(
                         row["bytes_processed"],
                         row["committed_at"],
                     )
-                ]
-            append_rows(spark, spark.createDataFrame(data, MANIFEST_SCHEMA), manifest_path)
-            result.buckets_run.append(bucket)
+                )
+        append_rows(spark, spark.createDataFrame(data, MANIFEST_SCHEMA).coalesce(1), manifest_path)
+        result.buckets_run.extend(remaining)
 
     totals = (
         spark.read.parquet(manifest_path)

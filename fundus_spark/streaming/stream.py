@@ -59,11 +59,21 @@ def stream_first_wins_dedup(
 ) -> DataFrame:
     """Cross-micro-batch first-wins dedup — the streaming analogue of
     the reference crawler's seen-URL set (``crawler.py``: a URL seen in
-    any earlier batch is dropped). Native ``dropDuplicates`` keeps
-    per-key state; the watermark bounds that state (keys older than the
-    watermark are evicted), which is what makes it viable at 100 TB —
-    an unwatermarked seen-set grows without bound."""
-    return stream.withWatermark(watermark_col, delay).dropDuplicates(list(keys))
+    any earlier batch is dropped).
+
+    State-bound contract: plain ``dropDuplicates(keys)`` only evicts
+    state when the event-time column is PART of the dedup keys — with
+    keys=(conv_id, turn_idx) the seen-key set would grow without bound
+    in a long-running stream. ``dropDuplicatesWithinWatermark`` (Spark
+    3.5+) is the operator built for exactly this: duplicates are
+    dropped when they arrive within the watermark ``delay`` of the
+    first-seen event, and each key's state is evicted once the
+    watermark passes it — O(keys-per-delay-window) state at 100 TB.
+    Semantic delta vs an unbounded seen-set, stated explicitly: a
+    duplicate arriving MORE than ``delay`` after the original is
+    re-emitted (its state has been evicted). That is the deliberate
+    trade for bounded state; widen ``delay`` to widen the guarantee."""
+    return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(list(keys))
 
 
 def sessionized_conversations(

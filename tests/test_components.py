@@ -45,6 +45,24 @@ def test_survivors_keep_min_per_cluster_and_all_singletons(spark):
     assert {r.doc_id for r in out.collect()} == {0, 1, 2, 4}
 
 
+def test_survivors_shuffle_join_fallback_matches_broadcast(spark):
+    """The size guard: above broadcast_max_rows the label join degrades
+    to a plain shuffle join — identical result, no broadcast node."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = _pairs(spark, [(1, 3), (3, 5)])
+    out = dedup_survivors(docs, pairs, broadcast_max_rows=0)
+    assert {r.doc_id for r in out.collect()} == {0, 1, 2, 4}
+    # no FORCED broadcast hint in the optimized plan (AQE may still
+    # adaptively broadcast when the runtime size turns out small —
+    # that is the desired behavior, not a guard failure)
+    assert "broadcast" not in out._jdf.queryExecution().optimizedPlan().toString().lower()
+    # and the default path does hint the broadcast
+    hinted = dedup_survivors(docs, pairs)
+    assert "broadcast" in hinted._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
 def test_simhash_neardup_identical_docs_distance_zero(spark):
     from fundus_spark.operators import simhash_neardup_pairs
 

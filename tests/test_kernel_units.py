@@ -313,6 +313,64 @@ def test_script_language_detection():
     assert heuristic_language(ja) == "ja"  # script wins before stopwords
 
 
+def test_langdetect_breadth_round4():
+    """Round-4 coverage: every remaining langdetect language class —
+    Indic scripts, Devanagari hi/mr/ne split, Arabic-script ar/fa/ur
+    split, Cyrillic bg/mk split, and 13 new Latin profiles."""
+    from fundus_spark.kernel.lang import heuristic_language, script_language
+
+    # Indic scripts (one range each)
+    assert script_language("আজ আবহাওয়া খুব ভালো, চলো পার্কে যাই।" * 2) == "bn"
+    assert script_language("ਅੱਜ ਮੌਸਮ ਬਹੁਤ ਵਧੀਆ ਹੈ, ਆਓ ਪਾਰਕ ਚੱਲੀਏ।" * 2) == "pa"
+    assert script_language("આજે હવામાન સરસ છે, ચાલો બગીચામાં જઈએ." * 2) == "gu"
+    assert script_language("இன்று வானிலை நன்றாக உள்ளது, பூங்காவிற்கு செல்லலாம்." * 2) == "ta"
+    assert script_language("ఈరోజు వాతావరణం బాగుంది, పార్కుకు వెళ్దాం." * 2) == "te"
+    assert script_language("ಇಂದು ಹವಾಮಾನ ಚೆನ್ನಾಗಿದೆ, ಉದ್ಯಾನಕ್ಕೆ ಹೋಗೋಣ." * 2) == "kn"
+    assert script_language("ഇന്ന് കാലാവസ്ഥ നല്ലതാണ്, പാർക്കിലേക്ക് പോകാം." * 2) == "ml"
+
+    # Devanagari: hi default, mr/ne via function-word markers
+    hi = "आज मौसम अच्छा है और हम पार्क में नहीं जा रहे हैं क्योंकि बारिश की संभावना है"
+    mr = "आज हवामान चांगले आहे आणि आम्ही उद्यानात जाणार असून पाऊस पडला नाही असे झाले"
+    ne = "आज मौसम राम्रो छ। उनीहरूले पार्कमा काम गरेको र भएको कारणका लागि रोकिएको छन्"
+    assert script_language(hi) == "hi"
+    assert script_language(mr) == "mr"
+    assert script_language(ne) == "ne"
+
+    # Arabic script: ar default; fa via پ/چ/ژ/گ; ur via its unique letters
+    base_ar = "الطقس جميل اليوم"
+    assert script_language(base_ar * 2) == "ar"
+    assert script_language((base_ar + " پچژگ") * 2) == "fa"
+    # Urdu text typically ALSO contains the Persian letters — the
+    # Urdu-unique set must win
+    assert script_language((base_ar + " پچ ٹہےں") * 2) == "ur"
+
+    # Cyrillic: bg (frequent vowel ъ, no ы/э/ё) and mk (ѕ/ѓ/ќ)
+    bg = "Времето в България е хубаво и възможността да се върнем в парка е голяма"
+    mk = "Времето денес е убаво, веднаш ќе дојдеме и ќе видиме дали паркот е отворен"
+    assert script_language(bg) == "bg"
+    assert script_language(mk) == "mk"
+
+    # new Latin-script stopword profiles
+    samples = {
+        "fi": "hän sanoo että oli mutta myös niin vain kun hänen mukaan voi olla jotka ovat jos",
+        "et": "ta ütles et aga kui oma siis nagu välja üle ning juba kus selle tema või veel",
+        "hu": "az mondta hogy nem egy meg már csak volt mint még vagy szerint ezt azt ha és",
+        "lv": "viņš teica ka par ar uz arī tika gada pēc tiek vairāk savu kas bija lai un",
+        "sk": "povedal keď že sa už aj pre ako podľa ale roku ktorý bol tento môže byť som",
+        "cs": "řekl když že se už také jak ale jsou jsem byl být které protože od která do",
+        "sl": "je rekel da se na za so bi pa tudi kot ki še bo lahko ni in",
+        "hr": "i u na je su od kao ali iz će bio nije biti ima još samo",
+        "ca": "els amb què més però també fins molt dels seva aquest ha estat entre ja sobre",
+        "sq": "dhe në të një për me nga është si më po ka do kjo këtë e",
+        "af": "hy het gesê dat hulle nie baie oor die saak sal word nie en ons teen dit wees",
+        "cy": "mae yn y tŷ ar ei ben ond wedi bod yn gan am fod hefyd yr oedd wrth hyn",
+        "so": "waxaa iyo oo ka ku ay waa uu loo soo kale laga ayaa inuu dhan",
+        "tl": "ang mga bata ay nasa parke at hindi sila aalis mula sa kanilang bahay ngunit din siya ito na ng sa",
+    }
+    for code, text in samples.items():
+        assert heuristic_language(text) == code, (code, heuristic_language(text))
+
+
 def test_golden_lang_spot_checks():
     """Detected language for real golden pages across scripts (the
     extract stage's fallback heuristic; html-lang declaration wins in

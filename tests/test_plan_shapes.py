@@ -82,11 +82,33 @@ def test_scan_prunes_columns(spark, entry):
 def test_sampling_ops_are_narrow_zero_shuffle(spark, entry):
     """Hash-bucket sampling and split assignment must stay pure
     filter/projection over a pruned scan — no Exchange anywhere."""
-    qs = entry.queries()
+    qs = {**entry.queries(), **entry.extra_queries()}
     for name in ("stratified_sample", "split_assign"):
         plan = _plan(qs[name](spark, SF_DIR))
         assert "Exchange" not in plan, name
         assert "BatchScan" in plan or "FileScan" in plan, name
+
+
+def test_media_decode_is_zero_shuffle_by_default(spark, entry):
+    """The media decode/resize/frame-sample stages are stateless narrow
+    maps; over a fresh scan they must run on the scan's own byte-uniform
+    partitioning. A default repartition here would shuffle every payload
+    byte — at 100 TB of media that would be the single most expensive
+    operation in the plan (round-3 verdict item; now opt-in via
+    ``repartition_on``)."""
+    qs = {**entry.queries(), **entry.extra_queries()}
+    for name in ("media_features", "media_decode", "media_resize", "media_frame_sample"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "Exchange" not in plan, name
+
+    # the opt-in path still exists for skewed upstream shuffles
+    from fundus_spark.operators import media_features as _mf
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"), "image/bmp")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    assert "Exchange" in _plan(_mf(media, repartition_on="media_id"))
 
 
 def test_packing_has_exactly_one_exchange_on_shard_key(spark, entry):

@@ -232,6 +232,35 @@ def test_job_partial_resume_single_pass(spark, transcripts_df, tmp_path):
     assert written == ["bucket=1", "bucket=3"]
 
 
+def test_job_resume_does_not_duplicate_metrics(spark, transcripts_df, tmp_path):
+    """Round-3 advisory: a crash between the metrics write and the
+    manifest commit must not leave duplicated metrics rows after the
+    resume — the metrics table is partitioned by (run_id, bucket) and
+    dynamically overwritten, so the re-run REPLACES the orphaned
+    attempt's partitions."""
+    import shutil
+
+    out = str(tmp_path / "out")
+    metrics = str(tmp_path / "metrics")
+    manifest = str(tmp_path / "manifest")
+
+    run_extraction_job(
+        spark, transcripts_df, out, metrics, manifest, run_id="crashy", n_buckets=4, salt_partitions=8
+    )
+    # simulate a crash AFTER the metrics write but BEFORE the manifest
+    # commit: keep the metrics table, drop the manifest
+    shutil.rmtree(manifest)
+    res = run_extraction_job(
+        spark, transcripts_df, out, metrics, manifest, run_id="crashy", n_buckets=4, salt_partitions=8
+    )
+    assert sorted(res.buckets_run) == [0, 1, 2, 3]
+
+    m = spark.read.parquet(metrics).where(F.col("run_id") == "crashy")
+    # no duplicated (bucket, partition_id) lineage rows, exact totals
+    assert m.count() == m.select("bucket", "partition_id").distinct().count()
+    assert m.agg(F.sum("input_turns")).collect()[0][0] == transcripts_df.count()
+
+
 def test_job_commit_phase_job_count_bucket_independent(spark, transcripts_df, tmp_path):
     """VERDICT r2 #3 done-criterion: the metrics phase costs ONE job
     regardless of bucket count; only the per-bucket manifest appends
@@ -256,5 +285,6 @@ def test_job_commit_phase_job_count_bucket_independent(spark, transcripts_df, tm
     spark.sparkContext.setJobGroup("default", "")
 
     assert n2 > 0 and n6 > 0
-    # 4 extra buckets: ~4 extra manifest-append jobs, never ~16
-    assert n6 - n2 <= 8, (n2, n6)
+    # the commit phase is now one metrics write + one manifest append
+    # regardless of bucket count — 4 extra buckets may add ~0 jobs
+    assert n6 - n2 <= 2, (n2, n6)

@@ -50,8 +50,8 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
