@@ -639,6 +639,97 @@ WHERE round(inter / (za.n + zb.n - inter), 4) >= {threshold}
 """
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only incremental dedup: cluster a new batch (src0/src2/..)
+    against the frozen already-deduplicated src1 corpus without
+    re-clustering it — prior survivorship can never flip. The operator
+    a daily 100 TB curation increment runs instead of full
+    re-clustering (see curate_corpus's incremental contract)."""
+    from fundus_spark.operators import incremental_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    frozen = docs.where(F.col("source") == "src1")
+    new = docs.where(F.col("source") != "src1")
+    return incremental_assign(new, frozen, k=4, threshold=0.01)
+
+
+def _banded_cte(relation: str, prefix: str, n_perm: int = 8, bands: int = 4, k: int = 4) -> str:
+    """CTE text for `(doc_id, band, key)` md5-minhash LSH band keys of
+    ``relation``, name-prefixed so two relations can be banded in one
+    statement (the incremental new-vs-frozen probe)."""
+    rpb = n_perm // bands
+    perms = ",\n".join(
+        f"MIN(CAST('0x' || substr(md5('p{j}:' || shingle), 1, 8) AS BIGINT)) AS h{j}" for j in range(n_perm)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + f" AS key FROM {prefix}sig"
+        for b in range(bands)
+    )
+    return f"""
+{prefix}sh AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {relation}),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {k - 1}, 1))) AS i) t
+),
+{prefix}sig AS (SELECT doc_id, {perms} FROM {prefix}sh GROUP BY doc_id),
+{prefix}bnd AS ({band_union})"""
+
+
+def _incremental_dedup_sql(n_perm: int = 8, bands: int = 4, k: int = 4, threshold: float = 0.01) -> str:
+    return f"""
+WITH RECURSIVE
+frozen AS (SELECT * FROM documents WHERE source = 'src1'),
+newd AS (SELECT * FROM documents WHERE source <> 'src1'),
+{_banded_cte('frozen', 'f', n_perm, bands, k)},
+{_banded_cte('newd', 'n', n_perm, bands, k)},
+cand_nf AS (
+    SELECT DISTINCT n.doc_id AS new_id, f.doc_id AS frozen_id
+    FROM nbnd n JOIN fbnd f USING (band, key)
+),
+nsz AS (SELECT doc_id, COUNT(*) AS n FROM nsh GROUP BY doc_id),
+fsz AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
+int_nf AS (
+    SELECT cand_nf.new_id, cand_nf.frozen_id, COUNT(*) AS inter
+    FROM cand_nf
+    JOIN nsh sa ON sa.doc_id = cand_nf.new_id
+    JOIN fsh sb ON sb.doc_id = cand_nf.frozen_id AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+),
+seeds AS (
+    SELECT new_id, MIN(frozen_id) AS seed
+    FROM int_nf
+    JOIN nsz ON nsz.doc_id = int_nf.new_id
+    JOIN fsz ON fsz.doc_id = int_nf.frozen_id
+    WHERE round(inter / (nsz.n + fsz.n - inter), 4) >= {threshold}
+    GROUP BY new_id
+),
+pairs AS (SELECT a, b FROM ({_lsh_jaccard_verified_sql(n_perm, bands, k, threshold, relation="newd")}) v),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS comp_id FROM reach GROUP BY node),
+seeded AS (
+    SELECT newd.doc_id, COALESCE(seeds.seed, newd.doc_id) AS seed
+    FROM newd LEFT JOIN seeds ON seeds.new_id = newd.doc_id
+),
+compmin AS (
+    SELECT comp.comp_id, MIN(seeded.seed) AS comp_seed
+    FROM comp JOIN seeded USING (doc_id) GROUP BY comp.comp_id
+)
+SELECT seeded.doc_id,
+       LEAST(COALESCE(cm.comp_seed, seeded.seed), seeded.seed) AS cluster_id,
+       seeded.doc_id = LEAST(COALESCE(cm.comp_seed, seeded.seed), seeded.seed) AS survives
+FROM seeded
+LEFT JOIN comp ON comp.doc_id = seeded.doc_id
+LEFT JOIN compmin cm ON cm.comp_id = comp.comp_id
+"""
+
+
 def _lsh_jaccard_verified_xxhash_sql(
     n_perm: int = 8, bands: int = 4, k: int = 4, threshold: float = 0.01, relation: str = "documents"
 ) -> str:
@@ -1963,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_by_budget": _q_pack_by_budget,
         "split_assign": _q_split_assign,
         "dedup_survivors": _q_dedup_survivors,
+        "incremental_dedup": _q_incremental_dedup,
         "contamination": _q_contamination,
         "curate_corpus": _q_curate,
         "curate_corpus_xxhash": _q_curate_xxhash,
@@ -1974,7 +2066,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": _q_ivf_ann,
         "token_count": _q_token_count,
         "quality_score": _q_quality,
-        "corpus_stats": _q_corpus_stats,
         "repetition_score": _q_repetition,
         "pii_scrub": _q_pii_scrub,
         "bigram_logprob": _q_bigram_logprob,
@@ -2009,6 +2100,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * dedup_clusters          — component stage of dedup_survivors
     * fingerprint             — md5 doc hash (exact_dedup's fp stage)
     * media_features          — digest plumbing under media_decode
+    * corpus_stats            — profile stats (exact-percentile twin);
+                                ceded its canonical slot to
+                                incremental_dedup in round 4
     """
     return {
         "extract_documents_keyed": _q_extract_documents_keyed,
@@ -2020,6 +2114,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
+        "corpus_stats": _q_corpus_stats,
     }
 
 
@@ -2047,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_by_budget": _PACK_SQL,
         "split_assign": _split_assign_sql(),
         "dedup_survivors": _dedup_survivors_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
         "contamination": _CONTAMINATION_SQL,
         "curate_corpus": _curate_sql(),
         "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
@@ -2058,7 +2154,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": _ivf_ann_sql(),
         "token_count": _TOKEN_COUNT_SQL,
         "quality_score": _QUALITY_SQL,
-        "corpus_stats": _CORPUS_STATS_SQL,
         "repetition_score": _REPETITION_SQL,
         "pii_scrub": _pii_scrub_sql(),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
@@ -2090,4 +2185,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
+        "corpus_stats": _CORPUS_STATS_SQL,
     }

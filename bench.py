@@ -242,8 +242,19 @@ def main() -> None:
 
     from fundus_spark.plans import build_session
 
-    cores_hi = CPUS
-    cores_lo = max(CPUS // 4, 1)
+    # Reserve a few CPUs at BOTH levels so the pinned hi-level visit is
+    # not the entire machine: on a shared-tenancy host, pinning all 32
+    # CPUs means every other tenant burst lands inside the measured set
+    # at the hi level only (the lo level's 24 unpinned CPUs absorb the
+    # same burst for free) — an asymmetry a real N-core-executor
+    # cluster does not have, and the main source of the hi-level run
+    # variance in round 3 (runs_hi swung 22k-31k while runs_lo stayed
+    # within 6%). 28/7 keeps the exact 4x ratio with 4 CPUs of noise
+    # headroom at both levels.
+    reserve = int(os.environ.get("SPARK_GRAFT_SCALING_RESERVE", "4"))
+    cores_hi = max(CPUS - reserve, 4)
+    cores_hi -= cores_hi % 4  # keep the N -> 4N ratio exact
+    cores_lo = max(cores_hi // 4, 1)
     scaled_path = os.path.join(os.environ.get("TMPDIR", "/tmp"), "fundus_spark_bench_transcripts")
     n_turns = _materialize_scaled_transcripts(SF_DIR, REPLICAS, scaled_path)
     scaling = _measure_scaling(cores_lo, cores_hi, scaled_path, n_turns)

@@ -40,6 +40,12 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 _SCRIPT_RES = [(code, re.compile(f"[{ranges}]")) for code, ranges in SCRIPT_RANGES]
 _CYRILLIC_RE = re.compile(f"[{CYRILLIC_RANGE[0]}-{CYRILLIC_RANGE[1]}]")
+# one-pass gate: the union of every script range above. The common case
+# (Latin text) pays ONE regex scan instead of len(SCRIPT_RES)+1 — this
+# runs per document inside the extraction stage, so it is hot.
+_ANY_SCRIPT_RE = re.compile(
+    "[" + "".join(r for _, r in SCRIPT_RANGES) + f"{CYRILLIC_RANGE[0]}-{CYRILLIC_RANGE[1]}]"
+)
 
 
 def script_language(text: str, min_hits: int = 10) -> Optional[str]:
@@ -51,15 +57,16 @@ def script_language(text: str, min_hits: int = 10) -> Optional[str]:
     first — Persian's extra letters all exist in Urdu), and Cyrillic
     splits ru/uk/bg/mk by orthography-unique letters."""
     sample = text[:4000]
-    for code, pattern in _SCRIPT_RES:
-        if len(pattern.findall(sample)) >= min_hits:
-            if code == "hi":
-                return _devanagari_language(sample)
-            if code == "ar":
-                return _arabic_script_language(sample)
-            return code
-    if len(_CYRILLIC_RE.findall(sample)) >= min_hits:
-        return _cyrillic_language(sample)
+    if _ANY_SCRIPT_RE.search(sample):  # rare path: some non-Latin script present
+        for code, pattern in _SCRIPT_RES:
+            if len(pattern.findall(sample)) >= min_hits:
+                if code == "hi":
+                    return _devanagari_language(sample)
+                if code == "ar":
+                    return _arabic_script_language(sample)
+                return code
+        if len(_CYRILLIC_RE.findall(sample)) >= min_hits:
+            return _cyrillic_language(sample)
     if sum(1 for ch in sample if ch in VI_CHARS) >= min_hits:
         return "vi"
     return None
@@ -128,7 +135,13 @@ def heuristic_language(text: Optional[str]) -> Optional[str]:
     words = [w.lower() for w in _WORD_RE.findall(text)]
     if not words:
         return None
-    scores = [(code, sum(1 for w in words if w in stop)) for code, stop in STOPWORDS]
+    # count words ONCE, then score each profile over its own (small)
+    # word list: O(words + profiles*|list|) instead of O(words*profiles)
+    # — identical scores, ~10x less work now that there are 34 profiles
+    counts: dict = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    scores = [(code, sum(counts.get(w, 0) for w in stop)) for code, stop in STOPWORDS]
     ranked = sorted(scores, key=lambda kv: -kv[1])  # stable: profile order breaks equal scores
     best_code, best_score = ranked[0]
     if best_score == 0:

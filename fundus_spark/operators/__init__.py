@@ -1,10 +1,12 @@
 from .boilerplate import boilerplate_page, boilerplate_strip
 from .dedup import (
+    band_relation,
     connected_components,
     contamination_flags,
     dedup_survivors,
     exact_dedup,
     exact_dup_groups,
+    incremental_assign,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -39,6 +41,7 @@ __all__ = [
     "boilerplate_strip",
     "cosine_neardup_pairs",
     "cosine_topk",
+    "band_relation",
     "connected_components",
     "contamination_flags",
     "dedup_survivors",
@@ -53,6 +56,7 @@ __all__ = [
     "language_id",
     "ivf_topk",
     "lsh_bucketed_topk",
+    "incremental_assign",
     "lsh_candidate_pairs",
     "media_features",
     "media_frame_sample",

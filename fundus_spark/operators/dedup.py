@@ -111,7 +111,7 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[F.col(f"h{j}") for j in range(n_perm)]).alias("signature"))
 
 
-def lsh_candidate_pairs(
+def band_relation(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -121,10 +121,13 @@ def lsh_candidate_pairs(
     hash_mode: str = "md5",
     shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Distinct candidate (a, b) pairs (a < b) sharing >= 1 LSH band."""
+    """``(doc_id, band, key)`` LSH band-bucket keys — the persistable
+    relation behind candidate generation. An incremental pipeline
+    stores this (one row per doc per band) so later appends can probe
+    the existing corpus without recomputing its signatures."""
     rows_per_band = n_perm // bands
     sig = minhash_signatures(df, text_col, id_col, n_perm, k, hash_mode=hash_mode, shingles=shingles)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -140,6 +143,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    k: int = 4,
+    hash_mode: str = "md5",
+    shingles: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Distinct candidate (a, b) pairs (a < b) sharing >= 1 LSH band."""
+    banded = band_relation(df, text_col, id_col, n_perm, bands, k, hash_mode, shingles)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -359,6 +376,113 @@ def dedup_survivors(
         .select(df["*"], F.coalesce(comp_side["cluster_id"], df[id_col]).alias("cluster_id"))
     )
     return out.where(F.col(id_col) == F.col("cluster_id"))
+
+
+def incremental_assign(
+    new_docs: DataFrame,
+    frozen_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    k: int = 4,
+    threshold: float = 0.8,
+    hash_mode: str = "md5",
+    frozen_bands: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Append-only incremental near-dup assignment: cluster a NEW batch
+    of documents against a FROZEN, already-deduplicated corpus without
+    re-clustering it — the operator an append-only 100 TB curation run
+    needs so survivorship of prior data never flips (see the
+    incremental contract on :func:`plans.curate.curate_corpus`: full
+    re-clustering lets a bridge document demote a prior survivor; this
+    operator freezes the prior partition instead).
+
+    Semantics (returns ``(doc_id, cluster_id, survives)`` for NEW docs
+    only):
+
+    * a new doc whose verified Jaccard >= ``threshold`` against >= 1
+      frozen doc ADOPTS the smallest matching frozen doc id as its
+      cluster (frozen docs are their own cluster canonicals after
+      survivor selection) — it never survives;
+    * new-new near-dup edges then propagate the minimum seed through
+      each new-batch component (a component bridged to a frozen
+      cluster pulls every member into it — frozen ids are smaller than
+      new ids by the monotone-id convention);
+    * a new doc survives iff its final cluster id is its own id.
+
+    Frozen clusters are never merged: a new doc bridging two frozen
+    clusters joins the smaller one and the frozen partition stays
+    immutable — the documented trade vs full re-clustering.
+
+    Scale shape: both candidate phases are banded (never all-pairs);
+    pass ``frozen_bands`` (the persisted :func:`band_relation` of the
+    frozen corpus — one row per doc per band, written once at its own
+    dedup time) so an append probes the corpus WITHOUT rereading its
+    text; the verify joins touch only candidate pairs; the final
+    propagation runs on the (tiny) new-batch pair graph via
+    :func:`connected_components`.
+    """
+    new_sh = shingle_relation(new_docs, text_col, id_col, k).distinct()
+    nb = band_relation(new_docs, text_col, id_col, n_perm, bands, k, hash_mode, shingles=new_sh)
+    if frozen_bands is None:
+        frozen_bands = band_relation(frozen_docs, text_col, id_col, n_perm, bands, k, hash_mode)
+
+    # phase 1: new x frozen candidates -> exact Jaccard verify -> seeds
+    cand_nf = (
+        nb.alias("n")
+        .join(frozen_bands.alias("f"), (F.col("n.band") == F.col("f.band")) & (F.col("n.key") == F.col("f.key")))
+        .select(F.col("n.doc_id").alias("new_id"), F.col("f.doc_id").alias("frozen_id"))
+        .distinct()
+    )
+    frozen_sh = shingle_relation(frozen_docs, text_col, id_col, k).distinct()
+    n_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
+    f_sizes = frozen_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    inters = (
+        cand_nf.join(new_sh.select(F.col("doc_id").alias("new_id"), "shingle"), "new_id")
+        .join(frozen_sh.select(F.col("doc_id").alias("frozen_id"), "shingle"), ["frozen_id", "shingle"])
+        .groupBy("new_id", "frozen_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified_nf = (
+        inters.join(n_sizes.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(f_sizes.withColumnRenamed("doc_id", "frozen_id"), "frozen_id")
+        .where(
+            F.round(F.col("inter") / (F.col("nn") + F.col("nf") - F.col("inter")), 4) >= threshold
+        )
+    )
+    seeds = verified_nf.groupBy("new_id").agg(F.min("frozen_id").alias("seed"))
+
+    # phase 2: new-new pairs -> components -> min seed per component
+    cand_nn = lsh_candidate_pairs(
+        new_docs, text_col, id_col, n_perm, bands, k, hash_mode, shingles=new_sh
+    )
+    pairs_nn = ngram_jaccard_pairs(
+        new_docs, text_col, id_col, k, threshold, candidates=cand_nn, shingles=new_sh
+    )
+    comp = connected_components(pairs_nn)  # (doc_id, cluster_id) for paired new docs
+
+    seeded = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(seeds.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("seed"), F.col("doc_id")).alias("seed"))
+    )
+    comp_min = (
+        comp.join(seeded, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.min("seed").alias("comp_seed"))
+    )
+    labeled = (
+        seeded.join(F.broadcast(comp), "doc_id", "left")
+        .join(F.broadcast(comp_min), "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.least(F.coalesce(F.col("comp_seed"), F.col("seed")), F.col("seed")).alias("cluster_id"),
+        )
+    )
+    return labeled.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("survives")
+    )
 
 
 def simhash_neardup_pairs(

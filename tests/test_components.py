@@ -63,6 +63,40 @@ def test_survivors_shuffle_join_fallback_matches_broadcast(spark):
     assert "broadcast" in hinted._jdf.queryExecution().optimizedPlan().toString().lower()
 
 
+def test_incremental_assign_freezes_prior_partition(spark):
+    """Append-only contract: new docs adopt frozen clusters (never
+    displacing the frozen survivor), new-new components pull the min
+    seed through bridges, and genuinely new content survives."""
+    from fundus_spark.operators import incremental_assign
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    frozen = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different text about spark optimizer internals and shuffle behavior"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # near-exact dup of frozen 1 -> adopts cluster 1
+            (11, base.replace("lazy", "sleepy")),  # bridges to 10 -> same cluster
+            (12, "totally unrelated fresh content with brand new words appearing only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.survives)
+        for r in incremental_assign(new, frozen, k=3, threshold=0.2).collect()
+    }
+    assert out[10] == (1, False)
+    assert out[11][0] == 1 and not out[11][1]
+    assert out[12] == (12, True)
+    # the frozen partition is untouched by construction: only new ids
+    # are returned, so no frozen survivor can be demoted
+    assert set(out) == {10, 11, 12}
+
+
 def test_simhash_neardup_identical_docs_distance_zero(spark):
     from fundus_spark.operators import simhash_neardup_pairs
 
