@@ -1,5 +1,5 @@
 from .assemble import assemble_conversations, ordered_turns
-from .curate import curate_corpus
+from .curate import curate_corpus, curate_increment
 from .curate_job import CurateJobResult, run_curate_job
 from .extract_stage import EXTRACTION_SCHEMA, extract_articles
 from .job import JobResult, run_extraction_job
@@ -10,6 +10,8 @@ __all__ = [
     "JobResult",
     "assemble_conversations",
     "build_session",
+    "curate_corpus",
+    "curate_increment",
     "extract_articles",
     "ordered_turns",
     "run_extraction_job",

@@ -138,3 +138,114 @@ def curate_corpus(
     return pack_by_budget(
         with_tokens, budget=pack_budget, token_col="n_tokens", part_col=shard_col, order_col=id_col
     )
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    frozen_docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+    max_dup_gram_frac: float = 0.9,
+    jaccard_threshold: float = 0.8,
+    contamination_k: int = 8,
+    split_weights: Sequence[Tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    split_salt: str = "split",
+    pack_budget: int = 4096,
+    shard_col: str = "source",
+    lsh_perm: int = 8,
+    lsh_bands: int = 4,
+    shingle_k: int = 4,
+    hash_mode: str = "md5",
+    frozen_fps: Optional[DataFrame] = None,
+    frozen_bands: Optional[DataFrame] = None,
+    materialize_stages: bool = True,
+) -> DataFrame:
+    """The daily-increment twin of :func:`curate_corpus`: curate a NEW
+    batch against a FROZEN, already-curated corpus without touching it.
+    A 100 TB pipeline runs this shape on every append instead of
+    re-clustering the world — the frozen partition is immutable, so
+    prior survivorship, splits, and packed bins never change (the
+    guarantee the full-rerun chain cannot give; see the incremental
+    contract on :func:`curate_corpus`).
+
+    Stages (each the scale-correct shape of its full-run counterpart):
+
+    1. quality gate (length + Gopher repetition) — narrow, new batch only;
+    2. exact dedup — first-wins WITHIN the batch, then drop batch docs
+       whose normalized-text fingerprint already exists in the frozen
+       corpus (pass ``frozen_fps`` = the stored ``exact_dedup`` fp
+       relation to skip rereading frozen text);
+    3. near-dup: :func:`operators.dedup.incremental_assign` — banded
+       probe of the frozen corpus (pass ``frozen_bands`` = the stored
+       :func:`band_relation`), exact verify, freeze-respecting cluster
+       adoption; only batch docs that survive stay;
+    4. decontamination vs ``benchmark`` (broadcast shingles);
+    5. split assignment with the SAME salt as the full runs — the pure
+       (salt, id) decision agrees with any past or future run;
+    6. per-shard sequence packing of the increment. Pack offsets/bins
+       are namespaced to THIS increment (an appending consumer offsets
+       them by its stored per-shard high-water mark — bins are a
+       physical layout, not a semantic identity, so per-increment
+       numbering is the append-friendly contract).
+
+    Returns the curated increment with ``cluster_id``, ``split``,
+    ``n_tokens``, ``pack_offset``, ``pack_bin``.
+    """
+    from ..operators import incremental_assign
+
+    gated = new_docs.where(F.length(F.trim(F.col(text_col))) >= min_chars)
+    rep = repetition_score(gated, text_col=text_col, id_col=id_col, n=2).where(
+        F.col("dup_gram_frac") <= max_dup_gram_frac
+    )
+    gated = gated.join(rep.select(F.col("doc_id").alias(id_col)), id_col)
+
+    keep_ids = exact_dedup(gated, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    deduped = gated.join(keep_ids, id_col, "left_semi")
+    if frozen_fps is None:
+        frozen_fps = exact_dedup(frozen_docs, text_col=text_col, id_col=id_col).select("fp")
+    normalized = F.md5(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    deduped = deduped.withColumn("_fp", normalized).join(
+        F.broadcast(frozen_fps.select(F.col("fp").alias("_fp"))), "_fp", "left_anti"
+    ).drop("_fp")
+    if materialize_stages:
+        deduped = deduped.localCheckpoint(eager=True)
+
+    assigned_clusters = incremental_assign(
+        deduped,
+        frozen_docs,
+        text_col=text_col,
+        id_col=id_col,
+        n_perm=lsh_perm,
+        bands=lsh_bands,
+        k=shingle_k,
+        threshold=jaccard_threshold,
+        hash_mode=hash_mode,
+        frozen_bands=frozen_bands,
+    )
+    survivors = deduped.join(
+        assigned_clusters.where(F.col("survives")).select(
+            F.col("doc_id").alias(id_col), "cluster_id"
+        ),
+        id_col,
+    )
+    if materialize_stages:
+        survivors = survivors.localCheckpoint(eager=True)
+
+    if benchmark is not None:
+        flagged = contamination_flags(
+            survivors, benchmark, text_col=text_col, id_col=id_col, k=contamination_k
+        )
+        survivors = survivors.join(
+            F.broadcast(flagged.select(F.col("doc_id").alias(id_col))), id_col, "left_anti"
+        )
+
+    assigned = split_assign(survivors, weights=split_weights, salt=split_salt, id_col=id_col)
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    with_tokens = assigned.withColumn("n_tokens", toks.cast("long"))
+    return pack_by_budget(
+        with_tokens, budget=pack_budget, token_col="n_tokens", part_col=shard_col, order_col=id_col
+    )

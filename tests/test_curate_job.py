@@ -68,3 +68,60 @@ def test_curate_materialization_flag_does_not_change_results(spark):
     b = curate_corpus(docs, jaccard_threshold=0.2, materialize_stages=False)
     key = lambda r: (r.doc_id, r.split, r.pack_offset, r.pack_bin)  # noqa: E731
     assert {key(r) for r in a.collect()} == {key(r) for r in b.collect()}
+
+
+# ---------------------------------------------------------------------------
+# curate_increment (round 4): the daily-increment twin of curate_corpus
+# ---------------------------------------------------------------------------
+
+
+def test_increment_with_empty_frozen_equals_full_curate(spark):
+    """With nothing frozen, the increment IS a full curation run: same
+    survivors, splits, token counts, and pack layout."""
+    from fundus_spark.plans import curate_increment
+
+    docs = _docs(spark)
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    inc = curate_increment(docs, empty, jaccard_threshold=0.2)
+    full = curate_corpus(docs, jaccard_threshold=0.2)
+    got = {(r.doc_id, r.split, r.n_tokens, r.pack_offset, r.pack_bin) for r in inc.collect()}
+    want = {(r.doc_id, r.split, r.n_tokens, r.pack_offset, r.pack_bin) for r in full.collect()}
+    assert got == want and got
+
+
+def test_increment_of_already_curated_batch_is_empty(spark):
+    """Idempotence: re-appending content that already exists in the
+    frozen corpus yields zero new survivors (exact fps drop them)."""
+    from fundus_spark.plans import curate_increment
+
+    frozen = _docs(spark)
+    rebatch = frozen.selectExpr("doc_id + 1000 as doc_id", "source", "text")
+    out = curate_increment(rebatch, frozen, jaccard_threshold=0.2)
+    assert out.count() == 0
+
+
+def test_increment_adopts_near_dups_and_keeps_fresh_content(spark):
+    """A new near-dup of a frozen doc is absorbed into its cluster (no
+    survival); genuinely fresh content survives with its own cluster —
+    and the frozen partition is never part of the output."""
+    from fundus_spark.plans import curate_increment
+
+    # distinct tokens throughout: must pass the repetition gate so the
+    # drop (if any) is attributable to cluster adoption, not the gate
+    base = " ".join("alpha%d beta%d gamma%d" % (j, j, j) for j in range(12))
+    fresh = " ".join("fresh%d novel%d material%d" % (j, j, j) for j in range(12))
+    frozen = spark.createDataFrame(
+        [(1, "s1", base), (2, "s1", " ".join("other%d frozen%d words%d" % (j, j, j) for j in range(12)))],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "s2", base.replace("alpha3", "changed3")),  # near dup of frozen 1
+            (101, "s2", fresh),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in curate_increment(new, frozen, jaccard_threshold=0.2).collect()}
+    assert 100 not in out  # absorbed into frozen cluster 1
+    assert 101 in out and out[101].cluster_id == 101
+    assert set(out) <= {100, 101}  # frozen rows never reappear
