@@ -1844,11 +1844,31 @@ WITH img AS (
            CAST(1 + doc_id % 64 AS INTEGER) AS w,
            CAST(1 + doc_id % 48 AS INTEGER) AS h
     FROM documents WHERE doc_id % 3 < 2
+),
+geo AS (
+    SELECT doc_id, w, h,
+           CAST(greatest(1, floor(w * least(32.0 / w, 32.0 / h, 1.0))) AS INTEGER) AS ow,
+           CAST(greatest(1, floor(h * least(32.0 / w, 32.0 / h, 1.0))) AS INTEGER) AS oh
+    FROM img
+),
+-- REAL-pixel verification: the operator decodes the payload and
+-- nearest-neighbor-samples it; the oracle replays the builders'
+-- closed-form pixel value (doc_id + 3x + 7y) mod 256 over the SAME
+-- floor sampling grid out[oy][ox] = src[oy*h//oh][ox*w//ow]
+px AS (
+    SELECT geo.doc_id, geo.w, geo.h, geo.ow, geo.oh,
+           (geo.doc_id + 3 * ((ox.x * geo.w) // geo.ow) + 7 * ((oy.y * geo.h) // geo.oh)) % 256 AS v
+    FROM geo,
+         LATERAL (SELECT unnest(generate_series(0, geo.ow - 1)) AS x) ox,
+         LATERAL (SELECT unnest(generate_series(0, geo.oh - 1)) AS y) oy
 )
 SELECT doc_id AS media_id, 'image' AS kind, w AS width, h AS height,
-       CAST(greatest(1, floor(w * least(32.0 / w, 32.0 / h, 1.0))) AS INTEGER) AS out_width,
-       CAST(greatest(1, floor(h * least(32.0 / w, 32.0 / h, 1.0))) AS INTEGER) AS out_height
-FROM img
+       ow AS out_width, oh AS out_height,
+       CAST(SUM(v) AS BIGINT) AS sum_luma,
+       CAST(MIN(doc_id % 256) AS INTEGER) AS corner_luma,
+       CAST(MIN((doc_id + 3 * (((ow - 1) * w) // ow) + 7 * (((oh - 1) * h) // oh)) % 256) AS INTEGER) AS last_luma
+FROM px
+GROUP BY doc_id, w, h, ow, oh
 """
 
 
@@ -1861,7 +1881,11 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDIA_FRAMES_SQL = """
-SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGINT) AS t_ms
+-- sample_value is the REAL decoded PCM16 sample at t_ms; the oracle
+-- replays the builder's closed-form ((doc_id*31 + i*17) mod 2^16) - 2^15
+-- at sample index t_ms * 8000 / 1000 = t_ms * 8
+SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGINT) AS t_ms,
+       CAST(((doc_id * 31 + (i * 50 * 8) * 17) % 65536) - 32768 AS INTEGER) AS sample_value
 FROM documents, LATERAL (SELECT unnest(generate_series(0, 2 + doc_id % 5)) AS i) t
 WHERE doc_id % 3 = 2
 """

@@ -1,18 +1,23 @@
-"""Pure-Python media header parsing (no codec libraries needed).
+"""Pure-Python media decode (no codec libraries needed).
 
-Real decode of the container-header metadata a training-data pipeline
-filters on — image dimensions and audio duration — for the formats
-whose headers are trivially parseable from bytes: BMP, PNG (IHDR),
-GIF87a/89a, and WAV (RIFF fmt/data chunks). Full pixel/sample decode
-(resize, resample, frame sampling) still needs codec libs and stays
-behind the documented fake in ``operators/multimodal.py``; header
-metadata, however, is REAL for these formats.
+Two decode tiers, both REAL:
+
+* **header metadata** — image dimensions and audio duration — for
+  BMP, PNG (IHDR), GIF87a/89a, and WAV (RIFF fmt/data chunks);
+* **pixel/sample payloads** (round 4): 24-bit uncompressed BMP rows
+  (bottom-up, word-padded), PNG via stdlib ``zlib`` inflate + scanline
+  unfilter (bit depth 8; gray / gray+alpha / RGB / RGBA, filters
+  0–4), and 16-bit PCM WAV samples. These cover every format this
+  repo's pipeline synthesizes and the uncompressed/deflate corner of
+  real-world payloads — the only remaining codec stub is GIF's LZW
+  pixel stream (and lossy formats like JPEG), still documented in
+  ``operators/multimodal.py``.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Optional
+from typing import List, Optional
 
 
 class MediaHeader:
@@ -74,22 +79,181 @@ def _parse_wav(payload: bytes) -> Optional[MediaHeader]:
     return None
 
 
+# --- pixel / sample decode (round 4 — REAL, stdlib only) ----------------
+
+
+def decode_image_luma(payload: bytes) -> Optional[List[List[int]]]:
+    """Decode pixels to a top-left-origin 2D luma grid (first channel —
+    exact for grayscale, a real decoded channel for RGB). Supports
+    24-bit uncompressed BMP and 8-bit-depth PNG (color types 0/2/4/6,
+    scanline filters 0-4). Returns None for formats whose pixel stream
+    needs a codec this repo does not ship (GIF LZW, JPEG, compressed
+    BMP variants)."""
+    header = parse_media_header(payload)
+    if header is None or header.width is None:
+        return None
+    if header.format == "bmp":
+        return _decode_bmp_luma(payload)
+    if header.format == "png":
+        return _decode_png_luma(payload)
+    return None
+
+
+def _decode_bmp_luma(payload: bytes) -> Optional[List[List[int]]]:
+    if len(payload) < 34:  # header + the info fields read below
+        return None
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or width <= 0 or height_raw == 0:
+        return None
+    height = abs(height_raw)
+    padded = (width * 3 + 3) & ~3
+    if len(payload) < data_offset + padded * height:
+        return None
+    rows: List[List[int]] = []
+    for y in range(height):
+        # positive height = bottom-up storage; negative = top-down
+        file_row = (height - 1 - y) if height_raw > 0 else y
+        base = data_offset + file_row * padded
+        # 24-bit BMP stores BGR; take R (offset 2) so "first channel"
+        # means the same channel as PNG's channel 0 across formats
+        rows.append([payload[base + 3 * x + 2] for x in range(width)])
+    return rows
+
+
+def _decode_png_luma(payload: bytes) -> Optional[List[List[int]]]:
+    import zlib
+
+    if len(payload) < 26:  # through the IHDR depth/color bytes
+        return None
+    width, height = struct.unpack_from(">II", payload, 16)
+    bit_depth, color_type = payload[24], payload[25]
+    if bit_depth != 8 or color_type not in (0, 2, 4, 6):
+        return None
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    # walk chunks, concatenate IDAT
+    pos = 8
+    idat = b""
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IEND":
+            break
+        pos += 12 + clen
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (1 + stride):
+        return None
+    rows: List[List[int]] = []
+    prev = bytearray(stride)
+    for y in range(height):
+        base = y * (1 + stride)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        rows.append([line[x * channels] for x in range(width)])
+        prev = line
+    return rows
+
+
+def decode_wav_samples(payload: bytes) -> Optional[List[int]]:
+    """Decode 16-bit PCM WAV to a list of first-channel samples
+    (signed ints)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    channels = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        (chunk_len,) = struct.unpack_from("<I", payload, pos + 4)
+        if chunk_id == b"fmt " and pos + 24 <= len(payload):
+            fmt_code, channels = struct.unpack_from("<HH", payload, pos + 8)
+            (bits,) = struct.unpack_from("<H", payload, pos + 22)
+            if fmt_code != 1:  # PCM only
+                return None
+        elif chunk_id == b"data":
+            data = payload[pos + 8 : pos + 8 + chunk_len]
+        pos += 8 + chunk_len + (chunk_len & 1)
+    if data is None or bits != 16 or not channels:
+        return None
+    block = channels * 2
+    n = len(data) // block
+    return [struct.unpack_from("<h", data, i * block)[0] for i in range(n)]
+
+
+def resize_nearest(rows: List[List[int]], out_w: int, out_h: int) -> List[List[int]]:
+    """Nearest-neighbor resample (floor sampling grid):
+    ``out[oy][ox] = src[oy*h//out_h][ox*w//out_w]`` — the exact formula
+    the DuckDB oracle replays."""
+    h, w = len(rows), len(rows[0])
+    return [[rows[oy * h // out_h][ox * w // out_w] for ox in range(out_w)] for oy in range(out_h)]
+
+
 # --- deterministic builders (test/bench payload synthesis) ---------------
 
 
-def build_bmp(width: int, height: int) -> bytes:
-    """Minimal valid 24-bit BMP with zeroed pixels."""
-    row = width * 3
-    padded = (row + 3) & ~3
+def synthetic_luma(seed: int, x: int, y: int) -> int:
+    """Closed-form pixel value used by the synthetic builders (and
+    replayed by the DuckDB oracles): ``(seed + 3x + 7y) mod 256``."""
+    return (seed + 3 * x + 7 * y) % 256
+
+
+def synthetic_sample(seed: int, i: int) -> int:
+    """Closed-form PCM sample: ``((seed*31 + i*17) mod 65536) - 32768``."""
+    return ((seed * 31 + i * 17) % 65536) - 32768
+
+
+def build_bmp(width: int, height: int, seed: Optional[int] = None) -> bytes:
+    """Valid 24-bit BMP; pixels are ``synthetic_luma(seed, x, y)`` gray
+    when ``seed`` is given, zeros otherwise."""
+    padded = (width * 3 + 3) & ~3
     pixel_bytes = padded * height
     file_size = 54 + pixel_bytes
     header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
-    return header + info + b"\x00" * pixel_bytes
+    if seed is None:
+        return header + info + b"\x00" * pixel_bytes
+    body = bytearray(pixel_bytes)
+    for file_row in range(height):
+        y = height - 1 - file_row  # bottom-up
+        base = file_row * padded
+        for x in range(width):
+            v = synthetic_luma(seed, x, y)
+            body[base + 3 * x : base + 3 * x + 3] = bytes((v, v, v))
+    return header + info + bytes(body)
 
 
-def build_png(width: int, height: int) -> bytes:
-    """Valid 8-bit grayscale PNG (zlib IDAT of zero scanlines)."""
+def build_png(width: int, height: int, seed: Optional[int] = None) -> bytes:
+    """Valid 8-bit grayscale PNG; pixels are ``synthetic_luma`` when
+    ``seed`` is given, zeros otherwise (zlib IDAT, filter 0)."""
     import binascii
     import zlib
 
@@ -102,7 +266,12 @@ def build_png(width: int, height: int) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+    if seed is None:
+        raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+    else:
+        raw = b"".join(
+            b"\x00" + bytes(synthetic_luma(seed, x, y) for x in range(width)) for y in range(height)
+        )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -111,10 +280,16 @@ def build_png(width: int, height: int) -> bytes:
     )
 
 
-def build_wav(n_samples: int, rate: int = 8000, channels: int = 1) -> bytes:
-    """Valid 16-bit PCM WAV of silence."""
+def build_wav(n_samples: int, rate: int = 8000, channels: int = 1, seed: Optional[int] = None) -> bytes:
+    """Valid 16-bit PCM WAV; samples are ``synthetic_sample`` when
+    ``seed`` is given, silence otherwise."""
     block = channels * 2
-    data = b"\x00" * (n_samples * block)
+    if seed is None:
+        data = b"\x00" * (n_samples * block)
+    else:
+        data = b"".join(
+            struct.pack("<h", synthetic_sample(seed, i)) * channels for i in range(n_samples)
+        )
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body

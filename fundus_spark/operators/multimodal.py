@@ -1,15 +1,25 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-Header metadata is decoded FOR REAL for BMP/PNG/GIF/WAV via the
-pure-Python parser in ``kernel/media.py`` (width/height for images,
-duration/sample-rate for audio) — oracle-gated by the ``media_decode``
-query. Full pixel/sample decode (resize, resample, frame sampling)
-needs codec libraries that are not in this container, so payloads in
-unrecognized formats fall back to a deterministic digest-derived fake
-(documented below); everything Spark-side — schema, partitioning, UDF
-signature, batch shaping — is real and tested. Swap ``_fake_decode``
-for a Pillow/torchaudio/PyAV call on a real deployment.
+Decode status (all via the pure-Python/stdlib kernel in
+``kernel/media.py``, no codec libraries):
+
+* **header metadata** — REAL for BMP/PNG/GIF/WAV (width/height,
+  duration/sample-rate); oracle-gated by ``media_decode``;
+* **pixel resample** (round 4) — REAL for 24-bit BMP and 8-bit PNG
+  (stdlib zlib inflate + unfilter): ``media_resize`` decodes, then
+  nearest-neighbor-samples the actual pixels and emits
+  sum/corner/last luma (exact integers), oracle-gated against the
+  synthetic payloads' closed-form pixel formula;
+* **audio samples** (round 4) — REAL for 16-bit PCM WAV:
+  ``media_frame_sample`` emits the decoded PCM value at each schedule
+  point, exactly oracle-gated;
+* the remaining stubs are per-format, not blanket: GIF's LZW pixel
+  stream and lossy codecs (JPEG/MP3/H.264) yield NULL pixel/sample
+  stats; ``media_features`` falls back to a deterministic
+  digest-derived fake for unrecognized containers (documented below).
+  Swap those paths for Pillow/torchaudio/PyAV on a deployment with
+  codec libraries.
 """
 
 from __future__ import annotations
@@ -122,13 +132,16 @@ RESIZE_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("out_width", IntegerType()),
         StructField("out_height", IntegerType()),
+        StructField("sum_luma", LongType()),
+        StructField("corner_luma", IntegerType()),
+        StructField("last_luma", IntegerType()),
     ]
 )
 
 
 def _resize_batches(max_w: int, max_h: int):
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernel.media import parse_media_header
+        from ..kernel.media import decode_image_luma, parse_media_header, resize_nearest
 
         for batch in batches:
             out = {name: [] for name in RESIZE_SCHEMA.fieldNames()}
@@ -138,16 +151,31 @@ def _resize_batches(max_w: int, max_h: int):
                 if header is None or header.width is None:
                     continue  # not an image we can size
                 w, h = header.width, header.height
-                # aspect-preserving fit (the real geometry; the pixel
-                # resample itself needs codec libs -> stubbed, see
-                # module docstring)
+                # aspect-preserving fit, never upscaled
                 scale = min(max_w / w, max_h / h, 1.0)
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                # REAL pixel resample (round 4): decode the payload
+                # (BMP 24-bit / PNG 8-bit via stdlib zlib) and
+                # nearest-neighbor sample it. Formats whose pixel
+                # stream needs an unshipped codec (GIF LZW, JPEG)
+                # yield NULL pixel stats — the remaining stub, now
+                # per-format instead of blanket.
+                rows_l = decode_image_luma(payload)
+                if rows_l is not None:
+                    resized = resize_nearest(rows_l, ow, oh)
+                    lsum = sum(map(sum, resized))
+                    corner, last = resized[0][0], resized[oh - 1][ow - 1]
+                else:
+                    lsum = corner = last = None
                 out["media_id"].append(row.media_id)
                 out["kind"].append(row.kind)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["out_width"].append(max(1, int(w * scale)))
-                out["out_height"].append(max(1, int(h * scale)))
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["sum_luma"].append(lsum)
+                out["corner_luma"].append(corner)
+                out["last_luma"].append(last)
             yield pd.DataFrame(out)
 
     return fn
@@ -159,10 +187,11 @@ def media_resize(
     max_h: int = 32,
     repartition_on: Optional[Union[str, Column]] = None,
 ) -> DataFrame:
-    """Aspect-preserving resize plumbing: REAL input dimensions (header
-    decode) and REAL output geometry (fit-within-box math, never
-    upscaled); the pixel resample is the documented codec stub. Rows
-    that are not parseable images are dropped (audio goes through
+    """Aspect-preserving resize: REAL input dimensions, REAL output
+    geometry (fit-within-box, never upscaled), and — for BMP/PNG —
+    REAL nearest-neighbor pixel resampling with decoded luma stats
+    (codec-needing formats get NULL stats). Rows that are not
+    parseable images are dropped (audio goes through
     :func:`media_frame_sample`). Zero-shuffle by default — see
     :func:`_maybe_repartition`."""
     return _maybe_repartition(media, repartition_on).mapInPandas(
@@ -175,13 +204,14 @@ FRAME_SAMPLE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("frame_idx", IntegerType()),
         StructField("t_ms", LongType()),
+        StructField("sample_value", IntegerType()),
     ]
 )
 
 
 def _frame_batches(every_ms: int):
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernel.media import parse_media_header
+        from ..kernel.media import decode_wav_samples, parse_media_header
 
         for batch in batches:
             out = {name: [] for name in FRAME_SAMPLE_SCHEMA.fieldNames()}
@@ -190,12 +220,23 @@ def _frame_batches(every_ms: int):
                 header = parse_media_header(payload)
                 if header is None or header.duration_ms is None:
                     continue
+                # REAL sample decode (round 4): the PCM value at each
+                # schedule point, from the 16-bit data chunk itself.
+                # Non-PCM16 audio yields NULL values (schedule stays
+                # real either way).
+                samples = decode_wav_samples(payload)
+                rate = header.sample_rate or 0
                 t = 0
                 idx = 0
                 while t < header.duration_ms:
+                    val = None
+                    if samples and rate:  # empty sample list -> NULL values
+                        si = min(t * rate // 1000, len(samples) - 1)
+                        val = samples[si]
                     out["media_id"].append(row.media_id)
                     out["frame_idx"].append(idx)
                     out["t_ms"].append(t)
+                    out["sample_value"].append(val)
                     idx += 1
                     t += every_ms
             yield pd.DataFrame(out)
@@ -207,10 +248,11 @@ def media_frame_sample(
     media: DataFrame, every_ms: int = 50, repartition_on: Optional[Union[str, Column]] = None
 ) -> DataFrame:
     """Uniform frame/sample-point schedule over timed media: REAL
-    offsets computed from the REAL container duration (WAV here; the
-    same schedule drives video frame extraction once codec libs exist —
-    decoding the frame at each ``t_ms`` is the documented stub).
-    Zero-shuffle by default — see :func:`_maybe_repartition`."""
+    offsets from the REAL container duration, and — for PCM16 WAV —
+    the REAL decoded sample value at each ``t_ms``. The same schedule
+    drives video frame extraction once a video codec exists (that
+    decode is the remaining per-format stub). Zero-shuffle by default
+    — see :func:`_maybe_repartition`."""
     return _maybe_repartition(media, repartition_on).mapInPandas(
         _frame_batches(every_ms), schema=FRAME_SAMPLE_SCHEMA
     )

@@ -9,6 +9,12 @@ oracle:
 * ``doc_id % 3 == 2`` -> WAV,  n_samples = 1000 + (doc_id % 5) * 400 @ 8 kHz mono
                          -> duration_ms = round(n_samples / 8)
 
+Round 4: payload CONTENT is closed-form too, so the pixel/sample
+decode is exactly oracle-checkable — image pixel (x, y) carries gray
+value ``(doc_id + 3x + 7y) mod 256`` (kernel ``synthetic_luma``) and
+WAV sample i carries ``((doc_id*31 + i*17) mod 2^16) - 2^15``
+(``synthetic_sample``).
+
 Payload construction runs in an Arrow-batched ``mapInPandas`` stage
 (binary building is per-row Python, but tiny: images are <= 64x48).
 """
@@ -40,11 +46,11 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             width, height = media_dims(doc_id)
             sel = doc_id % 3
             if sel == 0:
-                payload, kind, mime = build_bmp(width, height), "image", "image/bmp"
+                payload, kind, mime = build_bmp(width, height, seed=doc_id), "image", "image/bmp"
             elif sel == 1:
-                payload, kind, mime = build_png(width, height), "image", "image/png"
+                payload, kind, mime = build_png(width, height, seed=doc_id), "image", "image/png"
             else:
-                payload, kind, mime = build_wav(media_samples(doc_id)), "audio", "audio/wav"
+                payload, kind, mime = build_wav(media_samples(doc_id), seed=doc_id), "audio", "audio/wav"
             out["media_id"].append(doc_id)
             out["kind"].append(kind)
             out["payload"].append(payload)

@@ -82,6 +82,21 @@ def test_media_header_never_raises(payload):
 
 
 @SETTINGS
+@given(st.binary(max_size=300))
+def test_media_pixel_decode_never_raises(payload):
+    """Round-4 real decoders: adversarial bytes (with and without
+    plausible magic) must yield rows/samples or None, never a worker
+    crash."""
+    from fundus_spark.kernel.media import decode_image_luma, decode_wav_samples
+
+    for p in (payload, b"BM" + payload, b"\x89PNG\r\n\x1a\n" + payload, b"RIFF" + payload[:4] + b"WAVE" + payload):
+        rows = decode_image_luma(p)
+        assert rows is None or all(isinstance(v, int) for r in rows for v in r)
+        samples = decode_wav_samples(p)
+        assert samples is None or isinstance(samples, list)
+
+
+@SETTINGS
 @given(st.text(max_size=300), st.text(max_size=80))
 def test_robots_never_raises(robots_txt, path):
     from fundus_spark.kernel.robots import RobotsMatcher
