@@ -1815,11 +1815,17 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MEDIA_DECODE_SQL = """
 SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 2 THEN 'audio' ELSE 'image' END AS kind,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
-       CASE WHEN doc_id % 3 < 2 THEN CAST(1 + doc_id % 64 AS INTEGER) END AS width,
-       CASE WHEN doc_id % 3 < 2 THEN CAST(1 + doc_id % 48 AS INTEGER) END AS height,
-       CASE WHEN doc_id % 3 = 2 THEN CAST(125 + (doc_id % 5) * 50 AS BIGINT) END AS duration_ms
+       CASE WHEN doc_id % 3 < 2 THEN 'image'
+            WHEN doc_id % 6 = 5 THEN 'video'
+            ELSE 'audio' END AS kind,
+       CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+            WHEN doc_id % 3 = 1 THEN 'png'
+            WHEN doc_id % 6 = 5 THEN 'avi'
+            ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 3 < 2 OR doc_id % 6 = 5 THEN CAST(1 + doc_id % 64 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 < 2 OR doc_id % 6 = 5 THEN CAST(1 + doc_id % 48 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 6 = 5 THEN CAST((3 + doc_id % 5) * 40 AS BIGINT)
+            WHEN doc_id % 3 = 2 THEN CAST(125 + (doc_id % 5) * 50 AS BIGINT) END AS duration_ms
 FROM documents
 """
 
@@ -1881,13 +1887,39 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MEDIA_FRAMES_SQL = """
--- sample_value is the REAL decoded PCM16 sample at t_ms; the oracle
--- replays the builder's closed-form ((doc_id*31 + i*17) mod 2^16) - 2^15
--- at sample index t_ms * 8000 / 1000 = t_ms * 8
+-- sample_value is REAL decoded content at each schedule point:
+-- audio -> the PCM16 sample at index t_ms * 8000/1000 = t_ms * 8,
+-- replayed as ((doc_id*31 + i*17) mod 2^16) - 2^15;
+-- video -> the summed luma of the uncompressed-DIB frame covering
+-- t_ms (frame fi = t_ms // 40), replayed as
+-- SUM over (x, y) of (doc_id + 11*fi + 3x + 7y) mod 256
+WITH avi AS (
+    SELECT doc_id,
+           CAST(1 + doc_id % 64 AS INTEGER) AS w,
+           CAST(1 + doc_id % 48 AS INTEGER) AS h,
+           3 + doc_id % 5 AS nf
+    FROM documents WHERE doc_id % 6 = 5
+),
+avi_pts AS (
+    SELECT doc_id, w, h, i, (i * 50) // 40 AS fi
+    FROM avi, LATERAL (SELECT unnest(generate_series(0, (4 * nf + 4) // 5 - 1)) AS i) t
+),
+avi_vals AS (
+    SELECT doc_id, i,
+           CAST(SUM((doc_id + 11 * fi + 3 * xx.x + 7 * yy.y) % 256) AS INTEGER) AS v
+    FROM avi_pts,
+         LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xx,
+         LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) yy
+    GROUP BY doc_id, i
+)
+SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGINT) AS t_ms,
+       v AS sample_value
+FROM avi_vals
+UNION ALL
 SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGINT) AS t_ms,
        CAST(((doc_id * 31 + (i * 50 * 8) * 17) % 65536) - 32768 AS INTEGER) AS sample_value
 FROM documents, LATERAL (SELECT unnest(generate_series(0, 2 + doc_id % 5)) AS i) t
-WHERE doc_id % 3 = 2
+WHERE doc_id % 3 = 2 AND doc_id % 6 <> 5
 """
 
 

@@ -21,15 +21,27 @@ from typing import List, Optional
 
 
 class MediaHeader:
-    __slots__ = ("format", "width", "height", "duration_ms", "sample_rate", "n_channels")
+    __slots__ = ("format", "width", "height", "duration_ms", "sample_rate", "n_channels", "n_frames", "frame_ms")
 
-    def __init__(self, format: str, width=None, height=None, duration_ms=None, sample_rate=None, n_channels=None):
+    def __init__(
+        self,
+        format: str,
+        width=None,
+        height=None,
+        duration_ms=None,
+        sample_rate=None,
+        n_channels=None,
+        n_frames=None,
+        frame_ms=None,
+    ):
         self.format = format
         self.width = width
         self.height = height
         self.duration_ms = duration_ms
         self.sample_rate = sample_rate
         self.n_channels = n_channels
+        self.n_frames = n_frames
+        self.frame_ms = frame_ms
 
 
 def parse_media_header(payload: bytes) -> Optional[MediaHeader]:
@@ -52,7 +64,69 @@ def parse_media_header(payload: bytes) -> Optional[MediaHeader]:
         return MediaHeader("gif", width=width, height=height)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _parse_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _parse_avi(payload)
     return None
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Iterate (chunk_id, data_start, data_end) over a RIFF chunk run;
+    chunks are word-aligned."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        yield cid, pos + 8, min(pos + 8 + clen, end)
+        pos += 8 + clen + (clen & 1)
+
+
+def _parse_avi(payload: bytes) -> Optional[MediaHeader]:
+    """AVI main header (LIST hdrl -> avih): frame period, frame count,
+    dimensions -> real duration/fps metadata for the video modality."""
+    for cid, s, e in _riff_chunks(payload, 12, len(payload)):
+        if cid == b"LIST" and payload[s : s + 4] == b"hdrl":
+            for cid2, s2, e2 in _riff_chunks(payload, s + 4, e):
+                if cid2 == b"avih" and e2 - s2 >= 40:
+                    usec, _mx, _pad, _flags, total = struct.unpack_from("<IIIII", payload, s2)
+                    width, height = struct.unpack_from("<II", payload, s2 + 32)
+                    frame_ms = max(usec // 1000, 1)
+                    return MediaHeader(
+                        "avi",
+                        width=width,
+                        height=height,
+                        duration_ms=total * frame_ms,
+                        n_frames=total,
+                        frame_ms=frame_ms,
+                    )
+    return None
+
+
+def decode_avi_frames(payload: bytes) -> Optional[List[List[List[int]]]]:
+    """Decode uncompressed-DIB ('00db') AVI frames to a list of
+    top-left-origin luma grids — REAL video frame decode for the one
+    AVI flavor that needs no codec (raw 24-bit BGR, bottom-up,
+    word-padded rows, exactly the BMP pixel-array layout). Compressed
+    streams ('00dc' or any fourcc handler) return None."""
+    header = _parse_avi(payload)
+    if header is None or not header.width or not header.height:
+        return None
+    w, h = header.width, header.height
+    padded = (w * 3 + 3) & ~3
+    frames: List[List[List[int]]] = []
+    for cid, s, e in _riff_chunks(payload, 12, len(payload)):
+        if cid == b"LIST" and payload[s : s + 4] == b"movi":
+            for cid2, s2, e2 in _riff_chunks(payload, s + 4, e):
+                if cid2 == b"00dc":
+                    return None  # compressed stream -> needs a codec
+                if cid2 != b"00db":
+                    continue
+                if e2 - s2 < padded * h:
+                    return None
+                rows = []
+                for y in range(h):
+                    base = s2 + (h - 1 - y) * padded  # bottom-up
+                    rows.append([payload[base + 3 * x + 2] for x in range(w)])
+                frames.append(rows)
+    return frames or None
 
 
 def _parse_wav(payload: bytes) -> Optional[MediaHeader]:
@@ -278,6 +352,41 @@ def build_png(width: int, height: int, seed: Optional[int] = None) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 9))
         + chunk(b"IEND", b"")
     )
+
+
+def build_avi(
+    width: int, height: int, n_frames: int, frame_ms: int = 40, seed: Optional[int] = None
+) -> bytes:
+    """Valid minimal AVI with uncompressed 24-bit DIB frames; frame f's
+    pixel (x, y) carries ``synthetic_luma(seed + 11*f, x, y)`` gray
+    when ``seed`` is given, zeros otherwise."""
+    padded = (width * 3 + 3) & ~3
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    frames = []
+    for f in range(n_frames):
+        body = bytearray(padded * height)
+        if seed is not None:
+            for file_row in range(height):
+                y = height - 1 - file_row  # bottom-up
+                base = file_row * padded
+                for x in range(width):
+                    v = synthetic_luma(seed + 11 * f, x, y)
+                    body[base + 3 * x : base + 3 * x + 3] = bytes((v, v, v))
+        frames.append(bytes(body))
+
+    avih = struct.pack(
+        "<IIIIIIIIII", frame_ms * 1000, 0, 0, 0, n_frames, 0, 1, 0, width, height
+    ) + b"\x00" * 16
+    strh = b"vids" + b"DIB " + b"\x00" * 48
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, padded * height, 0, 0, 0, 0)
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+    movi = b"movi" + b"".join(chunk(b"00db", fr) for fr in frames)
+    body_bytes = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body_bytes)) + body_bytes
 
 
 def build_wav(n_samples: int, rate: int = 8000, channels: int = 1, seed: Optional[int] = None) -> bytes:

@@ -14,6 +14,11 @@ Decode status (all via the pure-Python/stdlib kernel in
 * **audio samples** (round 4) — REAL for 16-bit PCM WAV:
   ``media_frame_sample`` emits the decoded PCM value at each schedule
   point, exactly oracle-gated;
+* **video frames** (round 4) — REAL for AVI with uncompressed 24-bit
+  DIB streams (header: frame period/count/dimensions; frames: the
+  BMP pixel-array layout): ``media_frame_sample`` emits the summed
+  luma of the ACTUAL decoded frame covering each schedule point,
+  exactly oracle-gated; compressed fourccs return NULL;
 * the remaining stubs are per-format, not blanket: GIF's LZW pixel
   stream and lossy codecs (JPEG/MP3/H.264) yield NULL pixel/sample
   stats; ``media_features`` falls back to a deterministic
@@ -150,6 +155,11 @@ def _resize_batches(max_w: int, max_h: int):
                 header = parse_media_header(payload)
                 if header is None or header.width is None:
                     continue  # not an image we can size
+                if header.format == "avi":
+                    # video is per-frame work: the schedule lives in
+                    # media_frame_sample; resizing frames composes the
+                    # two operators
+                    continue
                 w, h = header.width, header.height
                 # aspect-preserving fit, never upscaled
                 scale = min(max_w / w, max_h / h, 1.0)
@@ -211,7 +221,7 @@ FRAME_SAMPLE_SCHEMA = StructType(
 
 def _frame_batches(every_ms: int):
     def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernel.media import decode_wav_samples, parse_media_header
+        from ..kernel.media import decode_avi_frames, decode_wav_samples, parse_media_header
 
         for batch in batches:
             out = {name: [] for name in FRAME_SAMPLE_SCHEMA.fieldNames()}
@@ -220,11 +230,16 @@ def _frame_batches(every_ms: int):
                 header = parse_media_header(payload)
                 if header is None or header.duration_ms is None:
                     continue
-                # REAL sample decode (round 4): the PCM value at each
-                # schedule point, from the 16-bit data chunk itself.
-                # Non-PCM16 audio yields NULL values (schedule stays
-                # real either way).
-                samples = decode_wav_samples(payload)
+                # REAL content decode (round 4) at each schedule point:
+                # audio -> the PCM16 sample value; video -> the summed
+                # luma of the uncompressed-DIB frame covering t_ms.
+                # Codec-needing streams yield NULL values (the schedule
+                # stays real either way).
+                samples = frames = None
+                if header.format == "avi":
+                    frames = decode_avi_frames(payload)
+                else:
+                    samples = decode_wav_samples(payload)
                 rate = header.sample_rate or 0
                 t = 0
                 idx = 0
@@ -233,6 +248,9 @@ def _frame_batches(every_ms: int):
                     if samples and rate:  # empty sample list -> NULL values
                         si = min(t * rate // 1000, len(samples) - 1)
                         val = samples[si]
+                    elif frames and header.frame_ms:
+                        fi = min(t // header.frame_ms, len(frames) - 1)
+                        val = sum(map(sum, frames[fi]))
                     out["media_id"].append(row.media_id)
                     out["frame_idx"].append(idx)
                     out["t_ms"].append(t)

@@ -6,13 +6,17 @@ oracle:
 
 * ``doc_id % 3 == 0`` -> BMP,  width = 1 + doc_id % 64, height = 1 + doc_id % 48
 * ``doc_id % 3 == 1`` -> PNG,  same dimension formulas
-* ``doc_id % 3 == 2`` -> WAV,  n_samples = 1000 + (doc_id % 5) * 400 @ 8 kHz mono
-                         -> duration_ms = round(n_samples / 8)
+* ``doc_id % 3 == 2`` and ``doc_id % 6 == 5`` -> AVI video,
+                         n_frames = 3 + doc_id % 5 @ 25 fps (40 ms/frame),
+                         same dimension formulas -> duration_ms = 40 * n_frames
+* ``doc_id % 3 == 2`` otherwise -> WAV, n_samples = 1000 + (doc_id % 5) * 400
+                         @ 8 kHz mono -> duration_ms = round(n_samples / 8)
 
 Round 4: payload CONTENT is closed-form too, so the pixel/sample
 decode is exactly oracle-checkable — image pixel (x, y) carries gray
-value ``(doc_id + 3x + 7y) mod 256`` (kernel ``synthetic_luma``) and
-WAV sample i carries ``((doc_id*31 + i*17) mod 2^16) - 2^15``
+value ``(doc_id + 3x + 7y) mod 256`` (kernel ``synthetic_luma``), AVI
+frame f's pixel (x, y) carries ``(doc_id + 11f + 3x + 7y) mod 256``,
+and WAV sample i carries ``((doc_id*31 + i*17) mod 2^16) - 2^15``
 (``synthetic_sample``).
 
 Payload construction runs in an Arrow-batched ``mapInPandas`` stage
@@ -26,7 +30,7 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..kernel.media import build_bmp, build_png, build_wav
+from ..kernel.media import build_avi, build_bmp, build_png, build_wav
 from ..operators.multimodal import MEDIA_SCHEMA
 
 
@@ -36,6 +40,10 @@ def media_dims(doc_id: int):
 
 def media_samples(doc_id: int) -> int:
     return 1000 + (doc_id % 5) * 400
+
+
+def media_frames(doc_id: int) -> int:
+    return 3 + doc_id % 5
 
 
 def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -49,6 +57,12 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 payload, kind, mime = build_bmp(width, height, seed=doc_id), "image", "image/bmp"
             elif sel == 1:
                 payload, kind, mime = build_png(width, height, seed=doc_id), "image", "image/png"
+            elif doc_id % 6 == 5:
+                payload, kind, mime = (
+                    build_avi(width, height, media_frames(doc_id), seed=doc_id),
+                    "video",
+                    "video/avi",
+                )
             else:
                 payload, kind, mime = build_wav(media_samples(doc_id), seed=doc_id), "audio", "audio/wav"
             out["media_id"].append(doc_id)

@@ -803,3 +803,29 @@ def test_png_rgb_decode_first_channel():
         + chunk(b"IEND", b"")
     )
     assert decode_image_luma(png) == [[10 * x + y for x in range(w)] for y in range(h)]
+
+
+def test_avi_header_and_frame_decode_round_trip():
+    """AVI (RIFF): real header metadata and real uncompressed-DIB frame
+    decode round-trip the builder's closed-form content."""
+    from fundus_spark.kernel.media import (
+        build_avi,
+        decode_avi_frames,
+        parse_media_header,
+        synthetic_luma,
+    )
+
+    payload = build_avi(7, 5, n_frames=4, frame_ms=40, seed=13)
+    header = parse_media_header(payload)
+    assert header.format == "avi"
+    assert (header.width, header.height) == (7, 5)
+    assert header.n_frames == 4 and header.frame_ms == 40
+    assert header.duration_ms == 160
+
+    frames = decode_avi_frames(payload)
+    assert len(frames) == 4
+    for f, rows in enumerate(frames):
+        assert rows == [[synthetic_luma(13 + 11 * f, x, y) for x in range(7)] for y in range(5)]
+
+    # compressed stream fourcc -> None (the codec boundary)
+    assert decode_avi_frames(payload.replace(b"00db", b"00dc")) is None

@@ -89,11 +89,21 @@ def test_media_pixel_decode_never_raises(payload):
     crash."""
     from fundus_spark.kernel.media import decode_image_luma, decode_wav_samples
 
-    for p in (payload, b"BM" + payload, b"\x89PNG\r\n\x1a\n" + payload, b"RIFF" + payload[:4] + b"WAVE" + payload):
+    from fundus_spark.kernel.media import decode_avi_frames
+
+    for p in (
+        payload,
+        b"BM" + payload,
+        b"\x89PNG\r\n\x1a\n" + payload,
+        b"RIFF" + payload[:4] + b"WAVE" + payload,
+        b"RIFF" + payload[:4] + b"AVI " + payload,
+    ):
         rows = decode_image_luma(p)
         assert rows is None or all(isinstance(v, int) for r in rows for v in r)
         samples = decode_wav_samples(p)
         assert samples is None or isinstance(samples, list)
+        frames = decode_avi_frames(p)
+        assert frames is None or isinstance(frames, list)
 
 
 @SETTINGS
