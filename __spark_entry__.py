@@ -1818,7 +1818,8 @@ SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 < 2 THEN 'image'
             WHEN doc_id % 6 = 5 THEN 'video'
             ELSE 'audio' END AS kind,
-       CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+       CASE WHEN doc_id % 6 = 3 THEN 'gif'
+            WHEN doc_id % 3 = 0 THEN 'bmp'
             WHEN doc_id % 3 = 1 THEN 'png'
             WHEN doc_id % 6 = 5 THEN 'avi'
             ELSE 'wav' END AS format,

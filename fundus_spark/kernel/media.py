@@ -7,11 +7,12 @@ Two decode tiers, both REAL:
 * **pixel/sample payloads** (round 4): 24-bit uncompressed BMP rows
   (bottom-up, word-padded), PNG via stdlib ``zlib`` inflate + scanline
   unfilter (bit depth 8; gray / gray+alpha / RGB / RGBA, filters
-  0–4), and 16-bit PCM WAV samples. These cover every format this
-  repo's pipeline synthesizes and the uncompressed/deflate corner of
-  real-world payloads — the only remaining codec stub is GIF's LZW
-  pixel stream (and lossy formats like JPEG), still documented in
-  ``operators/multimodal.py``.
+  0–4), GIF via a from-scratch LZW decoder (variable-width LSB-first
+  codes, clear/end, KwKwK, 12-bit cap, interlacing), AVI
+  uncompressed-DIB frame streams, and 16-bit PCM WAV samples. Every
+  format this repo sniffs decodes for real; the only remaining stubs
+  are lossy codecs (JPEG/MP3/H.264 — genuinely impossible without
+  codec libraries), documented in ``operators/multimodal.py``.
 """
 
 from __future__ import annotations
@@ -170,6 +171,8 @@ def decode_image_luma(payload: bytes) -> Optional[List[List[int]]]:
         return _decode_bmp_luma(payload)
     if header.format == "png":
         return _decode_png_luma(payload)
+    if header.format == "gif":
+        return _decode_gif_luma(payload)
     return None
 
 
@@ -255,6 +258,177 @@ def _decode_png_luma(payload: bytes) -> Optional[List[List[int]]]:
         rows.append([line[x * channels] for x in range(width)])
         prev = line
     return rows
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> Optional[List[int]]:
+    """GIF-flavor LZW: LSB-first variable-width codes starting at
+    ``min_code + 1`` bits, clear/end codes, code width grows when the
+    dictionary reaches the current width's capacity (12-bit max)."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    table: dict = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: List[int] = []
+    prev: Optional[tuple] = None
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code() -> Optional[int]:
+        nonlocal bitpos
+        if bitpos + code_size > total_bits:
+            return None
+        v = 0
+        for i in range(code_size):
+            if (data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1:
+                v |= 1 << i
+        bitpos += code_size
+        return v
+
+    while len(out) < max_pixels:
+        code = read_code()
+        if code is None or code == end:
+            break
+        if code == clear:
+            code_size = min_code + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+            out.extend(entry)
+            prev = entry
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out.extend(entry)
+        if next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out[:max_pixels] if len(out) >= max_pixels else None
+
+
+def _lzw_encode(indices: List[int], min_code: int) -> bytes:
+    """GIF-flavor LZW compressor (the builder's half; the decoder above
+    is its inverse — the encoder's width bump lags one entry because
+    the decoder's table is one entry behind)."""
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    table: dict = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    bits: List[int] = []
+
+    def emit(code: int) -> None:
+        for i in range(code_size):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            code_size = min_code + 1
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(end)
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i >> 3] |= 1 << (i & 7)
+    return bytes(out)
+
+
+def _decode_gif_luma(payload: bytes) -> Optional[List[List[int]]]:
+    """Real GIF decode: logical screen + color tables + LZW'd image
+    data -> top-left-origin luma grid (first palette channel, R).
+    Handles interlaced images; animated GIFs yield the first frame."""
+    if len(payload) < 13:
+        return None
+    flags = payload[10]
+    gct = None
+    pos = 13
+    if flags & 0x80:
+        size = 2 ** ((flags & 7) + 1)
+        if pos + 3 * size > len(payload):
+            return None
+        gct = payload[pos : pos + 3 * size]
+        pos += 3 * size
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                return None
+            _x, _y, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            iflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                size = 2 ** ((iflags & 7) + 1)
+                if pos + 3 * size > len(payload):
+                    return None
+                table = payload[pos : pos + 3 * size]
+                pos += 3 * size
+            if table is None or w == 0 or h == 0:
+                return None
+            if pos >= len(payload):
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            indices = _lzw_decode(bytes(data), min_code, w * h)
+            if indices is None:
+                return None
+            rows = [
+                [table[3 * indices[yy * w + xx]] if 3 * indices[yy * w + xx] < len(table) else 0 for xx in range(w)]
+                for yy in range(h)
+            ]
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, h, step)]
+                deinterlaced: List[Optional[List[int]]] = [None] * h
+                for src, dst in enumerate(order):
+                    deinterlaced[dst] = rows[src]
+                rows = [r for r in deinterlaced if r is not None]
+                if len(rows) != h:
+                    return None
+            return rows
+        else:  # trailer (0x3B) or garbage
+            return None
+    return None
 
 
 def decode_wav_samples(payload: bytes) -> Optional[List[int]]:
@@ -352,6 +526,28 @@ def build_png(width: int, height: int, seed: Optional[int] = None) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 9))
         + chunk(b"IEND", b"")
     )
+
+
+def build_gif(width: int, height: int, seed: Optional[int] = None, interlaced: bool = False) -> bytes:
+    """Valid GIF89a with a 256-entry grayscale palette (index i ->
+    (i,i,i)) and REAL LZW-compressed pixel data; pixel (x, y) carries
+    ``synthetic_luma(seed, x, y)`` when ``seed`` is given."""
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    screen = struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)  # GCT, 256 entries
+    if seed is None:
+        pixels = [0] * (width * height)
+    else:
+        pixels = [synthetic_luma(seed, x, y) for y in range(height) for x in range(width)]
+    if interlaced:
+        order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, height, step)]
+        pixels = [pixels[src_row * width + x] for src_row in order for x in range(width)]
+    iflags = 0x40 if interlaced else 0
+    descriptor = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+    lzw = _lzw_encode(pixels, 8)
+    sub_blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255] for i in range(0, len(lzw), 255)
+    )
+    return b"GIF89a" + screen + palette + descriptor + b"\x08" + sub_blocks + b"\x00" + b"\x3b"
 
 
 def build_avi(

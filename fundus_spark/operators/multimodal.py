@@ -6,8 +6,9 @@ Decode status (all via the pure-Python/stdlib kernel in
 
 * **header metadata** — REAL for BMP/PNG/GIF/WAV (width/height,
   duration/sample-rate); oracle-gated by ``media_decode``;
-* **pixel resample** (round 4) — REAL for 24-bit BMP and 8-bit PNG
-  (stdlib zlib inflate + unfilter): ``media_resize`` decodes, then
+* **pixel resample** (round 4) — REAL for 24-bit BMP, 8-bit PNG
+  (stdlib zlib inflate + unfilter), and GIF (from-scratch LZW
+  decoder incl. interlacing): ``media_resize`` decodes, then
   nearest-neighbor-samples the actual pixels and emits
   sum/corner/last luma (exact integers), oracle-gated against the
   synthetic payloads' closed-form pixel formula;
@@ -19,12 +20,12 @@ Decode status (all via the pure-Python/stdlib kernel in
   BMP pixel-array layout): ``media_frame_sample`` emits the summed
   luma of the ACTUAL decoded frame covering each schedule point,
   exactly oracle-gated; compressed fourccs return NULL;
-* the remaining stubs are per-format, not blanket: GIF's LZW pixel
-  stream and lossy codecs (JPEG/MP3/H.264) yield NULL pixel/sample
-  stats; ``media_features`` falls back to a deterministic
-  digest-derived fake for unrecognized containers (documented below).
-  Swap those paths for Pillow/torchaudio/PyAV on a deployment with
-  codec libraries.
+* the remaining stubs are lossy codecs only (JPEG/MP3/H.264 and
+  compressed AVI fourccs) — those yield NULL pixel/sample stats;
+  ``media_features`` falls back to a deterministic digest-derived
+  fake for unrecognized containers (documented below). Swap those
+  paths for Pillow/torchaudio/PyAV on a deployment with codec
+  libraries.
 """
 
 from __future__ import annotations

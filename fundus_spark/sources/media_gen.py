@@ -4,7 +4,8 @@ Synthesizes valid container files whose header metadata is closed-form
 in ``doc_id``, so the ``media_decode`` query has an exact DuckDB
 oracle:
 
-* ``doc_id % 3 == 0`` -> BMP,  width = 1 + doc_id % 64, height = 1 + doc_id % 48
+* ``doc_id % 3 == 0`` -> BMP (or real-LZW GIF when ``doc_id % 6 == 3``),
+                         width = 1 + doc_id % 64, height = 1 + doc_id % 48
 * ``doc_id % 3 == 1`` -> PNG,  same dimension formulas
 * ``doc_id % 3 == 2`` and ``doc_id % 6 == 5`` -> AVI video,
                          n_frames = 3 + doc_id % 5 @ 25 fps (40 ms/frame),
@@ -30,7 +31,7 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..kernel.media import build_avi, build_bmp, build_png, build_wav
+from ..kernel.media import build_avi, build_bmp, build_gif, build_png, build_wav
 from ..operators.multimodal import MEDIA_SCHEMA
 
 
@@ -53,7 +54,9 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             doc_id = int(doc_id)
             width, height = media_dims(doc_id)
             sel = doc_id % 3
-            if sel == 0:
+            if sel == 0 and doc_id % 6 == 3:
+                payload, kind, mime = build_gif(width, height, seed=doc_id), "image", "image/gif"
+            elif sel == 0:
                 payload, kind, mime = build_bmp(width, height, seed=doc_id), "image", "image/bmp"
             elif sel == 1:
                 payload, kind, mime = build_png(width, height, seed=doc_id), "image", "image/png"

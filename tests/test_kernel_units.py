@@ -829,3 +829,34 @@ def test_avi_header_and_frame_decode_round_trip():
 
     # compressed stream fourcc -> None (the codec boundary)
     assert decode_avi_frames(payload.replace(b"00db", b"00dc")) is None
+
+
+def test_gif_lzw_hand_derived_vector():
+    """Pin the GIF LZW bit convention independent of our own encoder:
+    indices [1,1,1,1] at min_code=2 encode (derived by hand per the
+    spec) to codes [clear=4, 1, 6, 1, end=5] — the '6' is the KwKwK
+    case, the '1' after it is read at 3 bits while end is read at 4
+    (the decoder bumps after table entry 7) — packing LSB-first to
+    bytes 0x8C 0x53."""
+    from fundus_spark.kernel.media import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(b"\x8c\x53", 2, 4) == [1, 1, 1, 1]
+    assert _lzw_encode([1, 1, 1, 1], 2) == b"\x8c\x53"
+
+
+def test_gif_decode_round_trip():
+    from fundus_spark.kernel.media import (
+        build_gif,
+        decode_image_luma,
+        parse_media_header,
+        synthetic_luma,
+    )
+
+    for w, h in ((5, 4), (1, 1), (64, 48), (13, 9)):
+        payload = build_gif(w, h, seed=21)
+        header = parse_media_header(payload)
+        assert header.format == "gif" and (header.width, header.height) == (w, h)
+        want = [[synthetic_luma(21, x, y) for x in range(w)] for y in range(h)]
+        assert decode_image_luma(payload) == want, (w, h)
+        # interlaced storage must decode to the same image
+        assert decode_image_luma(build_gif(w, h, seed=21, interlaced=True)) == want, ("ilace", w, h)
