@@ -18,6 +18,31 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS_PER_BATCH = 512
 
 
+#: The exact config block a cluster submit ships — shared by
+#: build_session (local) and tools/submit_job.py (spark-submit), so
+#: "tested locally" and "deployed" mean the same tuning.
+CLUSTER_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_MAX_RECORDS_PER_BATCH),
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def cluster_session(app_name: str = "fundus-spark") -> SparkSession:
+    """Session for a ``spark-submit`` deployment: master/executors come
+    from the cluster manager via the submit command; only the
+    engine-semantics conf (AQE, skew join, Arrow batching, timezone) is
+    set here — identical to the local factory's block."""
+    builder = SparkSession.builder.appName(app_name)
+    for key, value in CLUSTER_CONF.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
 def build_session(
     app_name: str = "fundus-spark",
     cores: Optional[int] = None,
@@ -30,17 +55,12 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS_PER_BATCH))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.session.timeZone", "UTC")
     )
+    for key, value in CLUSTER_CONF.items():
+        builder = builder.config(key, value)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

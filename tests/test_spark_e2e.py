@@ -288,3 +288,51 @@ def test_job_commit_phase_job_count_bucket_independent(spark, transcripts_df, tm
     # the commit phase is now one metrics write + one manifest append
     # regardless of bucket count — 4 extra buckets may add ~0 jobs
     assert n6 - n2 <= 2, (n2, n6)
+
+
+def test_spark_submit_deployment_smoke(spark, transcripts_df, tmp_path):
+    """North-rule deployment shape, actually exercised: package the
+    code into the --py-files zip, run `spark-submit` from OUTSIDE the
+    repo (so only the zip can provide fundus_spark), then re-submit and
+    assert the resume skips every committed bucket."""
+    import shutil
+    import subprocess
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent / "tools"))
+    import package as packager
+
+    zip_path = packager.build(dest=str(tmp_path / "fundus_spark.zip"))
+    inp = str(tmp_path / "in")
+    transcripts_df.write.parquet(inp)
+
+    def submit():
+        cmd = [
+            spark_submit,
+            "--py-files",
+            zip_path,
+            str(__import__("pathlib").Path(__file__).resolve().parent.parent / "tools" / "submit_job.py"),
+            "--input", inp,
+            "--output", str(tmp_path / "out"),
+            "--metrics", str(tmp_path / "metrics"),
+            "--manifest", str(tmp_path / "manifest"),
+            "--n-buckets", "4",
+            "--run-id", "submit-smoke",
+            "--local", "4",
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300, cwd=str(tmp_path))
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    first = submit()
+    assert sorted(first["buckets_run"]) == [0, 1, 2, 3]
+    assert first["parse_failures"] == 0 and first["output_turns"] == first["input_turns"]
+
+    second = submit()
+    assert second["buckets_run"] == []
+    assert sorted(second["buckets_skipped"]) == [0, 1, 2, 3]
