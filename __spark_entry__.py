@@ -2041,14 +2041,42 @@ SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS pdf_text FROM doc
 
 
 def _q_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language filter over a MIXED-declaration corpus (round-4
+    strengthening — the old oracle was trivially all-'en'): each page
+    declares one of five languages by doc_id, the extraction stage's
+    real html-lang path reads it per document, and the filter keeps
+    en/de — so the oracle verifies both the per-doc lang extraction
+    and the filter semantics."""
     from fundus_spark.operators import language_filter
+    from fundus_spark.plans import extract_articles
 
-    df = _q_extract_documents_full(spark, sf_dir)
-    return language_filter(df, ["en"]).select("doc_id", "lang")
+    docs = _read(spark, sf_dir, "documents")
+    langs = F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("ja"), F.lit("pt"))
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html lang='"),
+        F.element_at(langs, (F.col("doc_id") % 5 + 1).cast("int")),
+        F.lit("'><head><title>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><article><p>"),
+        F.col("text"),
+        F.lit("</p></article></body></html>"),
+    )
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        html.alias("text"),
+        F.lit("generic").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    extracted = extract_articles(transcripts)
+    out = language_filter(extracted, ["en", "de"])
+    return out.select(F.col("turn_idx").cast("long").alias("doc_id"), "lang")
 
 
 _LANGUAGE_FILTER_SQL = """
-SELECT doc_id, 'en' AS lang FROM documents
+SELECT doc_id, CASE doc_id % 5 WHEN 0 THEN 'en' ELSE 'de' END AS lang
+FROM documents WHERE doc_id % 5 < 2
 """
 
 
