@@ -110,6 +110,8 @@ def decode_avi_frames(payload: bytes) -> Optional[List[List[List[int]]]]:
     header = _parse_avi(payload)
     if header is None or not header.width or not header.height:
         return None
+    import numpy as np
+
     w, h = header.width, header.height
     padded = (w * 3 + 3) & ~3
     frames: List[List[List[int]]] = []
@@ -122,11 +124,8 @@ def decode_avi_frames(payload: bytes) -> Optional[List[List[List[int]]]]:
                     continue
                 if e2 - s2 < padded * h:
                     return None
-                rows = []
-                for y in range(h):
-                    base = s2 + (h - 1 - y) * padded  # bottom-up
-                    rows.append([payload[base + 3 * x + 2] for x in range(w)])
-                frames.append(rows)
+                arr = np.frombuffer(payload, np.uint8, padded * h, s2).reshape(h, padded)
+                frames.append(arr[::-1, : w * 3].reshape(h, w, 3)[..., 2].tolist())
     return frames or None
 
 
@@ -189,15 +188,15 @@ def _decode_bmp_luma(payload: bytes) -> Optional[List[List[int]]]:
     padded = (width * 3 + 3) & ~3
     if len(payload) < data_offset + padded * height:
         return None
-    rows: List[List[int]] = []
-    for y in range(height):
-        # positive height = bottom-up storage; negative = top-down
-        file_row = (height - 1 - y) if height_raw > 0 else y
-        base = data_offset + file_row * padded
-        # 24-bit BMP stores BGR; take R (offset 2) so "first channel"
-        # means the same channel as PNG's channel 0 across formats
-        rows.append([payload[base + 3 * x + 2] for x in range(width)])
-    return rows
+    import numpy as np
+
+    arr = np.frombuffer(payload, np.uint8, padded * height, data_offset).reshape(height, padded)
+    # 24-bit BMP stores BGR; take R (offset 2) so "first channel" means
+    # the same channel as PNG's channel 0 across formats
+    rows = arr[:, : width * 3].reshape(height, width, 3)[..., 2]
+    if height_raw > 0:  # positive height = bottom-up storage
+        rows = rows[::-1]
+    return rows.tolist()
 
 
 def _decode_png_luma(payload: bytes) -> Optional[List[List[int]]]:
@@ -323,44 +322,54 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> Optional[List[in
 def _lzw_encode(indices: List[int], min_code: int) -> bytes:
     """GIF-flavor LZW compressor (the builder's half; the decoder above
     is its inverse — the encoder's width bump lags one entry because
-    the decoder's table is one entry behind)."""
+    the decoder's table is one entry behind). Sequences are tracked as
+    their CODE and the table is keyed by ``(prefix_code << 8) | symbol``
+    — int keys and a bit accumulator instead of tuple keys and a bit
+    list (~10x: the synthetic corpus LZW-encodes millions of pixels)."""
     clear = 1 << min_code
     end = clear + 1
     code_size = min_code + 1
-    table: dict = {(i,): i for i in range(clear)}
+    table: dict = {}
     next_code = end + 1
-    bits: List[int] = []
+    out = bytearray()
+    acc = 0
+    nacc = 0
 
     def emit(code: int) -> None:
-        for i in range(code_size):
-            bits.append((code >> i) & 1)
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += code_size
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
 
     emit(clear)
-    w: tuple = ()
-    for k in indices:
-        wk = w + (k,)
-        if wk in table:
-            w = wk
-            continue
-        emit(table[w])
-        if next_code < 4096:
-            table[wk] = next_code
-            next_code += 1
-            if next_code == (1 << code_size) + 1 and code_size < 12:
-                code_size += 1
-        else:
-            emit(clear)
-            code_size = min_code + 1
-            table = {(i,): i for i in range(clear)}
-            next_code = end + 1
-        w = (k,)
-    if w:
-        emit(table[w])
+    it = iter(indices)
+    w = next(it, None)
+    if w is not None:
+        for k in it:
+            key = (w << 8) | k
+            c = table.get(key)
+            if c is not None:
+                w = c
+                continue
+            emit(w)
+            if next_code < 4096:
+                table[key] = next_code
+                next_code += 1
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            else:
+                emit(clear)
+                table.clear()
+                next_code = end + 1
+                code_size = min_code + 1
+            w = k
+        emit(w)
     emit(end)
-    out = bytearray((len(bits) + 7) // 8)
-    for i, b in enumerate(bits):
-        if b:
-            out[i >> 3] |= 1 << (i & 7)
+    if nacc:
+        out.append(acc & 0xFF)
     return bytes(out)
 
 
@@ -452,9 +461,11 @@ def decode_wav_samples(payload: bytes) -> Optional[List[int]]:
         pos += 8 + chunk_len + (chunk_len & 1)
     if data is None or bits != 16 or not channels:
         return None
+    import numpy as np
+
     block = channels * 2
     n = len(data) // block
-    return [struct.unpack_from("<h", data, i * block)[0] for i in range(n)]
+    return np.frombuffer(data, "<i2", n * channels)[::channels].tolist()
 
 
 def resize_nearest(rows: List[List[int]], out_w: int, out_h: int) -> List[List[int]]:
@@ -474,6 +485,27 @@ def synthetic_luma(seed: int, x: int, y: int) -> int:
     return (seed + 3 * x + 7 * y) % 256
 
 
+def _luma_grid(seed: int, width: int, height: int):
+    """Vectorized ``synthetic_luma`` grid (numpy uint8, h x w) — the
+    builders synthesize millions of pixels per bench corpus."""
+    import numpy as np
+
+    xs = np.arange(width, dtype=np.int64)
+    ys = np.arange(height, dtype=np.int64)
+    return ((seed + 3 * xs[None, :] + 7 * ys[:, None]) % 256).astype(np.uint8)
+
+
+def _bgr_pixel_array(grid, padded: int) -> bytes:
+    """Gray grid -> bottom-up, word-padded 24-bit BGR pixel array (the
+    BMP / uncompressed-AVI-frame layout)."""
+    import numpy as np
+
+    h, w = grid.shape
+    buf = np.zeros((h, padded), dtype=np.uint8)
+    buf[:, : w * 3] = np.repeat(grid[::-1][:, :, None], 3, axis=2).reshape(h, w * 3)
+    return buf.tobytes()
+
+
 def synthetic_sample(seed: int, i: int) -> int:
     """Closed-form PCM sample: ``((seed*31 + i*17) mod 65536) - 32768``."""
     return ((seed * 31 + i * 17) % 65536) - 32768
@@ -489,14 +521,7 @@ def build_bmp(width: int, height: int, seed: Optional[int] = None) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
     if seed is None:
         return header + info + b"\x00" * pixel_bytes
-    body = bytearray(pixel_bytes)
-    for file_row in range(height):
-        y = height - 1 - file_row  # bottom-up
-        base = file_row * padded
-        for x in range(width):
-            v = synthetic_luma(seed, x, y)
-            body[base + 3 * x : base + 3 * x + 3] = bytes((v, v, v))
-    return header + info + bytes(body)
+    return header + info + _bgr_pixel_array(_luma_grid(seed, width, height), padded)
 
 
 def build_png(width: int, height: int, seed: Optional[int] = None) -> bytes:
@@ -517,9 +542,8 @@ def build_png(width: int, height: int, seed: Optional[int] = None) -> bytes:
     if seed is None:
         raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
     else:
-        raw = b"".join(
-            b"\x00" + bytes(synthetic_luma(seed, x, y) for x in range(width)) for y in range(height)
-        )
+        grid = _luma_grid(seed, width, height)
+        raw = b"".join(b"\x00" + grid[y].tobytes() for y in range(height))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -537,7 +561,7 @@ def build_gif(width: int, height: int, seed: Optional[int] = None, interlaced: b
     if seed is None:
         pixels = [0] * (width * height)
     else:
-        pixels = [synthetic_luma(seed, x, y) for y in range(height) for x in range(width)]
+        pixels = _luma_grid(seed, width, height).reshape(-1).tolist()
     if interlaced:
         order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, height, step)]
         pixels = [pixels[src_row * width + x] for src_row in order for x in range(width)]
@@ -563,15 +587,10 @@ def build_avi(
 
     frames = []
     for f in range(n_frames):
-        body = bytearray(padded * height)
-        if seed is not None:
-            for file_row in range(height):
-                y = height - 1 - file_row  # bottom-up
-                base = file_row * padded
-                for x in range(width):
-                    v = synthetic_luma(seed + 11 * f, x, y)
-                    body[base + 3 * x : base + 3 * x + 3] = bytes((v, v, v))
-        frames.append(bytes(body))
+        if seed is None:
+            frames.append(b"\x00" * (padded * height))
+        else:
+            frames.append(_bgr_pixel_array(_luma_grid(seed + 11 * f, width, height), padded))
 
     avih = struct.pack(
         "<IIIIIIIIII", frame_ms * 1000, 0, 0, 0, n_frames, 0, 1, 0, width, height
