@@ -1,3 +1,4 @@
+from .curate_stream import continuous_curation, curate_batch_into_corpus
 from .stream import (
     conversations_with_inactivity_timeout,
     sessionized_conversations,
@@ -8,7 +9,9 @@ from .stream import (
 )
 
 __all__ = [
+    "continuous_curation",
     "conversations_with_inactivity_timeout",
+    "curate_batch_into_corpus",
     "sessionized_conversations",
     "stream_extract_articles",
     "stream_first_wins_dedup",

@@ -193,3 +193,52 @@ def test_stream_narrow_curation_ops_match_batch(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_continuous_curation_stream(spark, tmp_path):
+    """The production loop: streamed document drops -> per-micro-batch
+    incremental curation -> append-only corpus. A near-dup arriving in
+    a LATER batch is absorbed into the earlier survivor's cluster; the
+    streamed result equals the same batches applied sequentially via
+    curate_batch_into_corpus."""
+    import os
+    import time
+
+    from fundus_spark.streaming import continuous_curation, curate_batch_into_corpus
+
+    base = " ".join("alpha%d beta%d gamma%d" % (j, j, j) for j in range(12))
+    fresh = " ".join("delta%d eps%d zeta%d" % (j, j, j) for j in range(12))
+    later = " ".join("iota%d kappa%d lam%d" % (j, j, j) for j in range(12))
+    b1 = [(1, "s1", base), (2, "s1", fresh)]
+    b2 = [(10, "s1", base.replace("alpha3", "changed3")), (11, "s1", later)]
+
+    schema = "doc_id long, source string, text string"
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(inp)
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    corpus = str(tmp_path / "corpus")
+    query = continuous_curation(
+        spark,
+        input_path=inp,
+        corpus_path=corpus,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        jaccard_threshold=0.2,
+    )
+    query.awaitTermination(120)
+    assert not query.isActive
+
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 11}  # 10 absorbed into cluster 1
+
+    # sequential twin over the same batches
+    corpus2 = str(tmp_path / "corpus2")
+    n1 = curate_batch_into_corpus(
+        spark, spark.createDataFrame(b1, schema), corpus2, jaccard_threshold=0.2
+    )
+    n2 = curate_batch_into_corpus(
+        spark, spark.createDataFrame(b2, schema), corpus2, jaccard_threshold=0.2
+    )
+    assert (n1, n2) == (2, 1)
+    assert {r.doc_id for r in spark.read.parquet(corpus2).collect()} == got
