@@ -336,3 +336,38 @@ def test_spark_submit_deployment_smoke(spark, transcripts_df, tmp_path):
     second = submit()
     assert second["buckets_run"] == []
     assert sorted(second["buckets_skipped"]) == [0, 1, 2, 3]
+
+
+def test_salted_repartition_balances_hot_conversation(spark):
+    """North-rule skew defense, MEASURED: one conv_id owns 95% of all
+    turns. Keyed on conv_id alone, one partition would own ~950 rows;
+    the salted key (conv_id, turn_idx) spreads them near-uniformly —
+    and the extraction output is identical either way."""
+    rows = [
+        ("hot", i, "tool", f"<html lang='en'><body><article><p>doc {i}</p></article></body></html>", "generic", None)
+        for i in range(950)
+    ] + [
+        (f"cold-{i}", 0, "tool", f"<html lang='en'><body><article><p>c {i}</p></article></body></html>", "generic", None)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+    def partition_sizes(frame):
+        return [
+            r["count"]
+            for r in frame.withColumn("p", F.spark_partition_id()).groupBy("p").count().collect()
+        ]
+
+    skewed = partition_sizes(df.repartition(16, F.col("conv_id")))
+    assert max(skewed) >= 900  # the hazard being defended against
+
+    salted = extract_articles(df, salt_partitions=16)
+    balanced = partition_sizes(salted)
+    assert max(balanced) <= 2 * (1000 / 16), balanced  # near-uniform
+
+    # result invariance: salting changes the physical layout only
+    a = {(r["conv_id"], r["turn_idx"], r["plaintext"]) for r in salted.collect()}
+    b = {(r["conv_id"], r["turn_idx"], r["plaintext"]) for r in extract_articles(df).collect()}
+    assert a == b
