@@ -1907,7 +1907,7 @@ avi_pts AS (
 ),
 avi_vals AS (
     SELECT doc_id, i,
-           CAST(SUM((doc_id + 11 * fi + 3 * xx.x + 7 * yy.y) % 256) AS INTEGER) AS v
+           CAST(SUM((doc_id + 11 * fi + 3 * xx.x + 7 * yy.y) % 256) AS BIGINT) AS v
     FROM avi_pts,
          LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xx,
          LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) yy
@@ -1918,7 +1918,7 @@ SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGIN
 FROM avi_vals
 UNION ALL
 SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGINT) AS t_ms,
-       CAST(((doc_id * 31 + (i * 50 * 8) * 17) % 65536) - 32768 AS INTEGER) AS sample_value
+       CAST(((doc_id * 31 + (i * 50 * 8) * 17) % 65536) - 32768 AS BIGINT) AS sample_value
 FROM documents, LATERAL (SELECT unnest(generate_series(0, 2 + doc_id % 5)) AS i) t
 WHERE doc_id % 3 = 2 AND doc_id % 6 <> 5
 """

@@ -113,6 +113,8 @@ def decode_avi_frames(payload: bytes) -> Optional[List[List[List[int]]]]:
     import numpy as np
 
     w, h = header.width, header.height
+    if w * h > MAX_DECODE_PIXELS:
+        return None
     padded = (w * 3 + 3) & ~3
     frames: List[List[List[int]]] = []
     for cid, s, e in _riff_chunks(payload, 12, len(payload)):
@@ -156,13 +158,22 @@ def _parse_wav(payload: bytes) -> Optional[MediaHeader]:
 # --- pixel / sample decode (round 4 — REAL, stdlib only) ----------------
 
 
+#: refuse to materialize more pixels than this from an untrusted
+#: payload (64 MP ~ 64 MB of luma): the dimensions come from
+#: attacker-controlled headers, and GIF LZW in particular can expand
+#: ~4000x from compressed bytes.
+MAX_DECODE_PIXELS = 64_000_000
+
+
 def decode_image_luma(payload: bytes) -> Optional[List[List[int]]]:
     """Decode pixels to a top-left-origin 2D luma grid (first channel —
     exact for grayscale, a real decoded channel for RGB). Supports
-    24-bit uncompressed BMP and 8-bit-depth PNG (color types 0/2/4/6,
-    scanline filters 0-4). Returns None for formats whose pixel stream
-    needs a codec this repo does not ship (GIF LZW, JPEG, compressed
-    BMP variants)."""
+    24-bit uncompressed BMP, 8-bit-depth non-interlaced PNG (color
+    types 0/2/4/6, scanline filters 0-4), and GIF whose first image
+    covers the full logical screen (from-scratch LZW). Returns None
+    for streams that need an unshipped codec (JPEG, compressed BMP
+    variants), Adam7-interlaced PNG, partial-screen GIF frames, and
+    dimensions over MAX_DECODE_PIXELS."""
     header = parse_media_header(payload)
     if header is None or header.width is None:
         return None
@@ -185,6 +196,8 @@ def _decode_bmp_luma(payload: bytes) -> Optional[List[List[int]]]:
     if bpp != 24 or compression != 0 or width <= 0 or height_raw == 0:
         return None
     height = abs(height_raw)
+    if width * height > MAX_DECODE_PIXELS:
+        return None
     padded = (width * 3 + 3) & ~3
     if len(payload) < data_offset + padded * height:
         return None
@@ -202,11 +215,20 @@ def _decode_bmp_luma(payload: bytes) -> Optional[List[List[int]]]:
 def _decode_png_luma(payload: bytes) -> Optional[List[List[int]]]:
     import zlib
 
-    if len(payload) < 26:  # through the IHDR depth/color bytes
+    if len(payload) < 29:  # through the IHDR interlace byte
         return None
     width, height = struct.unpack_from(">II", payload, 16)
     bit_depth, color_type = payload[24], payload[25]
+    compression, filter_method, interlace = payload[26], payload[27], payload[28]
     if bit_depth != 8 or color_type not in (0, 2, 4, 6):
+        return None
+    # Adam7 interlacing stores scanlines in 7 sub-images — decoding it
+    # as sequential rows silently yields WRONG pixels, so refuse rather
+    # than mis-decode (review finding, reproduced on an 8x8 interlaced
+    # fixture). Non-zero compression/filter methods are reserved.
+    if compression != 0 or filter_method != 0 or interlace != 0:
+        return None
+    if width * height > MAX_DECODE_PIXELS:
         return None
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     # walk chunks, concatenate IDAT
@@ -221,7 +243,12 @@ def _decode_png_luma(payload: bytes) -> Optional[List[List[int]]]:
             break
         pos += 12 + clen
     try:
-        raw = zlib.decompress(idat)
+        # bound the inflate to exactly the pixel data we need: a
+        # crafted few-hundred-KB IDAT can otherwise inflate to
+        # gigabytes inside the Python worker (decompression bomb —
+        # these decoders run on untrusted crawled payloads)
+        need = height * (1 + width * channels)
+        raw = zlib.decompressobj().decompress(idat, need)
     except zlib.error:
         return None
     stride = width * channels
@@ -323,9 +350,11 @@ def _lzw_encode(indices: List[int], min_code: int) -> bytes:
     """GIF-flavor LZW compressor (the builder's half; the decoder above
     is its inverse — the encoder's width bump lags one entry because
     the decoder's table is one entry behind). Sequences are tracked as
-    their CODE and the table is keyed by ``(prefix_code << 8) | symbol``
-    — int keys and a bit accumulator instead of tuple keys and a bit
-    list (~10x: the synthetic corpus LZW-encodes millions of pixels)."""
+    their CODE and the table is keyed by ``(prefix_code << 12) | symbol``
+    (codes and symbols are both < 4096, so 12 bits is collision-free
+    for every legal ``min_code``) — int keys and a bit accumulator
+    instead of tuple keys and a bit list (~10x: the synthetic corpus
+    LZW-encodes millions of pixels)."""
     clear = 1 << min_code
     end = clear + 1
     code_size = min_code + 1
@@ -349,7 +378,7 @@ def _lzw_encode(indices: List[int], min_code: int) -> bytes:
     w = next(it, None)
     if w is not None:
         for k in it:
-            key = (w << 8) | k
+            key = (w << 12) | k
             c = table.get(key)
             if c is not None:
                 w = c
@@ -379,6 +408,7 @@ def _decode_gif_luma(payload: bytes) -> Optional[List[List[int]]]:
     Handles interlaced images; animated GIFs yield the first frame."""
     if len(payload) < 13:
         return None
+    screen_w, screen_h = struct.unpack_from("<HH", payload, 6)
     flags = payload[10]
     gct = None
     pos = 13
@@ -398,9 +428,17 @@ def _decode_gif_luma(payload: bytes) -> Optional[List[List[int]]]:
         elif block == 0x2C:  # image descriptor
             if pos + 10 > len(payload):
                 return None
-            _x, _y, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            img_x, img_y, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
             iflags = payload[pos + 9]
             pos += 10
+            # a first frame smaller than the logical screen (common in
+            # animations) would make the returned grid's geometry
+            # disagree with parse_media_header's screen dimensions —
+            # refuse rather than emit stats for a stretched sub-frame
+            if (img_x, img_y) != (0, 0) or (w, h) != (screen_w, screen_h):
+                return None
+            if w * h > MAX_DECODE_PIXELS:
+                return None
             table = gct
             if iflags & 0x80:
                 size = 2 ** ((iflags & 7) + 1)

@@ -435,7 +435,15 @@ def incremental_assign(
         .select(F.col("n.doc_id").alias("new_id"), F.col("f.doc_id").alias("frozen_id"))
         .distinct()
     )
-    frozen_sh = shingle_relation(frozen_docs, text_col, id_col, k).distinct()
+    # shingle ONLY the frozen docs that some band bucket proposed:
+    # without the semi-join, a daily append against a 100 TB frozen
+    # corpus would re-shingle all frozen text every batch even when
+    # frozen_bands is persisted — exactly the cost that parameter
+    # exists to avoid. Candidate frozen ids are a tiny relation
+    # (bounded by the batch's bucket collisions), so it broadcasts.
+    cand_frozen = cand_nf.select(F.col("frozen_id").alias(id_col)).distinct()
+    frozen_needed = frozen_docs.join(F.broadcast(cand_frozen), id_col, "left_semi")
+    frozen_sh = shingle_relation(frozen_needed, text_col, id_col, k).distinct()
     n_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
     f_sizes = frozen_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
     inters = (

@@ -215,7 +215,10 @@ FRAME_SAMPLE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("frame_idx", IntegerType()),
         StructField("t_ms", LongType()),
-        StructField("sample_value", IntegerType()),
+        # long, not int: the AVI path stores a whole-frame luma sum,
+        # which exceeds int32 for frames past ~2.9 MP (4K frame:
+        # 3840*2160*255 ≈ 2.1e9 > 2^31-1)
+        StructField("sample_value", LongType()),
     ]
 )
 

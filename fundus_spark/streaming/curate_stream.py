@@ -37,13 +37,25 @@ CORPUS_SCHEMA = "doc_id long, source string, text string"
 
 def _read_corpus(spark: SparkSession, corpus_path: str) -> Optional[DataFrame]:
     """None iff the corpus does not exist yet (first trigger). The
-    catch is NARROW (PATH_NOT_FOUND raises at load time) so a real
-    read failure on an existing corpus propagates instead of silently
-    curating against an empty frozen side."""
+    catch is NARROW — PATH_NOT_FOUND only, checked by error condition —
+    so any other analysis failure on an EXISTING corpus propagates
+    instead of silently curating against an empty frozen side (which
+    would re-append every batch doc)."""
     try:
         return spark.read.schema(CORPUS_SCHEMA).parquet(corpus_path)
-    except AnalysisException:
-        return None
+    except AnalysisException as exc:
+        condition = None
+        for attr in ("getCondition", "getErrorClass"):
+            getter = getattr(exc, attr, None)
+            if getter is not None:
+                try:
+                    condition = getter()
+                    break
+                except Exception:  # noqa: BLE001 — fall through to message check
+                    pass
+        if condition == "PATH_NOT_FOUND" or (condition is None and "PATH_NOT_FOUND" in str(exc)):
+            return None
+        raise
 
 
 def curate_batch_into_corpus(
@@ -60,7 +72,10 @@ def curate_batch_into_corpus(
     if frozen is None:
         frozen = spark.createDataFrame([], CORPUS_SCHEMA)
     curated = curate_increment(batch, frozen, benchmark=benchmark, **curate_kwargs)
-    out = curated.select("doc_id", "source", "text")
+    # materialize the curated increment ONCE: count + write would
+    # otherwise each execute the post-checkpoint stages
+    # (contamination join, split, pack window) — twice per trigger
+    out = curated.select("doc_id", "source", "text").localCheckpoint(eager=True)
     n = out.count()
     if n:
         out.write.mode("append").parquet(corpus_path)
@@ -82,9 +97,11 @@ def continuous_curation(
 
     Within-batch AND batch-vs-corpus dedup both happen inside
     ``curate_increment``; across RESTARTS the checkpoint prevents
-    re-processing a committed trigger, and because every curation
-    decision is deterministic in (row, corpus-so-far), re-running an
-    uncommitted trigger appends the same survivors it would have."""
+    re-processing a committed trigger. A crash BETWEEN the corpus
+    append and the checkpoint commit re-runs the trigger, and the
+    re-run appends nothing: the first attempt's survivors are already
+    in the corpus, so the exact-fingerprint stage drops every batch
+    doc — the corpus converges to the same content either way."""
     stream = (
         spark.readStream.schema(CORPUS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -860,3 +860,46 @@ def test_gif_decode_round_trip():
         assert decode_image_luma(payload) == want, (w, h)
         # interlaced storage must decode to the same image
         assert decode_image_luma(build_gif(w, h, seed=21, interlaced=True)) == want, ("ilace", w, h)
+
+
+def test_decode_refuses_what_it_cannot_decode_correctly():
+    """Review-pass regressions: streams we cannot decode CORRECTLY must
+    return None, never silently-wrong pixels."""
+    import binascii
+    import struct
+    import zlib
+
+    from fundus_spark.kernel.media import build_gif, decode_image_luma
+
+    # Adam7-interlaced PNG: sequential-row decoding would scramble rows
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", binascii.crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    w = h = 8
+    raw = b"".join(b"\x00" + bytes([y] * w) for y in range(h))
+    interlaced_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))  # interlace=1
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_image_luma(interlaced_png) is None
+
+    # GIF whose first frame covers only part of the logical screen:
+    # the grid's geometry would disagree with the header's dimensions
+    small = build_gif(4, 4, seed=5)
+    partial = bytearray(small)
+    struct.pack_into("<HH", partial, 6, 100, 100)  # inflate the screen
+    assert decode_image_luma(bytes(partial)) is None
+
+
+def test_lzw_wide_symbols_round_trip():
+    """min_code > 8 means symbols above 255 — the encoder's int table
+    key must not collide (review finding: an 8-bit symbol shift did)."""
+    from fundus_spark.kernel.media import _lzw_decode, _lzw_encode
+
+    indices = [(i * 37) % 512 for i in range(400)] + [300, 44, 5, 300, 44, 5, 300, 44]
+    data = _lzw_encode(indices, 9)
+    assert _lzw_decode(data, 9, len(indices)) == indices

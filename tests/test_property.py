@@ -78,7 +78,7 @@ def test_media_header_never_raises(payload):
     from fundus_spark.kernel.media import parse_media_header
 
     header = parse_media_header(payload)
-    assert header is None or header.format in ("bmp", "png", "gif", "wav")
+    assert header is None or header.format in ("bmp", "png", "gif", "wav", "avi")
 
 
 @SETTINGS
