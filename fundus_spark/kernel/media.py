@@ -106,7 +106,16 @@ def decode_avi_frames(payload: bytes) -> Optional[List[List[List[int]]]]:
     top-left-origin luma grids — REAL video frame decode for the one
     AVI flavor that needs no codec (raw 24-bit BGR, bottom-up,
     word-padded rows, exactly the BMP pixel-array layout). Compressed
-    streams ('00dc' or any fourcc handler) return None."""
+    streams ('00dc' or any fourcc handler) return None.
+
+    Decompression-bomb bound: the per-frame cap alone would let a long
+    (or crafted) AVI materialize frames x pixels Python lists far past
+    worker memory (each decoded luma value costs ~10-30x its source
+    byte), so the TOTAL pixel budget across all frames is also capped
+    at MAX_DECODE_PIXELS — refused, not truncated, matching the
+    refuse-don't-misdecode policy of the image decoders (a truncated
+    frame list would silently disagree with the header's n_frames
+    schedule in media_frame_sample)."""
     header = _parse_avi(payload)
     if header is None or not header.width or not header.height:
         return None
@@ -114,6 +123,9 @@ def decode_avi_frames(payload: bytes) -> Optional[List[List[List[int]]]]:
 
     w, h = header.width, header.height
     if w * h > MAX_DECODE_PIXELS:
+        return None
+    budget_frames = MAX_DECODE_PIXELS // (w * h)
+    if header.n_frames and header.n_frames > budget_frames:
         return None
     padded = (w * 3 + 3) & ~3
     frames: List[List[List[int]]] = []
@@ -125,6 +137,10 @@ def decode_avi_frames(payload: bytes) -> Optional[List[List[List[int]]]]:
                 if cid2 != b"00db":
                     continue
                 if e2 - s2 < padded * h:
+                    return None
+                if len(frames) >= budget_frames:
+                    # movi carries more frames than the header declared
+                    # AND the budget allows — refuse the whole payload
                     return None
                 arr = np.frombuffer(payload, np.uint8, padded * h, s2).reshape(h, padded)
                 frames.append(arr[::-1, : w * 3].reshape(h, w, 3)[..., 2].tolist())

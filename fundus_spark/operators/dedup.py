@@ -389,6 +389,7 @@ def incremental_assign(
     threshold: float = 0.8,
     hash_mode: str = "md5",
     frozen_bands: Optional[DataFrame] = None,
+    broadcast_max_rows: int = 10_000_000,
 ) -> DataFrame:
     """Append-only incremental near-dup assignment: cluster a NEW batch
     of documents against a FROZEN, already-deduplicated corpus without
@@ -421,7 +422,12 @@ def incremental_assign(
     dedup time) so an append probes the corpus WITHOUT rereading its
     text; the verify joins touch only candidate pairs; the final
     propagation runs on the (tiny) new-batch pair graph via
-    :func:`connected_components`.
+    :func:`connected_components`. The component/seed relations are
+    bounded by the append batch — tiny for a daily increment — but a
+    bulk backfill "batch" of hundreds of millions of near-dup-heavy
+    docs would blow an unconditional broadcast, so (like
+    :func:`dedup_survivors`) they broadcast only under
+    ``broadcast_max_rows`` and fall back to a shuffle join above it.
     """
     new_sh = shingle_relation(new_docs, text_col, id_col, k).distinct()
     nb = band_relation(new_docs, text_col, id_col, n_perm, bands, k, hash_mode, shingles=new_sh)
@@ -480,9 +486,15 @@ def incremental_assign(
         .groupBy("cluster_id")
         .agg(F.min("seed").alias("comp_seed"))
     )
+    # comp is localCheckpoint-materialized by connected_components, so
+    # the guard count reads the cached relation; comp_min has at most
+    # as many rows as comp, so one count decides both sides.
+    small = comp.count() <= broadcast_max_rows
+    comp_side = F.broadcast(comp) if small else comp
+    comp_min_side = F.broadcast(comp_min) if small else comp_min
     labeled = (
-        seeded.join(F.broadcast(comp), "doc_id", "left")
-        .join(F.broadcast(comp_min), "cluster_id", "left")
+        seeded.join(comp_side, "doc_id", "left")
+        .join(comp_min_side, "cluster_id", "left")
         .select(
             "doc_id",
             F.least(F.coalesce(F.col("comp_seed"), F.col("seed")), F.col("seed")).alias("cluster_id"),

@@ -165,12 +165,13 @@ def _resize_batches(max_w: int, max_h: int):
                 # aspect-preserving fit, never upscaled
                 scale = min(max_w / w, max_h / h, 1.0)
                 ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
-                # REAL pixel resample (round 4): decode the payload
-                # (BMP 24-bit / PNG 8-bit via stdlib zlib) and
-                # nearest-neighbor sample it. Formats whose pixel
-                # stream needs an unshipped codec (GIF LZW, JPEG)
-                # yield NULL pixel stats — the remaining stub, now
-                # per-format instead of blanket.
+                # REAL pixel resample: decode the payload (24-bit BMP;
+                # PNG filters 0-4 via stdlib zlib; GIF via the
+                # from-scratch LZW decoder) and nearest-neighbor sample
+                # it. Only genuinely codec-bound or refused inputs
+                # yield NULL pixel stats: JPEG (until kernel.jpeg
+                # lands), compressed BMP, Adam7-interlaced PNG, and
+                # partial-screen GIF frames.
                 rows_l = decode_image_luma(payload)
                 if rows_l is not None:
                     resized = resize_nearest(rows_l, ow, oh)
@@ -239,9 +240,14 @@ def _frame_batches(every_ms: int):
                 # luma of the uncompressed-DIB frame covering t_ms.
                 # Codec-needing streams yield NULL values (the schedule
                 # stays real either way).
-                samples = frames = None
+                samples = frame_sums = None
                 if header.format == "avi":
                     frames = decode_avi_frames(payload)
+                    # sum each frame ONCE: with every_ms < frame_ms the
+                    # schedule hits the same frame repeatedly, and
+                    # re-summing per point is O(points * pixels)
+                    if frames is not None:
+                        frame_sums = [sum(map(sum, f)) for f in frames]
                 else:
                     samples = decode_wav_samples(payload)
                 rate = header.sample_rate or 0
@@ -252,9 +258,9 @@ def _frame_batches(every_ms: int):
                     if samples and rate:  # empty sample list -> NULL values
                         si = min(t * rate // 1000, len(samples) - 1)
                         val = samples[si]
-                    elif frames and header.frame_ms:
-                        fi = min(t // header.frame_ms, len(frames) - 1)
-                        val = sum(map(sum, frames[fi]))
+                    elif frame_sums and header.frame_ms:
+                        fi = min(t // header.frame_ms, len(frame_sums) - 1)
+                        val = frame_sums[fi]
                     out["media_id"].append(row.media_id)
                     out["frame_idx"].append(idx)
                     out["t_ms"].append(t)
@@ -270,11 +276,13 @@ def media_frame_sample(
     media: DataFrame, every_ms: int = 50, repartition_on: Optional[Union[str, Column]] = None
 ) -> DataFrame:
     """Uniform frame/sample-point schedule over timed media: REAL
-    offsets from the REAL container duration, and — for PCM16 WAV —
-    the REAL decoded sample value at each ``t_ms``. The same schedule
-    drives video frame extraction once a video codec exists (that
-    decode is the remaining per-format stub). Zero-shuffle by default
-    — see :func:`_maybe_repartition`."""
+    offsets from the REAL container duration, plus the REAL decoded
+    content value at each ``t_ms`` — the PCM16 sample for WAV, the
+    summed frame luma for uncompressed-DIB AVI (decoded once per
+    payload, indexed per schedule point). Only codec-bound streams
+    (MP3, compressed-fourcc video) yield NULL values; their schedule
+    stays real. Zero-shuffle by default — see
+    :func:`_maybe_repartition`."""
     return _maybe_repartition(media, repartition_on).mapInPandas(
         _frame_batches(every_ms), schema=FRAME_SAMPLE_SCHEMA
     )

@@ -161,6 +161,7 @@ def curate_increment(
     frozen_fps: Optional[DataFrame] = None,
     frozen_bands: Optional[DataFrame] = None,
     materialize_stages: bool = True,
+    broadcast_max_rows: int = 10_000_000,
 ) -> DataFrame:
     """The daily-increment twin of :func:`curate_corpus`: curate a NEW
     batch against a FROZEN, already-curated corpus without touching it.
@@ -207,9 +208,19 @@ def curate_increment(
     deduped = gated.join(keep_ids, id_col, "left_semi")
     if frozen_fps is None:
         frozen_fps = exact_dedup(frozen_docs, text_col=text_col, id_col=id_col).select("fp")
+    # The frozen fingerprint relation is one md5 row PER FROZEN DOC —
+    # at the 100 TB append-only shape that is billions of rows, so a
+    # forced broadcast would OOM the driver. Broadcast only under the
+    # same cap dedup_survivors uses; above it, the left_anti join runs
+    # as a plain shuffle join (same result, one extra exchange). At
+    # scale callers pass a persisted frozen_fps, so the guard count is
+    # a cheap parquet-side count, not a recompute of frozen dedup.
+    fps_rel = frozen_fps.select(F.col("fp").alias("_fp"))
+    if frozen_fps.count() <= broadcast_max_rows:
+        fps_rel = F.broadcast(fps_rel)
     normalized = F.md5(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     deduped = deduped.withColumn("_fp", normalized).join(
-        F.broadcast(frozen_fps.select(F.col("fp").alias("_fp"))), "_fp", "left_anti"
+        fps_rel, "_fp", "left_anti"
     ).drop("_fp")
     if materialize_stages:
         deduped = deduped.localCheckpoint(eager=True)
@@ -225,6 +236,7 @@ def curate_increment(
         threshold=jaccard_threshold,
         hash_mode=hash_mode,
         frozen_bands=frozen_bands,
+        broadcast_max_rows=broadcast_max_rows,
     )
     survivors = deduped.join(
         assigned_clusters.where(F.col("survives")).select(

@@ -10,10 +10,17 @@ near-dup probe joins each batch against the WHOLE corpus-so-far — a
 stream-batch join whose batch side must be re-read per trigger (the
 corpus grew). ``foreachBatch`` is Spark's sanctioned shape for exactly
 this: the micro-batch is a plain DataFrame, the corpus is re-read from
-the lake each trigger, and the append is transactional per batch
-(exactly-once under checkpointing on a transactional sink; on plain
-parquet, re-delivery of a failed batch re-appends — idempotence can be
-restored by dedup-on-read over doc_id, noted below).
+the lake each trigger, and the append is transactional-equivalent per
+batch even on plain parquet: each trigger's survivors are written to a
+staged path and atomically RENAMED to ``corpus/batch-<batch_id>``, and
+a re-delivered trigger (crash between corpus commit and checkpoint
+commit) excludes its OWN batch directory from the frozen side,
+recomputes deterministically, and replaces the directory — so no
+duplicate doc_ids can land and no dedup-on-read is needed. The corpus
+is therefore a directory of per-batch subdirectories (plus any flat
+files from direct non-streaming appends); read it with
+:func:`read_corpus`, not a plain ``spark.read.parquet`` (which skips
+nested directories).
 
 Scale notes: every stage inside the batch function keeps its
 documented 100 TB shape (banded probes, broadcast benchmark shingles,
@@ -35,14 +42,57 @@ from ..plans.curate import curate_increment
 CORPUS_SCHEMA = "doc_id long, source string, text string"
 
 
-def _read_corpus(spark: SparkSession, corpus_path: str) -> Optional[DataFrame]:
+def _corpus_parts(
+    spark: SparkSession, corpus_path: str, exclude_batch: Optional[int] = None
+) -> Optional[list]:
+    """Top-level corpus members as explicit paths: per-batch ``batch-N``
+    directories (streaming commits) plus any flat parquet files (direct
+    non-streaming appends). None iff the corpus directory does not
+    exist yet. Listing explicitly — instead of a recursive read — lets
+    a re-delivered trigger exclude its OWN ``batch-<exclude_batch>``
+    directory from the frozen side, which is what makes the re-run
+    idempotent (reading the crashed attempt's own survivors would make
+    the recompute drop every batch doc and commit an empty batch)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(corpus_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    parts = []
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue  # _staging, _SUCCESS, hidden markers
+        if exclude_batch is not None and name == f"batch-{exclude_batch}":
+            continue
+        parts.append(status.getPath().toString())
+    return parts
+
+
+def read_corpus(spark: SparkSession, corpus_path: str) -> Optional[DataFrame]:
+    """Public corpus reader: the corpus is a directory of per-batch
+    subdirectories plus possible flat files, which a plain
+    ``spark.read.parquet(corpus_path)`` would silently skip. Returns
+    None iff the corpus does not exist or is empty."""
+    parts = _corpus_parts(spark, corpus_path)
+    if not parts:
+        return None
+    return spark.read.schema(CORPUS_SCHEMA).parquet(*parts)
+
+
+def _read_corpus(
+    spark: SparkSession, corpus_path: str, exclude_batch: Optional[int] = None
+) -> Optional[DataFrame]:
     """None iff the corpus does not exist yet (first trigger). The
     catch is NARROW — PATH_NOT_FOUND only, checked by error condition —
     so any other analysis failure on an EXISTING corpus propagates
     instead of silently curating against an empty frozen side (which
     would re-append every batch doc)."""
     try:
-        return spark.read.schema(CORPUS_SCHEMA).parquet(corpus_path)
+        parts = _corpus_parts(spark, corpus_path, exclude_batch)
+        if parts is None or not parts:
+            return None
+        return spark.read.schema(CORPUS_SCHEMA).parquet(*parts)
     except AnalysisException as exc:
         condition = None
         for attr in ("getCondition", "getErrorClass"):
@@ -63,12 +113,26 @@ def curate_batch_into_corpus(
     batch: DataFrame,
     corpus_path: str,
     benchmark: Optional[DataFrame] = None,
+    batch_id: Optional[int] = None,
     **curate_kwargs,
 ) -> int:
     """Curate one batch of new documents against the corpus at
-    ``corpus_path`` and append the survivors. Returns rows appended.
-    Usable directly for scheduled (non-streaming) increments too."""
-    frozen = _read_corpus(spark, corpus_path)
+    ``corpus_path`` and commit the survivors. Returns rows committed.
+    Usable directly for scheduled (non-streaming) increments too.
+
+    With ``batch_id`` (the streaming path) the commit is
+    transactional-equivalent on plain parquet: survivors are written to
+    ``corpus/_staging/batch-<id>`` and atomically renamed to
+    ``corpus/batch-<id>``, and the frozen side EXCLUDES the batch's own
+    directory — so a re-delivered trigger (crash after the rename but
+    before the stream checkpoint commit) deterministically recomputes
+    the same survivors against the same frozen side and replaces its
+    own directory instead of appending duplicates. Without ``batch_id``
+    (direct calls) the survivors append as flat files; re-running the
+    SAME batch twice then appends nothing because the first run's
+    survivors are in the frozen side and the exact-fingerprint stage
+    drops them."""
+    frozen = _read_corpus(spark, corpus_path, exclude_batch=batch_id)
     if frozen is None:
         frozen = spark.createDataFrame([], CORPUS_SCHEMA)
     curated = curate_increment(batch, frozen, benchmark=benchmark, **curate_kwargs)
@@ -77,8 +141,31 @@ def curate_batch_into_corpus(
     # (contamination join, split, pack window) — twice per trigger
     out = curated.select("doc_id", "source", "text").localCheckpoint(eager=True)
     n = out.count()
+    if batch_id is None:
+        if n:
+            out.write.mode("append").parquet(corpus_path)
+        return n
+    jvm = spark._jvm
+    fs_path = jvm.org.apache.hadoop.fs.Path(corpus_path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    final = jvm.org.apache.hadoop.fs.Path(f"{corpus_path}/batch-{batch_id}")
     if n:
-        out.write.mode("append").parquet(corpus_path)
+        staged = f"{corpus_path}/_staging/batch-{batch_id}"
+        out.coalesce(max(1, min(out.rdd.getNumPartitions(), 32))).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        # the rename is the commit point: atomic on HDFS/local FS. A
+        # pre-existing final dir can only be a crashed or re-delivered
+        # prior attempt of THIS batch (it was excluded from the frozen
+        # side above), so replacing it is the idempotent outcome.
+        if fs.exists(final):
+            fs.delete(final, True)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), final):
+            raise IOError(f"atomic commit rename failed for batch {batch_id}")
+    elif fs.exists(final):
+        # recompute says this batch contributes nothing — clear the
+        # partial/stale directory a crashed attempt may have left
+        fs.delete(final, True)
     return n
 
 
@@ -89,6 +176,7 @@ def continuous_curation(
     checkpoint_path: str,
     benchmark: Optional[DataFrame] = None,
     max_files_per_trigger: int = 1,
+    trigger: Optional[dict] = None,
     **curate_kwargs,
 ):
     """readStream over a document drop directory -> per-micro-batch
@@ -98,10 +186,16 @@ def continuous_curation(
     Within-batch AND batch-vs-corpus dedup both happen inside
     ``curate_increment``; across RESTARTS the checkpoint prevents
     re-processing a committed trigger. A crash BETWEEN the corpus
-    append and the checkpoint commit re-runs the trigger, and the
-    re-run appends nothing: the first attempt's survivors are already
-    in the corpus, so the exact-fingerprint stage drops every batch
-    doc — the corpus converges to the same content either way."""
+    commit and the checkpoint commit re-runs the trigger, which
+    excludes its own ``batch-<id>`` directory from the frozen side and
+    atomically replaces it — exactly-once corpus content without
+    dedup-on-read (see :func:`curate_batch_into_corpus`).
+
+    ``trigger`` is passed verbatim to ``DataStreamWriter.trigger``:
+    the default ``{"availableNow": True}`` drains currently-available
+    files and terminates (the test/backfill shape); a long-running
+    deployment passes ``{"processingTime": "30 seconds"}`` for a
+    genuinely continuous loop."""
     stream = (
         spark.readStream.schema(CORPUS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -110,12 +204,17 @@ def continuous_curation(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         curate_batch_into_corpus(
-            batch.sparkSession, batch, corpus_path, benchmark=benchmark, **curate_kwargs
+            batch.sparkSession,
+            batch,
+            corpus_path,
+            benchmark=benchmark,
+            batch_id=batch_id,
+            **curate_kwargs,
         )
 
     return (
         stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )

@@ -125,3 +125,31 @@ def test_increment_adopts_near_dups_and_keeps_fresh_content(spark):
     assert 100 not in out  # absorbed into frozen cluster 1
     assert 101 in out and out[101].cluster_id == 101
     assert set(out) <= {100, 101}  # frozen rows never reappear
+
+
+def test_increment_shuffle_fallback_matches_broadcast_path(spark):
+    """broadcast_max_rows=0 forces every size-guarded broadcast in the
+    increment chain (frozen fingerprints, new-batch components/seeds)
+    onto the plain shuffle-join fallback — the 100 TB bulk-backfill
+    shape — and the results must be identical to the broadcast path."""
+    from fundus_spark.plans import curate_increment
+
+    base = " ".join("alpha%d beta%d gamma%d" % (j, j, j) for j in range(12))
+    fresh = " ".join("fresh%d novel%d material%d" % (j, j, j) for j in range(12))
+    twin = fresh.replace("novel3", "changed3")  # new-new near-dup pair
+    frozen = spark.createDataFrame(
+        [(1, "s1", base)], "doc_id long, source string, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, "s2", base), (101, "s2", fresh), (102, "s2", twin)],
+        "doc_id long, source string, text string",
+    )
+    key = lambda r: (r.doc_id, r.cluster_id, r.split)  # noqa: E731
+    bcast = curate_increment(new, frozen, jaccard_threshold=0.2)
+    shuf = curate_increment(new, frozen, jaccard_threshold=0.2, broadcast_max_rows=0)
+    got_b = {key(r) for r in bcast.collect()}
+    got_s = {key(r) for r in shuf.collect()}
+    assert got_b == got_s
+    # 100 is an exact dup of frozen 1 (dropped by the fp stage); the
+    # 101/102 near-dup pair keeps only the min-id survivor
+    assert {d for d, _, _ in got_s} == {101}

@@ -204,7 +204,11 @@ def test_continuous_curation_stream(spark, tmp_path):
     import os
     import time
 
-    from fundus_spark.streaming import continuous_curation, curate_batch_into_corpus
+    from fundus_spark.streaming import (
+        continuous_curation,
+        curate_batch_into_corpus,
+        read_corpus,
+    )
 
     base = " ".join("alpha%d beta%d gamma%d" % (j, j, j) for j in range(12))
     fresh = " ".join("delta%d eps%d zeta%d" % (j, j, j) for j in range(12))
@@ -229,7 +233,7 @@ def test_continuous_curation_stream(spark, tmp_path):
     query.awaitTermination(120)
     assert not query.isActive
 
-    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    got = {r.doc_id for r in read_corpus(spark, corpus).collect()}
     assert got == {1, 2, 11}  # 10 absorbed into cluster 1
 
     # sequential twin over the same batches
@@ -241,4 +245,87 @@ def test_continuous_curation_stream(spark, tmp_path):
         spark, spark.createDataFrame(b2, schema), corpus2, jaccard_threshold=0.2
     )
     assert (n1, n2) == (2, 1)
-    assert {r.doc_id for r in spark.read.parquet(corpus2).collect()} == got
+    assert {r.doc_id for r in read_corpus(spark, corpus2).collect()} == got
+
+
+def test_curation_commit_is_exactly_once_under_redelivery(spark, tmp_path):
+    """Kill-between-corpus-commit-and-checkpoint-commit: the streaming
+    path commits batch N to corpus/batch-N via staged write + atomic
+    rename, and a re-delivered trigger excludes its OWN directory from
+    the frozen side and replaces it. Re-running the same (batch_id,
+    data) must leave the corpus with ZERO duplicate doc_ids — without
+    any dedup-on-read — including when the crashed attempt left a
+    partial directory."""
+    from fundus_spark.streaming import curate_batch_into_corpus, read_corpus
+
+    schema = "doc_id long, source string, text string"
+    base = " ".join("tok%d word%d item%d" % (j, j, j) for j in range(12))
+    other = " ".join("qqq%d rrr%d sss%d" % (j, j, j) for j in range(12))
+    corpus = str(tmp_path / "corpus")
+    b0 = spark.createDataFrame([(1, "s", base)], schema)
+    b1 = spark.createDataFrame([(2, "s", other)], schema)
+
+    assert curate_batch_into_corpus(spark, b0, corpus, batch_id=0) == 1
+    assert curate_batch_into_corpus(spark, b1, corpus, batch_id=1) == 1
+    # redelivery of batch 1 (corpus committed, checkpoint was not):
+    # the re-run must NOT append a duplicate doc_id=2
+    assert curate_batch_into_corpus(spark, b1, corpus, batch_id=1) == 1
+    rows = read_corpus(spark, corpus).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]  # no duplicates
+
+    # crashed attempt left a PARTIAL batch-2 directory (garbage file,
+    # no _SUCCESS): the re-run replaces it wholesale
+    import os
+
+    os.makedirs(os.path.join(corpus, "batch-2"), exist_ok=True)
+    with open(os.path.join(corpus, "batch-2", "part-junk.parquet.tmp"), "wb") as fh:
+        fh.write(b"not parquet")
+    b2 = spark.createDataFrame(
+        [(3, "s", " ".join("aaa%d bbb%d ccc%d" % (j, j, j) for j in range(12)))], schema
+    )
+    assert curate_batch_into_corpus(spark, b2, corpus, batch_id=2) == 1
+    rows = read_corpus(spark, corpus).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3]
+    assert not os.path.exists(os.path.join(corpus, "batch-2", "part-junk.parquet.tmp"))
+
+    # a redelivered batch whose docs are all exact dups of the FROZEN
+    # side (not its own prior attempt) commits nothing and clears any
+    # stale directory it may have left
+    dup = spark.createDataFrame([(9, "s", base)], schema)
+    assert curate_batch_into_corpus(spark, dup, corpus, batch_id=3) == 0
+    assert sorted(r.doc_id for r in read_corpus(spark, corpus).collect()) == [1, 2, 3]
+
+
+def test_continuous_curation_processing_time_trigger(spark, tmp_path):
+    """The trigger is a parameter: a deployment can run a genuinely
+    continuous loop with processingTime instead of the drain-and-stop
+    availableNow default."""
+    import time
+
+    from fundus_spark.streaming import continuous_curation, read_corpus
+
+    schema = "doc_id long, source string, text string"
+    inp = str(tmp_path / "in")
+    text = " ".join("live%d feed%d doc%d" % (j, j, j) for j in range(12))
+    spark.createDataFrame([(7, "s", text)], schema).coalesce(1).write.parquet(inp)
+    corpus = str(tmp_path / "corpus")
+    query = continuous_curation(
+        spark,
+        input_path=inp,
+        corpus_path=corpus,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 seconds"},
+    )
+    try:
+        deadline = time.time() + 60
+        got = None
+        while time.time() < deadline:
+            df = read_corpus(spark, corpus)
+            if df is not None and {r.doc_id for r in df.collect()} == {7}:
+                got = {7}
+                break
+            time.sleep(0.5)
+        assert query.isActive  # processingTime keeps running (availableNow would stop)
+        assert got == {7}
+    finally:
+        query.stop()
