@@ -1820,6 +1820,7 @@ SELECT doc_id AS media_id,
             ELSE 'audio' END AS kind,
        CASE WHEN doc_id % 6 = 3 THEN 'gif'
             WHEN doc_id % 3 = 0 THEN 'bmp'
+            WHEN doc_id % 6 = 4 THEN 'jpeg'
             WHEN doc_id % 3 = 1 THEN 'png'
             WHEN doc_id % 6 = 5 THEN 'avi'
             ELSE 'wav' END AS format,
@@ -1860,11 +1861,18 @@ geo AS (
 ),
 -- REAL-pixel verification: the operator decodes the payload and
 -- nearest-neighbor-samples it; the oracle replays the builders'
--- closed-form pixel value (doc_id + 3x + 7y) mod 256 over the SAME
--- floor sampling grid out[oy][ox] = src[oy*h//oh][ox*w//ow]
+-- closed-form pixel value over the SAME floor sampling grid
+-- out[oy][ox] = src[oy*h//oh][ox*w//ow]. BMP/PNG/GIF pixels carry
+-- (doc_id + 3x + 7y) mod 256; JPEG (doc_id % 6 = 4) carries the
+-- BLOCK-constant (doc_id + 3*(x//8) + 7*(y//8)) mod 256 — constant
+-- 8x8 blocks round-trip the lossy DCT path bit-exactly, which is
+-- what lets a lossy codec sit under an exact-value oracle at all.
 px AS (
     SELECT geo.doc_id, geo.w, geo.h, geo.ow, geo.oh,
-           (geo.doc_id + 3 * ((ox.x * geo.w) // geo.ow) + 7 * ((oy.y * geo.h) // geo.oh)) % 256 AS v
+           CASE WHEN geo.doc_id % 6 = 4
+                THEN (geo.doc_id + 3 * (((ox.x * geo.w) // geo.ow) // 8) + 7 * (((oy.y * geo.h) // geo.oh) // 8)) % 256
+                ELSE (geo.doc_id + 3 * ((ox.x * geo.w) // geo.ow) + 7 * ((oy.y * geo.h) // geo.oh)) % 256
+           END AS v
     FROM geo,
          LATERAL (SELECT unnest(generate_series(0, geo.ow - 1)) AS x) ox,
          LATERAL (SELECT unnest(generate_series(0, geo.oh - 1)) AS y) oy
@@ -1873,7 +1881,10 @@ SELECT doc_id AS media_id, 'image' AS kind, w AS width, h AS height,
        ow AS out_width, oh AS out_height,
        CAST(SUM(v) AS BIGINT) AS sum_luma,
        CAST(MIN(doc_id % 256) AS INTEGER) AS corner_luma,
-       CAST(MIN((doc_id + 3 * (((ow - 1) * w) // ow) + 7 * (((oh - 1) * h) // oh)) % 256) AS INTEGER) AS last_luma
+       CAST(MIN(CASE WHEN doc_id % 6 = 4
+                     THEN (doc_id + 3 * ((((ow - 1) * w) // ow) // 8) + 7 * ((((oh - 1) * h) // oh) // 8)) % 256
+                     ELSE (doc_id + 3 * (((ow - 1) * w) // ow) + 7 * (((oh - 1) * h) // oh)) % 256
+                END) AS INTEGER) AS last_luma
 FROM px
 GROUP BY doc_id, w, h, ow, oh
 """
@@ -1990,6 +2001,45 @@ SELECT source,
        strftime(DATE '2024-01-01' + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d') || 'T00:00:00Z' AS warc_date,
        text AS html
 FROM documents
+"""
+
+
+def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the WARC loop (round 5): response records ->
+    warc_reshard into fresh multi-member .warc.gz shards (deterministic
+    md5 URL bucketing, URL-sorted members) -> read back through the
+    same from-scratch reader. The oracle replays the shard assignment
+    and per-shard ordering in closed form, so a value mismatch means
+    the writer and reader disagree about bytes — the round-trip gate a
+    pipeline that re-shards CC-NEWS-scale archives needs."""
+    from fundus_spark.operators import warc_extract, warc_reshard
+    from fundus_spark.sources.warc_gen import documents_as_warcs
+
+    records = warc_extract(documents_as_warcs(_read(spark, sf_dir, "documents")))
+    shards = warc_reshard(records, n_shards=8)
+    return warc_extract(
+        shards.select(F.col("shard_id").cast("string").alias("source"), "payload")
+    ).select(
+        F.col("source").cast("int").alias("shard_id"), "record_idx", "url", "warc_date", "html"
+    )
+
+
+_WARC_ROUNDTRIP_SQL = """
+WITH rec AS (
+    SELECT 'https://' || source || '.example/article/' || CAST(doc_id AS VARCHAR) AS url,
+           strftime(DATE '2024-01-01' + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d') || 'T00:00:00Z' AS warc_date,
+           text AS html
+    FROM documents
+),
+sharded AS (
+    SELECT CAST(CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard_id,
+           url, warc_date, html
+    FROM rec
+)
+SELECT shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY url) - 1 AS INTEGER) AS record_idx,
+       url, warc_date, html
+FROM sharded
 """
 
 
@@ -2188,6 +2238,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * corpus_stats            — profile stats (exact-percentile twin);
                                 ceded its canonical slot to
                                 incremental_dedup in round 4
+    * warc_roundtrip          — write half of warc_extract (round 5):
+                                records -> warc_reshard -> read back,
+                                byte-identical
     """
     return {
         "extract_documents_keyed": _q_extract_documents_keyed,
@@ -2200,6 +2253,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
         "corpus_stats": _q_corpus_stats,
+        "warc_roundtrip": _q_warc_roundtrip,
     }
 
 
@@ -2271,4 +2325,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
+        "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
     }

@@ -67,6 +67,13 @@ def parse_media_header(payload: bytes) -> Optional[MediaHeader]:
         return _parse_wav(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return _parse_avi(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import parse_jpeg_header
+
+        dims = parse_jpeg_header(payload)
+        if dims is not None:
+            return MediaHeader("jpeg", width=dims[0], height=dims[1])
+        return None
     return None
 
 
@@ -185,10 +192,11 @@ def decode_image_luma(payload: bytes) -> Optional[List[List[int]]]:
     """Decode pixels to a top-left-origin 2D luma grid (first channel —
     exact for grayscale, a real decoded channel for RGB). Supports
     24-bit uncompressed BMP, 8-bit-depth non-interlaced PNG (color
-    types 0/2/4/6, scanline filters 0-4), and GIF whose first image
-    covers the full logical screen (from-scratch LZW). Returns None
-    for streams that need an unshipped codec (JPEG, compressed BMP
-    variants), Adam7-interlaced PNG, partial-screen GIF frames, and
+    types 0/2/4/6, scanline filters 0-4), GIF whose first image covers
+    the full logical screen (from-scratch LZW), and baseline sequential
+    JPEG (from-scratch Huffman + dequant + IDCT, :mod:`.jpeg`).
+    Returns None for compressed BMP variants, Adam7-interlaced PNG,
+    partial-screen GIF frames, progressive/arithmetic JPEG, and
     dimensions over MAX_DECODE_PIXELS."""
     header = parse_media_header(payload)
     if header is None or header.width is None:
@@ -199,6 +207,10 @@ def decode_image_luma(payload: bytes) -> Optional[List[List[int]]]:
         return _decode_png_luma(payload)
     if header.format == "gif":
         return _decode_gif_luma(payload)
+    if header.format == "jpeg":
+        from .jpeg import decode_jpeg_luma
+
+        return decode_jpeg_luma(payload)
     return None
 
 

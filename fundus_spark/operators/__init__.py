@@ -21,7 +21,7 @@ from .relational import first_wins_dedup, grouped_topk, language_filter, regex_f
 from .robots import robots_gate
 from .sampling import deterministic_sample, hash_bucket, split_assign, stratified_sample
 from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_bucketed_topk
-from .warc import warc_extract
+from .warc import warc_extract, warc_reshard
 from .textstats import (
     bigram_logprob_score,
     char_entropy,
@@ -79,5 +79,6 @@ __all__ = [
     "simhash_neardup_pairs",
     "token_count",
     "warc_extract",
+    "warc_reshard",
     "winnowing_fingerprints",
 ]

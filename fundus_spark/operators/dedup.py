@@ -154,9 +154,53 @@ def lsh_candidate_pairs(
     k: int = 4,
     hash_mode: str = "md5",
     shingles: Optional[DataFrame] = None,
+    bucket_cap: Optional[int] = None,
 ) -> DataFrame:
-    """Distinct candidate (a, b) pairs (a < b) sharing >= 1 LSH band."""
+    """Distinct candidate (a, b) pairs (a < b) sharing >= 1 LSH band.
+
+    ``bucket_cap`` bounds the quadratic skew term: a corpus-hot band
+    bucket — a viral template near-duplicated 10^5 times — would emit
+    ~10^10 pairs from ONE join key, the single task that never
+    finishes at 10^12 docs. With a cap, a bucket with more than
+    ``bucket_cap`` members switches from all-pairs to a STAR: every
+    member pairs with the bucket's minimum doc_id only — n-1 pairs
+    instead of n^2/2, and NO absorption loss for the flood family,
+    because connected components only needs each member connected to
+    the representative (dropping beyond-cap members outright — the
+    naive cap — would leave them pairless and incorrectly surviving).
+    The recall trade is narrow and documented: pairs between two
+    non-minimum members of a mega-bucket that are near-dups of each
+    other but NOT of the representative are missed — for a template
+    flood (the actual skew source) members are near-identical to the
+    representative by construction. Small buckets are untouched.
+    Default None keeps the exact behavior (the curate chain's
+    upstream exact-dedup + trivial-doc gates already collapse the
+    common skew sources; the cap is the belt-and-braces for
+    near-identical-but-not-exact floods).
+    """
     banded = band_relation(df, text_col, id_col, n_perm, bands, k, hash_mode, shingles)
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        banded = banded.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+            "_min", F.min("doc_id").over(w)
+        )
+        small = banded.where(F.col("_n") <= bucket_cap).drop("_n", "_min")
+        star = (
+            banded.where((F.col("_n") > bucket_cap) & (F.col("doc_id") != F.col("_min")))
+            .select(F.col("_min").alias("a"), F.col("doc_id").alias("b"))
+        )
+        left = small.alias("l")
+        right = small.alias("r")
+        dense = (
+            left.join(
+                right, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key"))
+            )
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        )
+        return dense.unionByName(star).distinct()
     left = banded.alias("l")
     right = banded.alias("r")
     return (

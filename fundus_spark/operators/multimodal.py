@@ -167,11 +167,12 @@ def _resize_batches(max_w: int, max_h: int):
                 ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
                 # REAL pixel resample: decode the payload (24-bit BMP;
                 # PNG filters 0-4 via stdlib zlib; GIF via the
-                # from-scratch LZW decoder) and nearest-neighbor sample
-                # it. Only genuinely codec-bound or refused inputs
-                # yield NULL pixel stats: JPEG (until kernel.jpeg
-                # lands), compressed BMP, Adam7-interlaced PNG, and
-                # partial-screen GIF frames.
+                # from-scratch LZW decoder; baseline JPEG via the
+                # from-scratch Huffman+IDCT in kernel.jpeg) and
+                # nearest-neighbor sample it. Only refused inputs
+                # yield NULL pixel stats: compressed BMP,
+                # Adam7-interlaced PNG, partial-screen GIF frames, and
+                # progressive/arithmetic JPEG.
                 rows_l = decode_image_luma(payload)
                 if rows_l is not None:
                     resized = resize_nearest(rows_l, ow, oh)

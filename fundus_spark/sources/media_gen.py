@@ -6,7 +6,12 @@ oracle:
 
 * ``doc_id % 3 == 0`` -> BMP (or real-LZW GIF when ``doc_id % 6 == 3``),
                          width = 1 + doc_id % 64, height = 1 + doc_id % 48
-* ``doc_id % 3 == 1`` -> PNG,  same dimension formulas
+* ``doc_id % 3 == 1`` -> PNG, or baseline JPEG when ``doc_id % 6 == 4``
+                         (4:2:0 when ``doc_id % 12 == 10``, grayscale
+                         when ``doc_id % 24 == 16``, restart markers
+                         when ``doc_id % 24 == 4`` — every flavor the
+                         decoder supports appears in the corpus);
+                         same dimension formulas
 * ``doc_id % 3 == 2`` and ``doc_id % 6 == 5`` -> AVI video,
                          n_frames = 3 + doc_id % 5 @ 25 fps (40 ms/frame),
                          same dimension formulas -> duration_ms = 40 * n_frames
@@ -20,6 +25,12 @@ frame f's pixel (x, y) carries ``(doc_id + 11f + 3x + 7y) mod 256``,
 and WAV sample i carries ``((doc_id*31 + i*17) mod 2^16) - 2^15``
 (``synthetic_sample``).
 
+Round 5: JPEG joins the mix with BLOCK-constant content — pixel
+(x, y) carries ``(doc_id + 3*(x//8) + 7*(y//8)) mod 256`` — because
+constant 8x8 blocks round-trip bit-exactly through the lossy DCT path
+(see :mod:`..kernel.jpeg`), keeping the decoded-pixel oracle exact for
+a genuinely lossy codec.
+
 Payload construction runs in an Arrow-batched ``mapInPandas`` stage
 (binary building is per-row Python, but tiny: images are <= 64x48).
 """
@@ -31,6 +42,7 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..kernel.jpeg import build_jpeg
 from ..kernel.media import build_avi, build_bmp, build_gif, build_png, build_wav
 from ..operators.multimodal import MEDIA_SCHEMA
 
@@ -58,6 +70,19 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 payload, kind, mime = build_gif(width, height, seed=doc_id), "image", "image/gif"
             elif sel == 0:
                 payload, kind, mime = build_bmp(width, height, seed=doc_id), "image", "image/bmp"
+            elif sel == 1 and doc_id % 6 == 4:
+                payload, kind, mime = (
+                    build_jpeg(
+                        width,
+                        height,
+                        seed=doc_id,
+                        gray=doc_id % 24 == 16,
+                        subsampling=(2, 2) if doc_id % 12 == 10 else (1, 1),
+                        restart_interval=2 if doc_id % 24 == 4 else 0,
+                    ),
+                    "image",
+                    "image/jpeg",
+                )
             elif sel == 1:
                 payload, kind, mime = build_png(width, height, seed=doc_id), "image", "image/png"
             elif doc_id % 6 == 5:

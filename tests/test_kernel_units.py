@@ -903,3 +903,127 @@ def test_lzw_wide_symbols_round_trip():
     indices = [(i * 37) % 512 for i in range(400)] + [300, 44, 5, 300, 44, 5, 300, 44]
     data = _lzw_encode(indices, 9)
     assert _lzw_decode(data, 9, len(indices)) == indices
+
+
+def test_jpeg_block_constant_exact_round_trip():
+    """The oracle contract: constant 8x8 blocks survive the lossy DCT
+    path bit-exactly (DC-only spectrum, flat Q=8 quantizes the DC to
+    the exact level-shifted value) — across every flavor the encoder
+    emits: 3-component 4:4:4, 4:2:0, grayscale, restart markers."""
+    from fundus_spark.kernel.jpeg import build_jpeg, decode_jpeg_luma, parse_jpeg_header
+    from fundus_spark.kernel.media import decode_image_luma, parse_media_header
+
+    for seed, w, h in ((7, 16, 16), (123, 37, 29), (0, 1, 1), (255, 64, 48), (42, 8, 9)):
+        want = [[(seed + 3 * (x // 8) + 7 * (y // 8)) % 256 for x in range(w)] for y in range(h)]
+        for kwargs in (
+            {},
+            {"subsampling": (2, 2)},
+            {"gray": True},
+            {"restart_interval": 2},
+        ):
+            p = build_jpeg(w, h, seed=seed, **kwargs)
+            assert parse_jpeg_header(p) == (w, h)
+            assert decode_jpeg_luma(p) == want, (seed, w, h, kwargs)
+        # and through the generic media dispatch
+        p = build_jpeg(w, h, seed=seed)
+        hd = parse_media_header(p)
+        assert hd.format == "jpeg" and (hd.width, hd.height) == (w, h)
+        assert decode_image_luma(p) == want
+
+
+def test_jpeg_arbitrary_content_bounded_error():
+    """The encoder is a real forward DCT pipeline, not a template: on
+    arbitrary (non-block-constant) content the round trip is lossy but
+    bounded by the flat Q=8 quantizer (worst-case coefficient error
+    sum(Q/2 * basis amplitude) stays well under 16 gray levels)."""
+    import numpy as np
+
+    from fundus_spark.kernel.jpeg import decode_jpeg_luma, encode_jpeg
+
+    rng = np.random.RandomState(17)
+    for w, h in ((31, 24), (8, 8), (17, 9)):
+        grid = rng.randint(0, 256, (h, w))
+        for kwargs in ({}, {"gray": True}, {"subsampling": (2, 2)}):
+            got = np.asarray(decode_jpeg_luma(encode_jpeg(grid, w, h, **kwargs)))
+            assert got.shape == (h, w)
+            assert np.abs(got - grid).max() <= 16, (w, h, kwargs)
+
+
+def test_jpeg_refuses_malformed_and_unsupported():
+    """Refuse-don't-misdecode: progressive SOF2, 12-bit precision,
+    truncated entropy data, garbage Huffman codes, missing tables, and
+    non-JPEG bytes all return None instead of raising or producing
+    wrong pixels."""
+    import struct
+
+    from fundus_spark.kernel.jpeg import build_jpeg, decode_jpeg_luma, parse_jpeg_header
+
+    good = build_jpeg(16, 16, seed=5)
+    assert decode_jpeg_luma(good) is not None
+
+    # truncation at every marker-ish boundary
+    for cut in (2, 4, 20, 100, len(good) - 3):
+        assert decode_jpeg_luma(good[:cut]) is None, cut
+
+    # progressive: rewrite the SOF0 marker byte (0xC0) to SOF2 (0xC2)
+    sof_at = good.find(b"\xff\xc0")
+    prog = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
+    assert decode_jpeg_luma(prog) is None
+    assert parse_jpeg_header(prog) == (16, 16)  # geometry still parses
+
+    # 12-bit precision: patch the SOF precision byte
+    twelve = bytearray(good)
+    twelve[sof_at + 4] = 12
+    assert decode_jpeg_luma(bytes(twelve)) is None
+
+    # corrupt entropy data: flip bytes mid-scan
+    sos_at = good.find(b"\xff\xda")
+    corrupt = bytearray(good)
+    for i in range(sos_at + 20, min(sos_at + 28, len(corrupt) - 2)):
+        corrupt[i] ^= 0xA5
+    # corrupted entropy data must not raise; if it happens to still
+    # decode as valid codes, the result is a well-shaped grid
+    res = decode_jpeg_luma(bytes(corrupt))
+    assert res is None or (len(res) == 16 and len(res[0]) == 16)
+    assert decode_jpeg_luma(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg_luma(b"notjpeg") is None
+    assert parse_jpeg_header(b"notjpeg") is None
+
+
+def test_jpeg_dimension_bomb_refused():
+    """A tiny payload declaring giant SOF dimensions must be refused
+    before any plane allocation (decompression-bomb bound)."""
+    from fundus_spark.kernel.jpeg import build_jpeg, decode_jpeg_luma
+    from fundus_spark.kernel.media import MAX_DECODE_PIXELS
+
+    good = bytearray(build_jpeg(16, 16, seed=5))
+    sof_at = good.find(b"\xff\xc0")
+    # height/width are big-endian u16 at sof_at+5 — 65000x65000
+    # overflows MAX_DECODE_PIXELS (64M)
+    import struct as _s
+
+    good[sof_at + 5 : sof_at + 9] = _s.pack(">HH", 65000, 65000)
+    assert 65000 * 65000 > MAX_DECODE_PIXELS
+    assert decode_jpeg_luma(bytes(good)) is None
+
+
+def test_warc_write_read_round_trip_byte_identical():
+    """The writer/reader format loop at kernel level: build_warc ->
+    iter_warc_records returns byte-identical bodies (incl. non-ASCII
+    UTF-8 and empty bodies), correct Content-Length per member, and
+    deterministic bytes (mtime=0 gzip) across rebuilds."""
+    from fundus_spark.kernel.warc import build_warc, warc_response_records
+
+    records = [
+        ("https://a.example/1", "2024-01-01T00:00:00Z", "hello world"),
+        ("https://a.example/2", "2024-02-03T04:05:06Z", "naïve café — 日本語 ünïcode"),
+        ("https://b.example/3", "2024-03-01T00:00:00Z", ""),
+        ("https://b.example/4", "2024-04-01T00:00:00Z", "x" * 10_000),
+    ]
+    blob = build_warc(records)
+    assert blob == build_warc(records)  # deterministic bytes
+    got = warc_response_records(blob)
+    assert [(r.target_uri, r.warc_date, r.body) for r in got] == records
+    # uncompressed flavor round-trips too
+    got_u = warc_response_records(build_warc(records, compress=False))
+    assert [(r.target_uri, r.warc_date, r.body) for r in got_u] == records

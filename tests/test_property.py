@@ -78,7 +78,7 @@ def test_media_header_never_raises(payload):
     from fundus_spark.kernel.media import parse_media_header
 
     header = parse_media_header(payload)
-    assert header is None or header.format in ("bmp", "png", "gif", "wav", "avi")
+    assert header is None or header.format in ("bmp", "png", "gif", "wav", "avi", "jpeg")
 
 
 @SETTINGS
@@ -97,6 +97,7 @@ def test_media_pixel_decode_never_raises(payload):
         b"\x89PNG\r\n\x1a\n" + payload,
         b"RIFF" + payload[:4] + b"WAVE" + payload,
         b"RIFF" + payload[:4] + b"AVI " + payload,
+        b"\xff\xd8" + payload,
     ):
         rows = decode_image_luma(p)
         assert rows is None or all(isinstance(v, int) for r in rows for v in r)
@@ -138,3 +139,37 @@ def test_full_extraction_generic_rule_degrades(html):
 
     out = run_extraction(resolve(None), html, None, error_handling="suppress", failures=[])
     assert isinstance(out, dict)
+
+
+@SETTINGS
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=10**6),
+    st.sampled_from([(1, 1), (2, 2), (2, 1)]),
+    st.booleans(),
+)
+def test_jpeg_block_constant_round_trip_property(w, h, seed, subsampling, gray):
+    """Any dimensions x seed x sampling x colorspace: block-constant
+    JPEG content round-trips bit-exactly (the oracle contract holds
+    across the whole parameter space, not just the fixture sizes)."""
+    from fundus_spark.kernel.jpeg import build_jpeg, decode_jpeg_luma
+
+    got = decode_jpeg_luma(build_jpeg(w, h, seed=seed, gray=gray, subsampling=subsampling))
+    want = [[(seed + 3 * (x // 8) + 7 * (y // 8)) % 256 for x in range(w)] for y in range(h)]
+    assert got == want
+
+
+@SETTINGS
+@given(st.binary(max_size=300), st.integers(min_value=0, max_value=240))
+def test_jpeg_decoder_never_raises_on_spliced_bytes(payload, cut):
+    """Adversarial fuzz with a REAL prefix: splice random bytes into a
+    valid stream at an arbitrary point — decode must return a grid or
+    None, never raise (the shape a crawl's half-fetched JPEGs take)."""
+    from fundus_spark.kernel.jpeg import build_jpeg, decode_jpeg_luma, parse_jpeg_header
+
+    good = build_jpeg(16, 12, seed=3)
+    spliced = good[: min(cut, len(good))] + payload
+    res = decode_jpeg_luma(spliced)
+    assert res is None or all(isinstance(v, int) for r in res for v in r)
+    parse_jpeg_header(spliced)  # must not raise either
