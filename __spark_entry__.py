@@ -1272,6 +1272,51 @@ SELECT query_id, rank, cand_id FROM (
 """
 
 
+def _q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-QUANTIZED embeddings (round 5): the
+    compressed-index serving path (4x storage reduction). The oracle
+    replays the exact round-half-up quantizer and the pre-rank score
+    rounding, so rank-for-rank equality gates the whole
+    quantize -> dequantize -> score -> rank chain."""
+    from fundus_spark.operators import quantized_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return quantized_topk(emb, queries, k=5)
+
+
+_QUANTIZED_ANN_SQL = """
+WITH scaled AS (
+    SELECT vec_id,
+           greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale,
+           embedding
+    FROM embeddings
+),
+dq AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> floor(CAST(x AS DOUBLE) / scale + 0.5) * scale) AS v
+    FROM scaled
+),
+unnested AS (
+    SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS val FROM dq
+),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           round(SUM(q.val * c.val) / (sqrt(SUM(q.val * q.val)) * sqrt(SUM(c.val * c.val))), 6) AS cos
+    FROM unnested q JOIN unnested c USING (i)
+    WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, rank, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+    FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fundus_spark.operators import lsh_bucketed_topk
 
@@ -2241,6 +2286,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * warc_roundtrip          — write half of warc_extract (round 5):
                                 records -> warc_reshard -> read back,
                                 byte-identical
+    * quantized_ann           — cosine top-k over int8-quantized
+                                embeddings (round 5): the
+                                compressed-index twin of cosine_topk
     """
     return {
         "extract_documents_keyed": _q_extract_documents_keyed,
@@ -2254,6 +2302,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "corpus_stats": _q_corpus_stats,
         "warc_roundtrip": _q_warc_roundtrip,
+        "quantized_ann": _q_quantized_ann,
     }
 
 
@@ -2326,4 +2375,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "media_features": _MEDIA_FEATURES_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "quantized_ann": _QUANTIZED_ANN_SQL,
     }

@@ -237,6 +237,40 @@ def _measure_scaling(cores_lo: int, cores_hi: int, transcripts_path: str, n_turn
     }
 
 
+def _scale_stress(base_timings: dict) -> dict:
+    """Round-5 scale-stress: materialize a decorrelated factor-N corpus
+    (tools/scale_corpus.py) and run the SAME headline list on it in a
+    fresh session. If every plan is linear, each query costs ~N x its
+    base time; the growth map localizes any super-linear offender. The
+    block is advisory — any failure is reported, never fatal to the
+    bench line."""
+    from fundus_spark.plans import build_session
+    from tools.scale_corpus import materialize_scaled_corpus
+
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_STRESS_FACTOR", "10"))
+    stress_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"fundus_spark_scale_x{factor}"
+    )
+    spark = build_session(app_name="bench-scale-stress", cores=CPUS)
+    try:
+        rows = materialize_scaled_corpus(spark, SF_DIR, stress_dir, factor)
+        timings = _run_headline(spark, stress_dir)
+    finally:
+        spark.stop()
+    growth = {
+        q: round(timings[q] / base_timings[q], 2)
+        for q in timings
+        if base_timings.get(q)
+    }
+    return {
+        "factor": factor,
+        "rows": {t: rows[t] for t in ("documents", "embeddings", "events", "lineitem") if t in rows},
+        "total": round(sum(timings.values()), 3),
+        "queries": timings,
+        "growth_vs_base": growth,
+    }
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
@@ -263,19 +297,29 @@ def main() -> None:
     timings = _run_headline(spark, SF_DIR)
     spark.stop()
 
+    # 10x scale-stress (round 5): on by default for the driver's sf0.1
+    # run; "0" disables, "1" forces at any SF (smoke runs at sf0.01
+    # skip it so they stay fast).
+    stress_mode = os.environ.get("SPARK_GRAFT_SCALE_STRESS", "auto")
+    stress = None
+    if stress_mode == "1" or (stress_mode == "auto" and SF_DIR.rstrip("/").endswith("sf0.1")):
+        try:
+            stress = _scale_stress(timings)
+        except Exception as exc:  # noqa: BLE001 — advisory block, never fatal
+            stress = {"error": f"{type(exc).__name__}: {exc}"}
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time (extraction pipeline + dedup/similarity/text ops)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-                "scaling": scaling,
-            }
-        )
-    )
+    out = {
+        "metric": "headline query wall time (extraction pipeline + dedup/similarity/text ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "scaling": scaling,
+    }
+    if stress is not None:
+        out["scale_stress"] = stress
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -176,35 +176,43 @@ def _value_bits(v: int, t: int) -> int:
     return v if v >= 0 else v + (1 << t) - 1
 
 
-def _fdct_quant(block, q):
-    """Forward DCT + quantize one 8x8 int block (already level-shifted);
-    returns 64 zigzag-ordered quantized coefficients."""
+def _fdct_quant_all(plane, q):
+    """Forward DCT + quantize EVERY 8x8 block of a level-shifted plane
+    (dims multiples of 8) in one vectorized pass; returns an
+    (blocks_y, blocks_x, 64) int array of zigzag-ordered quantized
+    coefficients. The per-block Python-loop version cost ~10 ms per
+    image at fixture sizes — two orders over the whole-corpus einsum."""
     import numpy as np
 
-    m = _dct_m()
-    s = m @ np.asarray(block, dtype=np.float64) @ m.T
-    out = []
-    for k in range(64):
-        r, c = _ZIGZAG[k]
-        out.append(int(np.round(s[r, c] / q[k])))
-    return out
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    blocks = (
+        np.asarray(plane, dtype=np.float64).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    )
+    m = np.asarray(_dct_m())
+    s = np.einsum("ux,ijxy,vy->ijuv", m, blocks, m)
+    zz_index = np.array([r * 8 + c for r, c in _ZIGZAG])
+    zz = s.reshape(bh, bw, 64)[:, :, zz_index]
+    return np.rint(zz / np.asarray(q, dtype=np.float64)).astype(np.int64)
 
 
 def _encode_block(coeffs, dc_pred, writer, dc_codes, ac_codes) -> int:
-    diff = coeffs[0] - dc_pred
+    """Entropy-encode one block from its 64 zigzag quantized coeffs
+    (numpy int row). Work is proportional to NONZERO coefficients —
+    DC-only blocks (the synthetic corpus) cost two symbols."""
+    import numpy as np
+
+    diff = int(coeffs[0]) - dc_pred
     t = _category(diff)
     code, length = dc_codes[t]
     writer.write(code, length)
     if t:
         writer.write(_value_bits(diff, t), t)
     run = 0
-    last_nz = 0
-    for k in range(63, 0, -1):
-        if coeffs[k]:
-            last_nz = k
-            break
+    nz = np.nonzero(coeffs[1:])[0]
+    last_nz = int(nz[-1]) + 1 if len(nz) else 0
     for k in range(1, last_nz + 1):
-        v = coeffs[k]
+        v = int(coeffs[k])
         if v == 0:
             run += 1
             continue
@@ -220,7 +228,7 @@ def _encode_block(coeffs, dc_pred, writer, dc_codes, ac_codes) -> int:
     if last_nz != 63:
         code, length = ac_codes[0x00]  # EOB
         writer.write(code, length)
-    return coeffs[0]
+    return int(coeffs[0])
 
 
 def _pad_to_blocks(plane, bw: int, bh: int):
@@ -275,6 +283,10 @@ def encode_jpeg(
     dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
 
+    # one vectorized DCT+quantize pass per component plane; the MCU
+    # loop below only walks precomputed coefficient rows
+    coeff_planes = {cid: _fdct_quant_all(planes[cid], _FLAT_Q) for cid, _, _, _ in comps}
+
     writer = _BitWriter()
     preds = {cid: 0 for cid, _, _, _ in comps}
     mcu_idx = 0
@@ -292,10 +304,7 @@ def encode_jpeg(
             for cid, ch_, cv, _tq in comps:
                 for by in range(cv):
                     for bx in range(ch_):
-                        py = (my * cv + by) * 8
-                        px = (mx * ch_ + bx) * 8
-                        block = planes[cid][py : py + 8, px : px + 8]
-                        coeffs = _fdct_quant(block, _FLAT_Q)
+                        coeffs = coeff_planes[cid][my * cv + by, mx * ch_ + bx]
                         preds[cid] = _encode_block(coeffs, preds[cid], writer, dc_codes, ac_codes)
             mcu_idx += 1
     writer.flush()

@@ -20,7 +20,14 @@ from .pii import pii_scrub
 from .relational import first_wins_dedup, grouped_topk, language_filter, regex_filter, requires, round_robin_merge
 from .robots import robots_gate
 from .sampling import deterministic_sample, hash_bucket, split_assign, stratified_sample
-from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, lsh_bucketed_topk
+from .similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+    quantize_embeddings,
+    quantized_topk,
+)
 from .warc import warc_extract, warc_reshard
 from .textstats import (
     bigram_logprob_score,
@@ -56,6 +63,8 @@ __all__ = [
     "language_id",
     "ivf_topk",
     "lsh_bucketed_topk",
+    "quantize_embeddings",
+    "quantized_topk",
     "incremental_assign",
     "lsh_candidate_pairs",
     "media_features",

@@ -342,3 +342,84 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k).select(
         "query_id", "rank", "cand_id"
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: ``scale =
+    max(|x|)/127`` and ``code_i = floor(x_i/scale + 0.5)`` (round-half-
+    up — portable: identical in any IEEE engine, unlike banker's
+    rounding) — the standard embedding-storage compression a 100 TB
+    pipeline applies before indexing (4x smaller than float32, ~0.4%
+    worst-case per-component error at 8 bits). Pure JVM column
+    algebra, zero shuffle; returns ``(id, scale, codes)``.
+
+    The per-row ``scale`` scalar is computed in its own projection;
+    referencing it inside the codes lambda re-inlines the O(d)
+    max-fold per element — a bounded O(d^2)=4k flops/row at d=64, not
+    the unbounded lambda-inlining class the textstats guard pins."""
+    eps = F.lit(1e-30)
+    maxabs = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scaled = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.greatest(maxabs, eps) / F.lit(127.0)).alias("scale"),
+    )
+    return scaled.select(
+        id_col,
+        "scale",
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int")
+        ).alias("codes"),
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Cosine top-k computed over int8-QUANTIZED vectors (quantize ->
+    dequantize ``code*scale`` -> exact cosine) — measures/serves the
+    compressed index the storage layer actually holds. Scores are
+    rounded to ``round_decimals`` BEFORE ranking so coarse-code
+    near-ties collapse into exact ties and the (score desc, cand_id
+    asc) order is engine-deterministic — the property the DuckDB
+    oracle needs and any distributed re-run wants anyway."""
+    dq = quantize_embeddings(embeddings, id_col, vec_col).select(
+        F.col(id_col),
+        F.transform(F.col("codes"), lambda c: c.cast("double") * F.col("scale")).alias(vec_col),
+    )
+    q_ids = queries.select(F.col(id_col).alias("_qid"))
+    corpus = dq.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), _norm(F.col(vec_col)).alias("cnorm")
+    )
+    qside = (
+        dq.join(F.broadcast(q_ids), dq[id_col] == q_ids["_qid"], "left_semi")
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), _norm(F.col(vec_col)).alias("qnorm"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qside))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("cvec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), round_decimals
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id")
+    )

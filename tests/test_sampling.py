@@ -6,6 +6,8 @@ coordinated across independent jobs.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from fundus_spark.operators import deterministic_sample, split_assign, stratified_sample
 
 
@@ -187,3 +189,54 @@ def test_large_row_operators_are_linear_not_quadratic(spark):
     assert winnowing_fingerprints(df).count() > 0
     assert minhash_signatures(df).count() == 1
     assert time.time() - t0 < 120, "gram/shingle operators regressed to quadratic per-row cost"
+
+
+def test_quantize_embeddings_error_bound_and_determinism(spark):
+    """int8 scalar quantization: per-component dequantization error is
+    bounded by scale/2 = max|x|/254, codes stay in [-127, 127], and the
+    round-half-up rule is engine-deterministic (same input -> same
+    codes on re-run)."""
+    import math
+
+    from fundus_spark.operators import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [100.0, -3.5, 0.0, 2.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: eps guard, no div0
+        (4, [-0.001, 0.0005, 0.0002, -0.0007]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for vid, vec in rows:
+        r = got[vid]
+        assert all(-127 <= c <= 127 for c in r.codes), (vid, r.codes)
+        maxabs = max(abs(v) for v in vec)
+        if maxabs:
+            assert math.isclose(r.scale, maxabs / 127.0, rel_tol=1e-12)
+            for v, c in zip(vec, r.codes):
+                assert abs(c * r.scale - v) <= r.scale / 2 + 1e-12, (vid, v, c)
+        else:
+            assert all(c == 0 for c in r.codes)
+    again = {r.vec_id: list(r.codes) for r in quantize_embeddings(df).collect()}
+    assert again == {vid: list(got[vid].codes) for vid, _ in rows}
+
+
+def test_quantized_topk_matches_full_precision_on_separated_data(spark):
+    """On well-separated vectors the compressed index returns the same
+    neighbors as full precision (quantization noise ~0.4% cannot flip
+    well-separated ranks)."""
+    from fundus_spark.operators import cosine_topk, quantized_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.95, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id").isin(0, 3))
+    full = {(r.query_id, r.rank): r.cand_id for r in cosine_topk(df, q, k=2).collect()}
+    quant = {(r.query_id, r.rank): r.cand_id for r in quantized_topk(df, q, k=2).collect()}
+    assert full == quant and (0, 1) in full
