@@ -9,10 +9,11 @@ Two decode tiers, both REAL:
   unfilter (bit depth 8; gray / gray+alpha / RGB / RGBA, filters
   0–4), GIF via a from-scratch LZW decoder (variable-width LSB-first
   codes, clear/end, KwKwK, 12-bit cap, interlacing), AVI
-  uncompressed-DIB frame streams, and 16-bit PCM WAV samples. Every
-  format this repo sniffs decodes for real; the only remaining stubs
-  are lossy codecs (JPEG/MP3/H.264 — genuinely impossible without
-  codec libraries), documented in ``operators/multimodal.py``.
+  uncompressed-DIB frame streams, 16-bit PCM WAV samples, and —
+  round 5 — JPEG via the from-scratch baseline + progressive T.81
+  codec in :mod:`.jpeg`. Every format this repo sniffs decodes for
+  real; the only remaining stubs are MP3/H.264 (genuinely impossible
+  without codec libraries), documented in ``operators/multimodal.py``.
 """
 
 from __future__ import annotations
@@ -193,11 +194,13 @@ def decode_image_luma(payload: bytes) -> Optional[List[List[int]]]:
     exact for grayscale, a real decoded channel for RGB). Supports
     24-bit uncompressed BMP, 8-bit-depth non-interlaced PNG (color
     types 0/2/4/6, scanline filters 0-4), GIF whose first image covers
-    the full logical screen (from-scratch LZW), and baseline sequential
-    JPEG (from-scratch Huffman + dequant + IDCT, :mod:`.jpeg`).
-    Returns None for compressed BMP variants, Adam7-interlaced PNG,
-    partial-screen GIF frames, progressive/arithmetic JPEG, and
-    dimensions over MAX_DECODE_PIXELS."""
+    the full logical screen (from-scratch LZW), and both baseline
+    sequential AND progressive JPEG (from-scratch Huffman + dequant +
+    IDCT incl. spectral selection / successive approximation,
+    :mod:`.jpeg`). Returns None for compressed BMP variants,
+    Adam7-interlaced PNG, partial-screen GIF frames,
+    arithmetic-coded/12-bit JPEG, and dimensions over
+    MAX_DECODE_PIXELS."""
     header = parse_media_header(payload)
     if header is None or header.width is None:
         return None

@@ -4,11 +4,14 @@ metadata, processed by Arrow-batched ``mapInPandas`` stages.
 Decode status (all via the pure-Python/stdlib kernel in
 ``kernel/media.py``, no codec libraries):
 
-* **header metadata** — REAL for BMP/PNG/GIF/WAV (width/height,
-  duration/sample-rate); oracle-gated by ``media_decode``;
+* **header metadata** — REAL for BMP/PNG/GIF/JPEG/WAV/AVI
+  (width/height, duration/sample-rate); oracle-gated by
+  ``media_decode``;
 * **pixel resample** (round 4) — REAL for 24-bit BMP, 8-bit PNG
-  (stdlib zlib inflate + unfilter), and GIF (from-scratch LZW
-  decoder incl. interlacing): ``media_resize`` decodes, then
+  (stdlib zlib inflate + unfilter), GIF (from-scratch LZW
+  decoder incl. interlacing), and — round 5 — JPEG (from-scratch
+  baseline + progressive T.81 codec, ``kernel/jpeg.py``):
+  ``media_resize`` decodes, then
   nearest-neighbor-samples the actual pixels and emits
   sum/corner/last luma (exact integers), oracle-gated against the
   synthetic payloads' closed-form pixel formula;
@@ -20,8 +23,8 @@ Decode status (all via the pure-Python/stdlib kernel in
   BMP pixel-array layout): ``media_frame_sample`` emits the summed
   luma of the ACTUAL decoded frame covering each schedule point,
   exactly oracle-gated; compressed fourccs return NULL;
-* the remaining stubs are lossy codecs only (JPEG/MP3/H.264 and
-  compressed AVI fourccs) — those yield NULL pixel/sample stats;
+* the remaining stubs are MP3/H.264 and compressed AVI fourccs
+  only — those yield NULL pixel/sample stats;
   ``media_features`` falls back to a deterministic digest-derived
   fake for unrecognized containers (documented below). Swap those
   paths for Pillow/torchaudio/PyAV on a deployment with codec
@@ -167,12 +170,12 @@ def _resize_batches(max_w: int, max_h: int):
                 ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
                 # REAL pixel resample: decode the payload (24-bit BMP;
                 # PNG filters 0-4 via stdlib zlib; GIF via the
-                # from-scratch LZW decoder; baseline JPEG via the
-                # from-scratch Huffman+IDCT in kernel.jpeg) and
-                # nearest-neighbor sample it. Only refused inputs
-                # yield NULL pixel stats: compressed BMP,
-                # Adam7-interlaced PNG, partial-screen GIF frames, and
-                # progressive/arithmetic JPEG.
+                # from-scratch LZW decoder; baseline AND progressive
+                # JPEG via the from-scratch Huffman+IDCT in
+                # kernel.jpeg) and nearest-neighbor sample it. Only
+                # refused inputs yield NULL pixel stats: compressed
+                # BMP, Adam7-interlaced PNG, partial-screen GIF
+                # frames, and arithmetic-coded/12-bit JPEG.
                 rows_l = decode_image_luma(payload)
                 if rows_l is not None:
                     resized = resize_nearest(rows_l, ow, oh)

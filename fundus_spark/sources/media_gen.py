@@ -6,12 +6,14 @@ oracle:
 
 * ``doc_id % 3 == 0`` -> BMP (or real-LZW GIF when ``doc_id % 6 == 3``),
                          width = 1 + doc_id % 64, height = 1 + doc_id % 48
-* ``doc_id % 3 == 1`` -> PNG, or baseline JPEG when ``doc_id % 6 == 4``
+* ``doc_id % 3 == 1`` -> PNG, or JPEG when ``doc_id % 6 == 4``
                          (4:2:0 when ``doc_id % 12 == 10``, grayscale
                          when ``doc_id % 24 == 16``, restart markers
-                         when ``doc_id % 24 == 4`` — every flavor the
-                         decoder supports appears in the corpus);
-                         same dimension formulas
+                         when ``doc_id % 24 == 4``, PROGRESSIVE SOF2
+                         when ``doc_id % 24 in (10, 22)`` with full
+                         successive approximation at ``%24 == 22`` —
+                         every flavor the decoder supports appears in
+                         the corpus); same dimension formulas
 * ``doc_id % 3 == 2`` and ``doc_id % 6 == 5`` -> AVI video,
                          n_frames = 3 + doc_id % 5 @ 25 fps (40 ms/frame),
                          same dimension formulas -> duration_ms = 40 * n_frames
@@ -79,6 +81,8 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         gray=doc_id % 24 == 16,
                         subsampling=(2, 2) if doc_id % 12 == 10 else (1, 1),
                         restart_interval=2 if doc_id % 24 == 4 else 0,
+                        progressive=doc_id % 24 in (10, 22),
+                        successive=doc_id % 24 == 22,
                     ),
                     "image",
                     "image/jpeg",

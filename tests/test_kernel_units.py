@@ -950,10 +950,10 @@ def test_jpeg_arbitrary_content_bounded_error():
 
 
 def test_jpeg_refuses_malformed_and_unsupported():
-    """Refuse-don't-misdecode: progressive SOF2, 12-bit precision,
-    truncated entropy data, garbage Huffman codes, missing tables, and
-    non-JPEG bytes all return None instead of raising or producing
-    wrong pixels."""
+    """Refuse-don't-misdecode: malformed-progressive SOF2, 12-bit
+    precision, truncated entropy data, garbage Huffman codes, missing
+    tables, and non-JPEG bytes all return None instead of raising or
+    producing wrong pixels."""
     import struct
 
     from fundus_spark.kernel.jpeg import build_jpeg, decode_jpeg_luma, parse_jpeg_header
@@ -965,7 +965,11 @@ def test_jpeg_refuses_malformed_and_unsupported():
     for cut in (2, 4, 20, 100, len(good) - 3):
         assert decode_jpeg_luma(good[:cut]) is None, cut
 
-    # progressive: rewrite the SOF0 marker byte (0xC0) to SOF2 (0xC2)
+    # MALFORMED progressive: rewriting the SOF0 marker to SOF2 while
+    # keeping the baseline full-band scan header (Ss=0, Se=63) is
+    # spec-invalid for progressive (a DC scan must have Se=0) — the
+    # decoder refuses it rather than guessing (real progressive
+    # streams decode; see test_jpeg_progressive_matches_baseline)
     sof_at = good.find(b"\xff\xc0")
     prog = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
     assert decode_jpeg_luma(prog) is None
@@ -1027,3 +1031,39 @@ def test_warc_write_read_round_trip_byte_identical():
     # uncompressed flavor round-trips too
     got_u = warc_response_records(build_warc(records, compress=False))
     assert [(r.target_uri, r.warc_date, r.body) for r in got_u] == records
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) transmits the SAME coefficients as baseline
+    in a different scan order, so for any grid the progressive decode
+    must be pixel-identical to the baseline decode — across spectral
+    selection, full successive approximation (DC + AC refinement
+    scans, EOB runs, correction bits), subsampling, grayscale, and
+    restart markers. Block-constant content stays bit-exact."""
+    import numpy as np
+
+    from fundus_spark.kernel.jpeg import build_jpeg, decode_jpeg_luma, encode_jpeg
+
+    # exactness on block-constant content through every progressive flavor
+    for seed, w, h in ((7, 16, 16), (123, 37, 29), (255, 64, 48)):
+        want = [[(seed + 3 * (x // 8) + 7 * (y // 8)) % 256 for x in range(w)] for y in range(h)]
+        for kwargs in (
+            {"progressive": True},
+            {"progressive": True, "successive": True},
+            {"progressive": True, "successive": True, "subsampling": (2, 2)},
+            {"progressive": True, "gray": True},
+            {"progressive": True, "successive": True, "restart_interval": 3},
+        ):
+            assert decode_jpeg_luma(build_jpeg(w, h, seed=seed, **kwargs)) == want, (seed, kwargs)
+
+    # arbitrary content: progressive == baseline, pixel for pixel
+    rng = np.random.RandomState(11)
+    for w, h in ((31, 24), (17, 9), (40, 33)):
+        grid = rng.randint(0, 256, (h, w))
+        base = decode_jpeg_luma(encode_jpeg(grid, w, h))
+        for kwargs in (
+            {"progressive": True},
+            {"progressive": True, "successive": True},
+            {"progressive": True, "successive": True, "subsampling": (2, 2)},
+        ):
+            assert decode_jpeg_luma(encode_jpeg(grid, w, h, **kwargs)) == base, (w, h, kwargs)

@@ -168,8 +168,11 @@ def test_jpeg_decoder_never_raises_on_spliced_bytes(payload, cut):
     None, never raise (the shape a crawl's half-fetched JPEGs take)."""
     from fundus_spark.kernel.jpeg import build_jpeg, decode_jpeg_luma, parse_jpeg_header
 
-    good = build_jpeg(16, 12, seed=3)
-    spliced = good[: min(cut, len(good))] + payload
-    res = decode_jpeg_luma(spliced)
-    assert res is None or all(isinstance(v, int) for r in res for v in r)
-    parse_jpeg_header(spliced)  # must not raise either
+    for good in (
+        build_jpeg(16, 12, seed=3),
+        build_jpeg(16, 12, seed=3, progressive=True, successive=True),
+    ):
+        spliced = good[: min(cut, len(good))] + payload
+        res = decode_jpeg_luma(spliced)
+        assert res is None or all(isinstance(v, int) for r in res for v in r)
+        parse_jpeg_header(spliced)  # must not raise either
