@@ -192,13 +192,13 @@ MAX_DECODE_PIXELS = 64_000_000
 def decode_image_luma(payload: bytes) -> Optional[List[List[int]]]:
     """Decode pixels to a top-left-origin 2D luma grid (first channel —
     exact for grayscale, a real decoded channel for RGB). Supports
-    24-bit uncompressed BMP, 8-bit-depth non-interlaced PNG (color
-    types 0/2/4/6, scanline filters 0-4), GIF whose first image covers
-    the full logical screen (from-scratch LZW), and both baseline
-    sequential AND progressive JPEG (from-scratch Huffman + dequant +
-    IDCT incl. spectral selection / successive approximation,
-    :mod:`.jpeg`). Returns None for compressed BMP variants,
-    Adam7-interlaced PNG, partial-screen GIF frames,
+    24-bit uncompressed BMP, 8-bit-depth PNG (color types 0/2/4/6,
+    scanline filters 0-4, sequential AND Adam7-interlaced), GIF whose
+    first image covers the full logical screen (from-scratch LZW incl.
+    interlacing), and both baseline sequential AND progressive JPEG
+    (from-scratch Huffman + dequant + IDCT incl. spectral selection /
+    successive approximation, :mod:`.jpeg`). Returns None for
+    compressed BMP variants, partial-screen GIF frames,
     arithmetic-coded/12-bit JPEG, and dimensions over
     MAX_DECODE_PIXELS."""
     header = parse_media_header(payload)
@@ -243,54 +243,32 @@ def _decode_bmp_luma(payload: bytes) -> Optional[List[List[int]]]:
     return rows.tolist()
 
 
-def _decode_png_luma(payload: bytes) -> Optional[List[List[int]]]:
-    import zlib
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-    if len(payload) < 29:  # through the IHDR interlace byte
-        return None
-    width, height = struct.unpack_from(">II", payload, 16)
-    bit_depth, color_type = payload[24], payload[25]
-    compression, filter_method, interlace = payload[26], payload[27], payload[28]
-    if bit_depth != 8 or color_type not in (0, 2, 4, 6):
-        return None
-    # Adam7 interlacing stores scanlines in 7 sub-images — decoding it
-    # as sequential rows silently yields WRONG pixels, so refuse rather
-    # than mis-decode (review finding, reproduced on an 8x8 interlaced
-    # fixture). Non-zero compression/filter methods are reserved.
-    if compression != 0 or filter_method != 0 or interlace != 0:
-        return None
-    if width * height > MAX_DECODE_PIXELS:
-        return None
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    # walk chunks, concatenate IDAT
-    pos = 8
-    idat = b""
-    while pos + 8 <= len(payload):
-        (clen,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        if ctype == b"IDAT":
-            idat += payload[pos + 8 : pos + 8 + clen]
-        if ctype == b"IEND":
-            break
-        pos += 12 + clen
-    try:
-        # bound the inflate to exactly the pixel data we need: a
-        # crafted few-hundred-KB IDAT can otherwise inflate to
-        # gigabytes inside the Python worker (decompression bomb —
-        # these decoders run on untrusted crawled payloads)
-        need = height * (1 + width * channels)
-        raw = zlib.decompressobj().decompress(idat, need)
-    except zlib.error:
-        return None
+
+def _png_unfilter(raw: bytes, offset: int, width: int, height: int, channels: int):
+    """Invert PNG scanline filters 0-4 over one (sub-)image of
+    ``height`` scanlines of ``width`` pixels starting at ``offset`` in
+    the inflated stream. Returns (pixel lines as bytearrays, offset
+    past the sub-image) or None on a bad filter byte / short stream."""
     stride = width * channels
-    if len(raw) < height * (1 + stride):
+    if len(raw) < offset + height * (1 + stride):
         return None
-    rows: List[List[int]] = []
+    lines = []
     prev = bytearray(stride)
-    for y in range(height):
-        base = y * (1 + stride)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
+    pos = offset
+    for _y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
         if ftype == 1:  # Sub
             for i in range(channels, stride):
                 line[i] = (line[i] + line[i - channels]) & 0xFF
@@ -312,9 +290,74 @@ def _decode_png_luma(payload: bytes) -> Optional[List[List[int]]]:
                 line[i] = (line[i] + pred) & 0xFF
         elif ftype != 0:
             return None
-        rows.append([line[x * channels] for x in range(width)])
+        lines.append(line)
         prev = line
-    return rows
+    return lines, pos
+
+
+def _decode_png_luma(payload: bytes) -> Optional[List[List[int]]]:
+    import zlib
+
+    if len(payload) < 29:  # through the IHDR interlace byte
+        return None
+    width, height = struct.unpack_from(">II", payload, 16)
+    bit_depth, color_type = payload[24], payload[25]
+    compression, filter_method, interlace = payload[26], payload[27], payload[28]
+    if bit_depth != 8 or color_type not in (0, 2, 4, 6):
+        return None
+    # Non-zero compression/filter methods are reserved; interlace 1 is
+    # Adam7 (decoded below, round 5 — previously refused).
+    if compression != 0 or filter_method != 0 or interlace not in (0, 1):
+        return None
+    if not width or not height or width * height > MAX_DECODE_PIXELS:
+        return None
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    # walk chunks, concatenate IDAT
+    pos = 8
+    idat = b""
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IEND":
+            break
+        pos += 12 + clen
+    # the seven Adam7 passes are independently filtered sub-images
+    # stored back to back; the sequential layout is the degenerate
+    # single full-coverage pass
+    if interlace:
+        passes = [
+            (x0, y0, -(-(width - x0) // dx), -(-(height - y0) // dy))
+            for x0, y0, dx, dy in _ADAM7
+            if width > x0 and height > y0
+        ]
+        steps = [(dx, dy) for (x0, y0, dx, dy) in _ADAM7 if width > x0 and height > y0]
+    else:
+        passes = [(0, 0, width, height)]
+        steps = [(1, 1)]
+    try:
+        # bound the inflate to exactly the pixel data we need: a
+        # crafted few-hundred-KB IDAT can otherwise inflate to
+        # gigabytes inside the Python worker (decompression bomb —
+        # these decoders run on untrusted crawled payloads)
+        need = sum(ph * (1 + pw * channels) for _x0, _y0, pw, ph in passes)
+        raw = zlib.decompressobj().decompress(idat, need)
+    except zlib.error:
+        return None
+    grid = [[0] * width for _ in range(height)]
+    offset = 0
+    for (x0, y0, pw, ph), (dx, dy) in zip(passes, steps):
+        res = _png_unfilter(raw, offset, pw, ph, channels)
+        if res is None:
+            return None
+        lines, offset = res
+        for j, line in enumerate(lines):
+            y = y0 + j * dy
+            row = grid[y]
+            for i in range(pw):
+                row[x0 + i * dx] = line[i * channels]
+    return grid
 
 
 def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> Optional[List[int]]:
@@ -593,9 +636,14 @@ def build_bmp(width: int, height: int, seed: Optional[int] = None) -> bytes:
     return header + info + _bgr_pixel_array(_luma_grid(seed, width, height), padded)
 
 
-def build_png(width: int, height: int, seed: Optional[int] = None) -> bytes:
+def build_png(
+    width: int, height: int, seed: Optional[int] = None, interlaced: bool = False
+) -> bytes:
     """Valid 8-bit grayscale PNG; pixels are ``synthetic_luma`` when
-    ``seed`` is given, zeros otherwise (zlib IDAT, filter 0)."""
+    ``seed`` is given, zeros otherwise (zlib IDAT, filter 0).
+    ``interlaced=True`` stores the SAME pixels in Adam7 layout — seven
+    independently-filtered sub-images (round 5: the decoder
+    reassembles them; previously refused)."""
     import binascii
     import zlib
 
@@ -607,11 +655,22 @@ def build_png(width: int, height: int, seed: Optional[int] = None) -> bytes:
             + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1 if interlaced else 0)
     if seed is None:
-        raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+        import numpy as np
+
+        grid = np.zeros((height, width), dtype=np.uint8)
     else:
         grid = _luma_grid(seed, width, height)
+    if interlaced:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            if width <= x0 or height <= y0:
+                continue
+            sub = grid[y0::dy, x0::dx]
+            parts += [b"\x00" + sub[j].tobytes() for j in range(sub.shape[0])]
+        raw = b"".join(parts)
+    else:
         raw = b"".join(b"\x00" + grid[y].tobytes() for y in range(height))
     return (
         b"\x89PNG\r\n\x1a\n"

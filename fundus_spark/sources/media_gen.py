@@ -4,9 +4,11 @@ Synthesizes valid container files whose header metadata is closed-form
 in ``doc_id``, so the ``media_decode`` query has an exact DuckDB
 oracle:
 
-* ``doc_id % 3 == 0`` -> BMP (or real-LZW GIF when ``doc_id % 6 == 3``),
+* ``doc_id % 3 == 0`` -> BMP (or real-LZW GIF when ``doc_id % 6 == 3``,
+                         interlaced at ``doc_id % 12 == 9``),
                          width = 1 + doc_id % 64, height = 1 + doc_id % 48
-* ``doc_id % 3 == 1`` -> PNG, or JPEG when ``doc_id % 6 == 4``
+* ``doc_id % 3 == 1`` -> PNG (Adam7-interlaced at ``doc_id % 12 == 7``),
+                         or JPEG when ``doc_id % 6 == 4``
                          (4:2:0 when ``doc_id % 12 == 10``, grayscale
                          when ``doc_id % 24 == 16``, restart markers
                          when ``doc_id % 24 == 4``, PROGRESSIVE SOF2
@@ -69,7 +71,11 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             width, height = media_dims(doc_id)
             sel = doc_id % 3
             if sel == 0 and doc_id % 6 == 3:
-                payload, kind, mime = build_gif(width, height, seed=doc_id), "image", "image/gif"
+                payload, kind, mime = (
+                    build_gif(width, height, seed=doc_id, interlaced=doc_id % 12 == 9),
+                    "image",
+                    "image/gif",
+                )
             elif sel == 0:
                 payload, kind, mime = build_bmp(width, height, seed=doc_id), "image", "image/bmp"
             elif sel == 1 and doc_id % 6 == 4:
@@ -88,7 +94,11 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "image/jpeg",
                 )
             elif sel == 1:
-                payload, kind, mime = build_png(width, height, seed=doc_id), "image", "image/png"
+                payload, kind, mime = (
+                    build_png(width, height, seed=doc_id, interlaced=doc_id % 12 == 7),
+                    "image",
+                    "image/png",
+                )
             elif doc_id % 6 == 5:
                 payload, kind, mime = (
                     build_avi(width, height, media_frames(doc_id), seed=doc_id),

@@ -1067,3 +1067,16 @@ def test_jpeg_progressive_matches_baseline():
             {"progressive": True, "successive": True, "subsampling": (2, 2)},
         ):
             assert decode_jpeg_luma(encode_jpeg(grid, w, h, **kwargs)) == base, (w, h, kwargs)
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 (round 5, previously refused): the seven independently
+    filtered sub-images reassemble to EXACTLY the sequential pixels —
+    including odd sizes where some passes are empty, and a 1-pixel
+    image where only pass 1 exists."""
+    from fundus_spark.kernel.media import build_png, decode_image_luma, synthetic_luma
+
+    for w, h in ((1, 1), (3, 2), (8, 8), (17, 9), (64, 48), (5, 13), (9, 1), (1, 9)):
+        want = [[synthetic_luma(9, x, y) for x in range(w)] for y in range(h)]
+        assert decode_image_luma(build_png(w, h, seed=9)) == want, ("seq", w, h)
+        assert decode_image_luma(build_png(w, h, seed=9, interlaced=True)) == want, ("adam7", w, h)
