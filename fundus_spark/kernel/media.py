@@ -193,14 +193,13 @@ def decode_image_luma(payload: bytes) -> Optional[List[List[int]]]:
     """Decode pixels to a top-left-origin 2D luma grid (first channel —
     exact for grayscale, a real decoded channel for RGB). Supports
     24-bit uncompressed BMP, 8-bit-depth PNG (color types 0/2/4/6,
-    scanline filters 0-4, sequential AND Adam7-interlaced), GIF whose
-    first image covers the full logical screen (from-scratch LZW incl.
-    interlacing), and both baseline sequential AND progressive JPEG
-    (from-scratch Huffman + dequant + IDCT incl. spectral selection /
-    successive approximation, :mod:`.jpeg`). Returns None for
-    compressed BMP variants, partial-screen GIF frames,
-    arithmetic-coded/12-bit JPEG, and dimensions over
-    MAX_DECODE_PIXELS."""
+    scanline filters 0-4, sequential AND Adam7-interlaced), GIF
+    (from-scratch LZW incl. interlacing; partial-screen first frames
+    compose onto the background color), and both baseline sequential
+    AND progressive JPEG (from-scratch Huffman + dequant + IDCT incl.
+    spectral selection / successive approximation, :mod:`.jpeg`).
+    Returns None for compressed BMP variants, arithmetic-coded/12-bit
+    JPEG, and dimensions over MAX_DECODE_PIXELS."""
     header = parse_media_header(payload)
     if header is None or header.width is None:
         return None
@@ -478,8 +477,11 @@ def _lzw_encode(indices: List[int], min_code: int) -> bytes:
 
 def _decode_gif_luma(payload: bytes) -> Optional[List[List[int]]]:
     """Real GIF decode: logical screen + color tables + LZW'd image
-    data -> top-left-origin luma grid (first palette channel, R).
-    Handles interlaced images; animated GIFs yield the first frame."""
+    data -> top-left-origin luma grid (first palette channel, R) of
+    the LOGICAL SCREEN. Handles interlaced images; animated GIFs yield
+    the first frame; a first frame smaller than the screen (common in
+    animations) is composed onto the background color at its
+    (left, top) offset — round 5, previously refused."""
     if len(payload) < 13:
         return None
     screen_w, screen_h = struct.unpack_from("<HH", payload, 6)
@@ -505,13 +507,11 @@ def _decode_gif_luma(payload: bytes) -> Optional[List[List[int]]]:
             img_x, img_y, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
             iflags = payload[pos + 9]
             pos += 10
-            # a first frame smaller than the logical screen (common in
-            # animations) would make the returned grid's geometry
-            # disagree with parse_media_header's screen dimensions —
-            # refuse rather than emit stats for a stretched sub-frame
-            if (img_x, img_y) != (0, 0) or (w, h) != (screen_w, screen_h):
+            # the frame must FIT inside the logical screen; anything
+            # else is malformed (refused, not clipped)
+            if img_x + w > screen_w or img_y + h > screen_h:
                 return None
-            if w * h > MAX_DECODE_PIXELS:
+            if not screen_w or not screen_h or screen_w * screen_h > MAX_DECODE_PIXELS:
                 return None
             table = gct
             if iflags & 0x80:
@@ -532,8 +532,8 @@ def _decode_gif_luma(payload: bytes) -> Optional[List[List[int]]]:
                 data += payload[pos + 1 : pos + 1 + n]
                 pos += 1 + n
             indices = _lzw_decode(bytes(data), min_code, w * h)
-            if indices is None:
-                return None
+            if indices is None or len(indices) < w * h:
+                return None  # truncated pixel stream -> refuse
             rows = [
                 [table[3 * indices[yy * w + xx]] if 3 * indices[yy * w + xx] < len(table) else 0 for xx in range(w)]
                 for yy in range(h)
@@ -546,7 +546,17 @@ def _decode_gif_luma(payload: bytes) -> Optional[List[List[int]]]:
                 rows = [r for r in deinterlaced if r is not None]
                 if len(rows) != h:
                     return None
-            return rows
+            if (img_x, img_y) == (0, 0) and (w, h) == (screen_w, screen_h):
+                return rows
+            # partial-screen frame: compose onto the background color
+            # (header byte 11 indexes the global color table; 0 luma
+            # when there is no GCT, per the spec's "no meaning" case)
+            bg_idx = payload[11]
+            bg = gct[3 * bg_idx] if gct is not None and 3 * bg_idx < len(gct) else 0
+            screen = [[bg] * screen_w for _ in range(screen_h)]
+            for yy in range(h):
+                screen[img_y + yy][img_x : img_x + w] = rows[yy]
+            return screen
         else:  # trailer (0x3B) or garbage
             return None
     return None
@@ -680,21 +690,33 @@ def build_png(
     )
 
 
-def build_gif(width: int, height: int, seed: Optional[int] = None, interlaced: bool = False) -> bytes:
+def build_gif(
+    width: int,
+    height: int,
+    seed: Optional[int] = None,
+    interlaced: bool = False,
+    frame_box=None,
+    background: int = 0,
+) -> bytes:
     """Valid GIF89a with a 256-entry grayscale palette (index i ->
     (i,i,i)) and REAL LZW-compressed pixel data; pixel (x, y) carries
-    ``synthetic_luma(seed, x, y)`` when ``seed`` is given."""
+    ``synthetic_luma(seed, x, y)`` when ``seed`` is given.
+    ``frame_box=(left, top, fw, fh)`` emits a PARTIAL-SCREEN first
+    frame (the animation shape): the descriptor covers only the box,
+    whose pixel (fx, fy) carries ``synthetic_luma(seed, fx, fy)``, and
+    ``background`` is the screen's background color index."""
+    fx0, fy0, fw, fh = frame_box if frame_box is not None else (0, 0, width, height)
     palette = bytes(v for i in range(256) for v in (i, i, i))
-    screen = struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)  # GCT, 256 entries
+    screen = struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, background & 0xFF, 0)
     if seed is None:
-        pixels = [0] * (width * height)
+        pixels = [0] * (fw * fh)
     else:
-        pixels = _luma_grid(seed, width, height).reshape(-1).tolist()
+        pixels = _luma_grid(seed, fw, fh).reshape(-1).tolist()
     if interlaced:
-        order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, height, step)]
-        pixels = [pixels[src_row * width + x] for src_row in order for x in range(width)]
+        order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, fh, step)]
+        pixels = [pixels[src_row * fw + x] for src_row in order for x in range(fw)]
     iflags = 0x40 if interlaced else 0
-    descriptor = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+    descriptor = b"\x2c" + struct.pack("<HHHHB", fx0, fy0, fw, fh, iflags)
     lzw = _lzw_encode(pixels, 8)
     sub_blocks = b"".join(
         bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255] for i in range(0, len(lzw), 255)

@@ -172,11 +172,11 @@ def _resize_batches(max_w: int, max_h: int):
                 # PNG filters 0-4 via stdlib zlib; GIF via the
                 # from-scratch LZW decoder; baseline AND progressive
                 # JPEG via the from-scratch Huffman+IDCT in
-                # kernel.jpeg; Adam7 PNG reassembles for real, round
-                # 5) and nearest-neighbor sample it. Only refused
-                # inputs yield NULL pixel stats: compressed BMP,
-                # partial-screen GIF frames, and
-                # arithmetic-coded/12-bit JPEG.
+                # kernel.jpeg; Adam7 PNG reassembles and
+                # partial-screen GIF frames compose onto the
+                # background, round 5) and nearest-neighbor sample it.
+                # Only refused inputs yield NULL pixel stats:
+                # compressed BMP and arithmetic-coded/12-bit JPEG.
                 rows_l = decode_image_luma(payload)
                 if rows_l is not None:
                     resized = resize_nearest(rows_l, ow, oh)

@@ -863,15 +863,21 @@ def test_gif_decode_round_trip():
 
 
 def test_decode_refuses_what_it_cannot_decode_correctly():
-    """Review-pass regressions: streams we cannot decode CORRECTLY must
-    return None, never silently-wrong pixels."""
+    """Review-pass regressions, round-5 revision: the two streams this
+    test originally pinned as REFUSED (Adam7 PNG, partial-screen GIF)
+    now decode CORRECTLY — the contract stays "never silently-wrong
+    pixels", so the assertions moved from is-None to exact values."""
     import binascii
     import struct
     import zlib
 
     from fundus_spark.kernel.media import build_gif, decode_image_luma
 
-    # Adam7-interlaced PNG: sequential-row decoding would scramble rows
+    # Adam7-interlaced PNG: a sequential-layout byte stream stored
+    # under interlace=1 must NOT be decoded as if sequential — the
+    # decoder reads it as Adam7 passes of the same bytes, which for
+    # this hand-built stream is simply a SHORT stream (the pass layout
+    # needs more bytes than 8 plain scanlines) -> refused
     def chunk(ctype, data):
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(
             ">I", binascii.crc32(ctype + data) & 0xFFFFFFFF
@@ -885,14 +891,21 @@ def test_decode_refuses_what_it_cannot_decode_correctly():
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
-    assert decode_image_luma(interlaced_png) is None
+    assert decode_image_luma(interlaced_png) is None  # short for Adam7 layout
 
-    # GIF whose first frame covers only part of the logical screen:
-    # the grid's geometry would disagree with the header's dimensions
+    # GIF whose first frame covers only part of the logical screen now
+    # composes onto the background color instead of refusing: the
+    # 4x4 frame sits at (0, 0) of the inflated 100x100 screen and the
+    # rest is background index 0 -> luma 0
+    from fundus_spark.kernel.media import synthetic_luma
+
     small = build_gif(4, 4, seed=5)
     partial = bytearray(small)
     struct.pack_into("<HH", partial, 6, 100, 100)  # inflate the screen
-    assert decode_image_luma(bytes(partial)) is None
+    got = decode_image_luma(bytes(partial))
+    assert got is not None and len(got) == 100 and len(got[0]) == 100
+    assert all(got[y][x] == synthetic_luma(5, x, y) for y in range(4) for x in range(4))
+    assert got[50][50] == 0 and got[4][4] == 0
 
 
 def test_lzw_wide_symbols_round_trip():
@@ -1080,3 +1093,36 @@ def test_png_adam7_interlaced_decode():
         want = [[synthetic_luma(9, x, y) for x in range(w)] for y in range(h)]
         assert decode_image_luma(build_png(w, h, seed=9)) == want, ("seq", w, h)
         assert decode_image_luma(build_png(w, h, seed=9, interlaced=True)) == want, ("adam7", w, h)
+
+
+def test_gif_partial_screen_frame_composes_onto_background():
+    """A first frame smaller than the logical screen (the animation
+    shape; round 5, previously refused) composes onto the background
+    color at its (left, top) offset; out-of-bounds frames and
+    truncated LZW streams are refused, not clipped."""
+    from fundus_spark.kernel.media import build_gif, decode_image_luma, synthetic_luma
+
+    got = decode_image_luma(
+        build_gif(12, 10, seed=5, frame_box=(3, 2, 6, 4), background=77)
+    )
+    assert got is not None and len(got) == 10 and len(got[0]) == 12
+    for y in range(10):
+        for x in range(12):
+            if 3 <= x < 9 and 2 <= y < 6:
+                assert got[y][x] == synthetic_luma(5, x - 3, y - 2), (x, y)
+            else:
+                assert got[y][x] == 77, (x, y)
+
+    # interlaced partial frame composes identically
+    got_i = decode_image_luma(
+        build_gif(12, 10, seed=5, frame_box=(3, 2, 6, 4), background=77, interlaced=True)
+    )
+    assert got_i == got
+
+    # a frame that overflows the screen is malformed -> refused
+    assert decode_image_luma(build_gif(12, 10, seed=5, frame_box=(9, 8, 6, 4))) is None
+
+    # truncated pixel stream -> refused (not a short grid)
+    full = build_gif(12, 10, seed=5)
+    truncated = full[: len(full) // 2] + b"\x00\x3b"
+    assert decode_image_luma(truncated) is None

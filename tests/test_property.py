@@ -98,6 +98,7 @@ def test_media_pixel_decode_never_raises(payload):
         b"RIFF" + payload[:4] + b"WAVE" + payload,
         b"RIFF" + payload[:4] + b"AVI " + payload,
         b"\xff\xd8" + payload,
+        b"GIF89a" + payload,
     ):
         rows = decode_image_luma(p)
         assert rows is None or all(isinstance(v, int) for r in rows for v in r)
