@@ -217,29 +217,107 @@ def decode_image_luma(payload: bytes) -> Optional[List[List[int]]]:
 
 
 def _decode_bmp_luma(payload: bytes) -> Optional[List[List[int]]]:
+    """24-bit uncompressed, 8-bit uncompressed-palette, and 8-bit RLE8
+    (BI_RLE8, round 5 — the common compressed BMP flavor) all decode;
+    other depths/compressions (RLE4, bitfields, embedded PNG/JPEG)
+    are refused."""
     if len(payload) < 34:  # header + the info fields read below
         return None
     (data_offset,) = struct.unpack_from("<I", payload, 10)
+    (info_size,) = struct.unpack_from("<I", payload, 14)
     width, height_raw = struct.unpack_from("<ii", payload, 18)
     (bpp,) = struct.unpack_from("<H", payload, 28)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if bpp != 24 or compression != 0 or width <= 0 or height_raw == 0:
+    if width <= 0 or height_raw == 0:
         return None
     height = abs(height_raw)
     if width * height > MAX_DECODE_PIXELS:
         return None
-    padded = (width * 3 + 3) & ~3
-    if len(payload) < data_offset + padded * height:
-        return None
     import numpy as np
 
-    arr = np.frombuffer(payload, np.uint8, padded * height, data_offset).reshape(height, padded)
-    # 24-bit BMP stores BGR; take R (offset 2) so "first channel" means
-    # the same channel as PNG's channel 0 across formats
-    rows = arr[:, : width * 3].reshape(height, width, 3)[..., 2]
-    if height_raw > 0:  # positive height = bottom-up storage
-        rows = rows[::-1]
-    return rows.tolist()
+    if bpp == 24 and compression == 0:
+        padded = (width * 3 + 3) & ~3
+        if len(payload) < data_offset + padded * height:
+            return None
+        arr = np.frombuffer(payload, np.uint8, padded * height, data_offset).reshape(height, padded)
+        # 24-bit BMP stores BGR; take R (offset 2) so "first channel"
+        # means the same channel as PNG's channel 0 across formats
+        rows = arr[:, : width * 3].reshape(height, width, 3)[..., 2]
+        if height_raw > 0:  # positive height = bottom-up storage
+            rows = rows[::-1]
+        return rows.tolist()
+    if bpp == 8 and compression in (0, 1):
+        if len(payload) < 54:  # through biClrUsed + palette start
+            return None
+        # palette: BGRA quads right after the info header; take the R
+        # channel (offset 2), same first-channel convention
+        pal_off = 14 + info_size
+        (n_colors,) = struct.unpack_from("<I", payload, 46)
+        n_colors = n_colors or 256
+        if len(payload) < pal_off + 4 * n_colors:
+            return None
+        pal = [payload[pal_off + 4 * i + 2] for i in range(n_colors)]
+        if compression == 0:
+            padded = (width + 3) & ~3
+            if len(payload) < data_offset + padded * height:
+                return None
+            arr = np.frombuffer(payload, np.uint8, padded * height, data_offset).reshape(
+                height, padded
+            )[:, :width]
+            if (arr >= n_colors).any():
+                return None
+            lut = np.asarray(pal, dtype=np.uint8)
+            rows = lut[arr]
+            if height_raw > 0:
+                rows = rows[::-1]
+            return rows.tolist()
+        # BI_RLE8: (count, index) repeat pairs; escape 0 + {0: end of
+        # line, 1: end of bitmap, 2: delta (skipped pixels keep the
+        # fill value 0), n>=3: literal run, word-aligned}. Always
+        # bottom-up per spec (negative height is invalid for RLE).
+        if height_raw < 0:
+            return None
+        grid = [[0] * width for _ in range(height)]
+        x, y = 0, 0  # y counts from the BOTTOM row
+        pos = data_offset
+        while pos + 1 < len(payload):
+            n, b = payload[pos], payload[pos + 1]
+            pos += 2
+            if n:
+                if x + n > width or y >= height:
+                    return None
+                row = grid[height - 1 - y]
+                if b >= n_colors:
+                    return None
+                v = pal[b]
+                for i in range(n):
+                    row[x + i] = v
+                x += n
+            elif b == 0:  # end of line
+                x, y = 0, y + 1
+            elif b == 1:  # end of bitmap
+                return grid
+            elif b == 2:  # delta
+                if pos + 2 > len(payload):
+                    return None
+                x += payload[pos]
+                y += payload[pos + 1]
+                pos += 2
+                if x > width or y > height:
+                    return None
+            else:  # literal run of b indices, word-aligned
+                if pos + b > len(payload) or x + b > width or y >= height:
+                    return None
+                row = grid[height - 1 - y]
+                for i in range(b):
+                    idx = payload[pos + i]
+                    if idx >= n_colors:
+                        return None
+                    row[x + i] = pal[idx]
+                x += b
+                pos += b + (b & 1)
+        return None  # ran out of data before the end-of-bitmap escape
+    return None
 
 
 _ADAM7 = [
@@ -644,6 +722,53 @@ def build_bmp(width: int, height: int, seed: Optional[int] = None) -> bytes:
     if seed is None:
         return header + info + b"\x00" * pixel_bytes
     return header + info + _bgr_pixel_array(_luma_grid(seed, width, height), padded)
+
+
+def build_bmp_rle8(width: int, height: int, seed: Optional[int] = None) -> bytes:
+    """Valid 8-bit RLE8-compressed BMP with a grayscale palette (index
+    i -> (i,i,i)); pixel (x, y) carries ``synthetic_luma`` when
+    ``seed`` is given. Encoding alternates repeat pairs and literal
+    runs so the decoder's both paths are exercised."""
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    grid = _luma_grid(seed, width, height) if seed is not None else None
+    data = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = [int(grid[y][x]) if grid is not None else 0 for x in range(width)]
+        x = 0
+        while x < width:
+            # repeat pair for runs of equal values, literal run otherwise
+            run = 1
+            while x + run < width and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 2 or width - x == 1:
+                data += bytes((run, row[x]))
+                x += run
+            else:
+                lit = 0
+                while (
+                    x + lit < width
+                    and lit < 255
+                    and (x + lit + 1 >= width or row[x + lit + 1] != row[x + lit])
+                ):
+                    lit += 1
+                lit = max(lit, 3) if x + 3 <= width else lit
+                if lit >= 3:
+                    data += bytes((0, lit)) + bytes(row[x : x + lit])
+                    if lit & 1:
+                        data += b"\x00"
+                    x += lit
+                else:
+                    for i in range(lit):
+                        data += bytes((1, row[x + i]))
+                    x += lit
+        data += b"\x00\x00"  # end of line
+    data += b"\x00\x01"  # end of bitmap
+    data_offset = 54 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", data_offset + len(data), 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(data), 2835, 2835, 256, 0
+    )
+    return header + info + palette + bytes(data)
 
 
 def build_png(

@@ -4,8 +4,10 @@ Synthesizes valid container files whose header metadata is closed-form
 in ``doc_id``, so the ``media_decode`` query has an exact DuckDB
 oracle:
 
-* ``doc_id % 3 == 0`` -> BMP (or real-LZW GIF when ``doc_id % 6 == 3``,
-                         interlaced at ``doc_id % 12 == 9``),
+* ``doc_id % 3 == 0`` -> BMP (RLE8-compressed palette at
+                         ``doc_id % 12 == 6``; real-LZW GIF when
+                         ``doc_id % 6 == 3``, interlaced at
+                         ``doc_id % 12 == 9``),
                          width = 1 + doc_id % 64, height = 1 + doc_id % 48
 * ``doc_id % 3 == 1`` -> PNG (Adam7-interlaced at ``doc_id % 12 == 7``),
                          or JPEG when ``doc_id % 6 == 4``
@@ -47,7 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..kernel.jpeg import build_jpeg
-from ..kernel.media import build_avi, build_bmp, build_gif, build_png, build_wav
+from ..kernel.media import build_avi, build_bmp, build_bmp_rle8, build_gif, build_png, build_wav
 from ..operators.multimodal import MEDIA_SCHEMA
 
 
@@ -76,6 +78,8 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "image",
                     "image/gif",
                 )
+            elif sel == 0 and doc_id % 12 == 6:
+                payload, kind, mime = build_bmp_rle8(width, height, seed=doc_id), "image", "image/bmp"
             elif sel == 0:
                 payload, kind, mime = build_bmp(width, height, seed=doc_id), "image", "image/bmp"
             elif sel == 1 and doc_id % 6 == 4:

@@ -1126,3 +1126,27 @@ def test_gif_partial_screen_frame_composes_onto_background():
     full = build_gif(12, 10, seed=5)
     truncated = full[: len(full) // 2] + b"\x00\x3b"
     assert decode_image_luma(truncated) is None
+
+
+def test_bmp_rle8_and_palette_decode():
+    """Compressed BMP (round 5, previously refused): BI_RLE8 with a
+    palette decodes exactly — repeat pairs, literal runs (word-
+    aligned), end-of-line/bitmap escapes, bottom-up rows; malformed
+    streams (overflowing runs, missing EOF escape, out-of-palette
+    indices) are refused."""
+    import struct
+
+    from fundus_spark.kernel.media import build_bmp_rle8, decode_image_luma, synthetic_luma
+
+    for w, h in ((1, 1), (5, 4), (17, 9), (64, 48)):
+        want = [[synthetic_luma(9, x, y) for x in range(w)] for y in range(h)]
+        assert decode_image_luma(build_bmp_rle8(w, h, seed=9)) == want, (w, h)
+
+    good = build_bmp_rle8(8, 4, seed=3)
+    # truncate before the end-of-bitmap escape -> refused
+    assert decode_image_luma(good[:-2]) is None
+    # corrupt a run count so a row overflows -> refused
+    bad = bytearray(good)
+    (data_offset,) = struct.unpack_from("<I", bad, 10)
+    bad[data_offset] = 255  # first repeat count > width
+    assert decode_image_luma(bytes(bad)) is None
