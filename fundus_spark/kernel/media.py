@@ -198,8 +198,10 @@ def decode_image_luma(payload: bytes) -> Optional[List[List[int]]]:
     compose onto the background color), and both baseline sequential
     AND progressive JPEG (from-scratch Huffman + dequant + IDCT incl.
     spectral selection / successive approximation, :mod:`.jpeg`).
-    Returns None for compressed BMP variants, arithmetic-coded/12-bit
-    JPEG, and dimensions over MAX_DECODE_PIXELS."""
+    24-bit/8-bit-palette/RLE8 BMP all decode (see
+    :func:`_decode_bmp_luma`). Returns None for RLE4/bitfields BMP,
+    arithmetic-coded/12-bit JPEG, and dimensions over
+    MAX_DECODE_PIXELS."""
     header = parse_media_header(payload)
     if header is None or header.width is None:
         return None
@@ -277,7 +279,11 @@ def _decode_bmp_luma(payload: bytes) -> Optional[List[List[int]]]:
         # bottom-up per spec (negative height is invalid for RLE).
         if height_raw < 0:
             return None
-        grid = [[0] * width for _ in range(height)]
+        # delta/EOL-skipped pixels are INDEX 0 per the GDI convention,
+        # which maps through the palette — not raw luma 0 (review
+        # finding: diverged on non-black-first palettes)
+        fill = pal[0] if n_colors else 0
+        grid = [[fill] * width for _ in range(height)]
         x, y = 0, 0  # y counts from the BOTTOM row
         pos = data_offset
         while pos + 1 < len(payload):
@@ -585,9 +591,10 @@ def _decode_gif_luma(payload: bytes) -> Optional[List[List[int]]]:
             img_x, img_y, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
             iflags = payload[pos + 9]
             pos += 10
-            # the frame must FIT inside the logical screen; anything
-            # else is malformed (refused, not clipped)
-            if img_x + w > screen_w or img_y + h > screen_h:
+            # the frame must FIT inside the logical screen and be
+            # non-empty; anything else is malformed (refused, not
+            # clipped or fabricated-as-background — review finding)
+            if w == 0 or h == 0 or img_x + w > screen_w or img_y + h > screen_h:
                 return None
             if not screen_w or not screen_h or screen_w * screen_h > MAX_DECODE_PIXELS:
                 return None

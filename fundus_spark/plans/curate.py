@@ -207,7 +207,15 @@ def curate_increment(
     )
     deduped = gated.join(keep_ids, id_col, "left_semi")
     if frozen_fps is None:
-        frozen_fps = exact_dedup(frozen_docs, text_col=text_col, id_col=id_col).select("fp")
+        # materialize the default-constructed relation ONCE: the guard
+        # count below plus the left_anti join would otherwise each run
+        # the frozen-corpus exact-dedup job (review finding — the
+        # dominant frozen-side cost doubled per streaming trigger)
+        frozen_fps = (
+            exact_dedup(frozen_docs, text_col=text_col, id_col=id_col)
+            .select("fp")
+            .localCheckpoint(eager=True)
+        )
     # The frozen fingerprint relation is one md5 row PER FROZEN DOC —
     # at the 100 TB append-only shape that is billions of rows, so a
     # forced broadcast would OOM the driver. Broadcast only under the

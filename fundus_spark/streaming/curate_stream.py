@@ -12,7 +12,7 @@ corpus grew). ``foreachBatch`` is Spark's sanctioned shape for exactly
 this: the micro-batch is a plain DataFrame, the corpus is re-read from
 the lake each trigger, and the append is transactional-equivalent per
 batch even on plain parquet: each trigger's survivors are written to a
-staged path and atomically RENAMED to ``corpus/batch-<batch_id>``, and
+staged path and atomically RENAMED to ``corpus/batch-<stream>-<id>``, and
 a re-delivered trigger (crash between corpus commit and checkpoint
 commit) excludes its OWN batch directory from the frozen side,
 recomputes deterministically, and replaces the directory — so no
@@ -43,7 +43,7 @@ CORPUS_SCHEMA = "doc_id long, source string, text string"
 
 
 def _corpus_parts(
-    spark: SparkSession, corpus_path: str, exclude_batch: Optional[int] = None
+    spark: SparkSession, corpus_path: str, exclude_batch: Optional[str] = None
 ) -> Optional[list]:
     """Top-level corpus members as explicit paths: per-batch ``batch-N``
     directories (streaming commits) plus any flat parquet files (direct
@@ -64,7 +64,7 @@ def _corpus_parts(
         if name.startswith(("_", ".")):
             continue  # _staging, _SUCCESS, hidden markers
         if exclude_batch is not None and name == f"batch-{exclude_batch}":
-            continue
+            continue  # exclude_batch is the full "<stream>-<id>" tag
         parts.append(status.getPath().toString())
     return parts
 
@@ -81,7 +81,7 @@ def read_corpus(spark: SparkSession, corpus_path: str) -> Optional[DataFrame]:
 
 
 def _read_corpus(
-    spark: SparkSession, corpus_path: str, exclude_batch: Optional[int] = None
+    spark: SparkSession, corpus_path: str, exclude_batch: Optional[str] = None
 ) -> Optional[DataFrame]:
     """None iff the corpus does not exist yet (first trigger). The
     catch is NARROW — PATH_NOT_FOUND only, checked by error condition —
@@ -108,12 +108,45 @@ def _read_corpus(
         raise
 
 
+def _stream_id(spark: SparkSession, checkpoint_path: str) -> str:
+    """Stable per-checkpoint stream identity: a random marker persisted
+    INSIDE the checkpoint directory. A restart of the same checkpoint
+    reads the same id (so a re-delivered trigger replaces its own
+    batch directory); a fresh checkpoint mints a new id (so its batch
+    ids can never clobber a previous stream's committed directories in
+    a shared corpus)."""
+    import uuid
+
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_path}/_curation_stream_id")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            data = bytearray()
+            b = stream.read()
+            while b >= 0 and len(data) < 64:
+                data.append(b)
+                b = stream.read()
+            return bytes(data).decode("ascii")
+        finally:
+            stream.close()
+    sid = uuid.uuid4().hex[:12]
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(sid.encode("ascii")))
+    finally:
+        out.close()
+    return sid
+
+
 def curate_batch_into_corpus(
     spark: SparkSession,
     batch: DataFrame,
     corpus_path: str,
     benchmark: Optional[DataFrame] = None,
     batch_id: Optional[int] = None,
+    stream_id: Optional[str] = None,
     **curate_kwargs,
 ) -> int:
     """Curate one batch of new documents against the corpus at
@@ -122,17 +155,31 @@ def curate_batch_into_corpus(
 
     With ``batch_id`` (the streaming path) the commit is
     transactional-equivalent on plain parquet: survivors are written to
-    ``corpus/_staging/batch-<id>`` and atomically renamed to
-    ``corpus/batch-<id>``, and the frozen side EXCLUDES the batch's own
-    directory — so a re-delivered trigger (crash after the rename but
-    before the stream checkpoint commit) deterministically recomputes
-    the same survivors against the same frozen side and replaces its
-    own directory instead of appending duplicates. Without ``batch_id``
-    (direct calls) the survivors append as flat files; re-running the
-    SAME batch twice then appends nothing because the first run's
-    survivors are in the frozen side and the exact-fingerprint stage
-    drops them."""
-    frozen = _read_corpus(spark, corpus_path, exclude_batch=batch_id)
+    ``corpus/_staging/batch-<tag>`` and atomically renamed to
+    ``corpus/batch-<tag>``, and the frozen side EXCLUDES the batch's
+    own directory — so a re-delivered trigger (crash after the rename
+    but before the stream checkpoint commit) deterministically
+    recomputes the same survivors against the same frozen side and
+    replaces its own directory instead of appending duplicates.
+
+    ``<tag>`` is ``<stream_id>-<batch_id>``: replace-on-redelivery is
+    only safe while batch ids are unique per corpus, and Spark batch
+    ids restart from 0 with every FRESH checkpoint — without the
+    namespace, a pipeline restarted on a new checkpoint path against
+    the same corpus would silently REPLACE (delete) the old stream's
+    committed batch 0 (review finding). :func:`continuous_curation`
+    derives a stable ``stream_id`` from a marker persisted inside the
+    checkpoint directory, so redelivery within one checkpoint matches
+    its own directory and a fresh checkpoint can never clobber a
+    previous stream's commits. Direct callers may pass their own
+    namespace or accept the "direct" default.
+
+    Without ``batch_id`` (direct calls) the survivors append as flat
+    files; re-running the SAME batch twice then appends nothing
+    because the first run's survivors are in the frozen side and the
+    exact-fingerprint stage drops them."""
+    tag = None if batch_id is None else f"{stream_id or 'direct'}-{batch_id}"
+    frozen = _read_corpus(spark, corpus_path, exclude_batch=tag)
     if frozen is None:
         frozen = spark.createDataFrame([], CORPUS_SCHEMA)
     curated = curate_increment(batch, frozen, benchmark=benchmark, **curate_kwargs)
@@ -148,9 +195,9 @@ def curate_batch_into_corpus(
     jvm = spark._jvm
     fs_path = jvm.org.apache.hadoop.fs.Path(corpus_path)
     fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    final = jvm.org.apache.hadoop.fs.Path(f"{corpus_path}/batch-{batch_id}")
+    final = jvm.org.apache.hadoop.fs.Path(f"{corpus_path}/batch-{tag}")
     if n:
-        staged = f"{corpus_path}/_staging/batch-{batch_id}"
+        staged = f"{corpus_path}/_staging/batch-{tag}"
         out.coalesce(max(1, min(out.rdd.getNumPartitions(), 32))).write.mode(
             "overwrite"
         ).parquet(staged)
@@ -161,7 +208,7 @@ def curate_batch_into_corpus(
         if fs.exists(final):
             fs.delete(final, True)
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(staged), final):
-            raise IOError(f"atomic commit rename failed for batch {batch_id}")
+            raise IOError(f"atomic commit rename failed for batch {tag}")
     elif fs.exists(final):
         # recompute says this batch contributes nothing — clear the
         # partial/stale directory a crashed attempt may have left
@@ -201,6 +248,7 @@ def continuous_curation(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_path)
     )
+    stream_id = _stream_id(spark, checkpoint_path)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         curate_batch_into_corpus(
@@ -209,6 +257,7 @@ def continuous_curation(
             corpus_path,
             benchmark=benchmark,
             batch_id=batch_id,
+            stream_id=stream_id,
             **curate_kwargs,
         )
 

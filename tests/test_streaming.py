@@ -277,8 +277,10 @@ def test_curation_commit_is_exactly_once_under_redelivery(spark, tmp_path):
     # no _SUCCESS): the re-run replaces it wholesale
     import os
 
-    os.makedirs(os.path.join(corpus, "batch-2"), exist_ok=True)
-    with open(os.path.join(corpus, "batch-2", "part-junk.parquet.tmp"), "wb") as fh:
+    # crashed attempts live under the stream's own namespace (the
+    # direct-call default is "direct")
+    os.makedirs(os.path.join(corpus, "batch-direct-2"), exist_ok=True)
+    with open(os.path.join(corpus, "batch-direct-2", "part-junk.parquet.tmp"), "wb") as fh:
         fh.write(b"not parquet")
     b2 = spark.createDataFrame(
         [(3, "s", " ".join("aaa%d bbb%d ccc%d" % (j, j, j) for j in range(12)))], schema
@@ -286,7 +288,7 @@ def test_curation_commit_is_exactly_once_under_redelivery(spark, tmp_path):
     assert curate_batch_into_corpus(spark, b2, corpus, batch_id=2) == 1
     rows = read_corpus(spark, corpus).collect()
     assert sorted(r.doc_id for r in rows) == [1, 2, 3]
-    assert not os.path.exists(os.path.join(corpus, "batch-2", "part-junk.parquet.tmp"))
+    assert not os.path.exists(os.path.join(corpus, "batch-direct-2", "part-junk.parquet.tmp"))
 
     # a redelivered batch whose docs are all exact dups of the FROZEN
     # side (not its own prior attempt) commits nothing and clears any
@@ -329,3 +331,42 @@ def test_continuous_curation_processing_time_trigger(spark, tmp_path):
         assert got == {7}
     finally:
         query.stop()
+
+
+def test_fresh_checkpoint_never_clobbers_prior_stream_commits(spark, tmp_path):
+    """Review finding: Spark batch ids restart from 0 on a FRESH
+    checkpoint, so without a per-stream namespace a restarted pipeline
+    would silently REPLACE the old stream's batch-0 directory. The
+    stream id minted inside each checkpoint keeps the directories
+    disjoint: the new stream's batch 0 dedups against (not deletes)
+    the old stream's commits."""
+    from fundus_spark.streaming import curate_batch_into_corpus, read_corpus
+    from fundus_spark.streaming.curate_stream import _stream_id
+
+    schema = "doc_id long, source string, text string"
+    base = " ".join("one%d two%d three%d" % (j, j, j) for j in range(12))
+    fresh = " ".join("four%d five%d six%d" % (j, j, j) for j in range(12))
+    corpus = str(tmp_path / "corpus")
+
+    sid1 = _stream_id(spark, str(tmp_path / "ckpt1"))
+    assert curate_batch_into_corpus(
+        spark, spark.createDataFrame([(1, "s", base)], schema), corpus,
+        batch_id=0, stream_id=sid1,
+    ) == 1
+
+    # new pipeline, new checkpoint -> new stream id, batch ids restart at 0
+    sid2 = _stream_id(spark, str(tmp_path / "ckpt2"))
+    assert sid2 != sid1
+    assert curate_batch_into_corpus(
+        spark, spark.createDataFrame([(2, "s", fresh)], schema), corpus,
+        batch_id=0, stream_id=sid2,
+    ) == 1
+    # doc 1 survived the second stream's batch 0; exact re-appends dedup
+    assert curate_batch_into_corpus(
+        spark, spark.createDataFrame([(3, "s", base)], schema), corpus,
+        batch_id=1, stream_id=sid2,
+    ) == 0
+    assert sorted(r.doc_id for r in read_corpus(spark, corpus).collect()) == [1, 2]
+
+    # restarting checkpoint 1 reads the SAME id back (redelivery safety)
+    assert _stream_id(spark, str(tmp_path / "ckpt1")) == sid1
