@@ -434,6 +434,7 @@ def incremental_assign(
     hash_mode: str = "md5",
     frozen_bands: Optional[DataFrame] = None,
     broadcast_max_rows: int = 10_000_000,
+    bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """Append-only incremental near-dup assignment: cluster a NEW batch
     of documents against a FROZEN, already-deduplicated corpus without
@@ -513,7 +514,8 @@ def incremental_assign(
 
     # phase 2: new-new pairs -> components -> min seed per component
     cand_nn = lsh_candidate_pairs(
-        new_docs, text_col, id_col, n_perm, bands, k, hash_mode, shingles=new_sh
+        new_docs, text_col, id_col, n_perm, bands, k, hash_mode, shingles=new_sh,
+        bucket_cap=bucket_cap,
     )
     pairs_nn = ngram_jaccard_pairs(
         new_docs, text_col, id_col, k, threshold, candidates=cand_nn, shingles=new_sh

@@ -61,6 +61,7 @@ def curate_corpus(
     shingle_k: int = 4,
     materialize_stages: bool = True,
     hash_mode: str = "md5",
+    lsh_bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """Returns the training-ready corpus: quality-gated, exact- and
     near-dup-deduplicated, decontaminated against ``benchmark`` (if
@@ -70,6 +71,11 @@ def curate_corpus(
     ``hash_mode="xxhash64"`` swaps the LSH shingle hash for the ~3-4x
     cheaper native hash at 100 TB (md5 default keeps the DuckDB oracle
     exact — same twin-mode contract as the minhash operators).
+    ``lsh_bucket_cap`` bounds the band join's per-bucket quadratic
+    term against near-identical template floods (star pairs above the
+    cap — see :func:`operators.dedup.lsh_candidate_pairs`); the
+    upstream exact-dedup and trivial-doc gates already collapse exact
+    floods, so the default leaves it off.
 
     Incremental contract: the quality gate, exact dedup, split, and
     packing decisions are pure per-row functions of (row, parameters),
@@ -114,7 +120,7 @@ def curate_corpus(
         shingles = shingles.localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
         deduped, text_col=text_col, id_col=id_col, n_perm=lsh_perm, bands=lsh_bands,
-        k=shingle_k, shingles=shingles, hash_mode=hash_mode,
+        k=shingle_k, shingles=shingles, hash_mode=hash_mode, bucket_cap=lsh_bucket_cap,
     )
     pairs = ngram_jaccard_pairs(
         deduped, text_col=text_col, id_col=id_col, k=shingle_k,
@@ -162,6 +168,7 @@ def curate_increment(
     frozen_bands: Optional[DataFrame] = None,
     materialize_stages: bool = True,
     broadcast_max_rows: int = 10_000_000,
+    lsh_bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """The daily-increment twin of :func:`curate_corpus`: curate a NEW
     batch against a FROZEN, already-curated corpus without touching it.
@@ -245,6 +252,7 @@ def curate_increment(
         hash_mode=hash_mode,
         frozen_bands=frozen_bands,
         broadcast_max_rows=broadcast_max_rows,
+        bucket_cap=lsh_bucket_cap,
     )
     survivors = deduped.join(
         assigned_clusters.where(F.col("survives")).select(

@@ -125,3 +125,20 @@ def test_uncapped_bucket_math_documents_the_hazard(spark):
     assert med_b <= 4, med_b  # normals: one doc per bucket
     assert max_b / med_b >= 100  # the skew ratio the mitigations remove
     assert total_pairs >= 4 * (400 * 399 // 2)
+
+
+def test_curate_chain_exposes_bucket_cap(spark):
+    """The production knob reaches the chain: curate_corpus with
+    lsh_bucket_cap still collapses a non-exact variant flood to its
+    min-id survivor (star pairs), and the uncapped result agrees on
+    this corpus (the cap only changes WHICH pairs propose, not the
+    final clusters here)."""
+    from fundus_spark.plans import curate_corpus
+
+    docs = _adversarial_corpus(spark, n_viral=0, n_empty=0, n_normal=20)
+    # with n_viral=0 the 80-member variant flood takes ids 0..79 and
+    # the 20 normals take ids 80..99
+    capped = curate_corpus(docs, jaccard_threshold=0.5, lsh_bucket_cap=8)
+    ids = sorted(r.doc_id for r in capped.collect())
+    assert ids[0] == 0 and len([i for i in ids if i < 80]) == 1
+    assert len(ids) == 1 + 20
