@@ -11,9 +11,14 @@ Two decode tiers, both REAL:
   codes, clear/end, KwKwK, 12-bit cap, interlacing), AVI
   uncompressed-DIB frame streams, 16-bit PCM WAV samples, and —
   round 5 — JPEG via the from-scratch baseline + progressive T.81
-  codec in :mod:`.jpeg`. Every format this repo sniffs decodes for
-  real; the only remaining stubs are MP3/H.264 (genuinely impossible
-  without codec libraries), documented in ``operators/multimodal.py``.
+  codec in :mod:`.jpeg`. Round 6 adds an MPEG audio (MP3) frame-header
+  walk — pure bit math over the 4-byte frame headers (version, layer,
+  bitrate/sample-rate indices, padding), skipping an ID3v2 prefix —
+  which yields REAL duration/bitrate/sample-rate metadata without
+  decoding any audio. Every format this repo sniffs decodes (or, for
+  MP3, measures) for real; the only remaining stubs are MP3 *audio
+  samples* and H.264 (genuinely impossible without codec libraries),
+  documented in ``operators/multimodal.py``.
 """
 
 from __future__ import annotations
@@ -75,7 +80,81 @@ def parse_media_header(payload: bytes) -> Optional[MediaHeader]:
         if dims is not None:
             return MediaHeader("jpeg", width=dims[0], height=dims[1])
         return None
+    if payload[:3] == b"ID3" or (payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0):
+        # JPEG is dispatched above (\xff\xd8 has the 0xD8 & 0xE0 == 0xC0
+        # second byte, which never matches the MPEG sync's 0xE0), so a
+        # leading 11-bit sync run — or an ID3v2 tag — means MPEG audio
+        return _parse_mp3(payload)
     return None
+
+
+# MPEG audio frame-header tables (ISO/IEC 11172-3 / 13818-3). Layer III
+# only — the .mp3 container. Index 0 is "free format" and 15 is invalid;
+# both stop the walk.
+_MP3_BITRATES_V1_L3 = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2_L3 = (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _parse_mp3(payload: bytes) -> Optional[MediaHeader]:
+    """MPEG-1/2/2.5 Layer III frame-header walk: duration, bitrate,
+    sample rate, and channel count WITHOUT decoding audio — each 4-byte
+    header fixes its own frame length, so the walk is an O(n_frames)
+    skip over pure bit math (reference parity: fundus has no audio
+    path at all; this serves the training-pipeline media profiler).
+    Accepts an ID3v2 prefix; stops at the first non-frame byte;
+    requires >= 1 valid frame. VBR-safe: per-frame samples/rate
+    accumulate independently."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # ID3v2 size is a 28-bit syncsafe integer (7 bits per byte)
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                return None
+            size = (size << 7) | b
+        pos = 10 + size
+    n_frames = 0
+    duration = 0.0  # seconds, per-frame samples/rate accumulated
+    first_rate = first_bitrate = channels = None
+    while pos + 4 <= len(payload) and n_frames < 1_000_000:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or b1 & 0xE0 != 0xE0:
+            break
+        version = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer = (b1 >> 1) & 3  # 1=Layer III
+        if version == 1 or layer != 1:
+            break
+        bitrate_idx = b2 >> 4
+        rate_idx = (b2 >> 2) & 3
+        if bitrate_idx in (0, 15) or rate_idx == 3:
+            break
+        padding = (b2 >> 1) & 1
+        rate = _MP3_RATES[version][rate_idx]
+        if version == 3:
+            bitrate = _MP3_BITRATES_V1_L3[bitrate_idx] * 1000
+            samples, coef = 1152, 144
+        else:
+            bitrate = _MP3_BITRATES_V2_L3[bitrate_idx] * 1000
+            samples, coef = 576, 72
+        frame_len = coef * bitrate // rate + padding
+        if frame_len <= 4 or pos + frame_len > len(payload):
+            break
+        if n_frames == 0:
+            first_rate, first_bitrate = rate, bitrate
+            channels = 1 if (b3 >> 6) == 3 else 2
+        n_frames += 1
+        duration += samples / rate
+        pos += frame_len
+    if n_frames == 0:
+        return None
+    return MediaHeader(
+        "mp3",
+        duration_ms=round(duration * 1000),
+        sample_rate=first_rate,
+        n_channels=channels,
+        n_frames=n_frames,
+    )
 
 
 def _riff_chunks(buf: bytes, pos: int, end: int):
@@ -899,3 +978,42 @@ def build_wav(n_samples: int, rate: int = 8000, channels: int = 1, seed: Optiona
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_mp3(
+    n_frames: int,
+    version: int = 1,
+    rate: int = 32000,
+    bitrate: int = 64000,
+    seed: Optional[int] = None,
+    id3: bool = False,
+) -> bytes:
+    """Valid MPEG Layer III stream: ``n_frames`` frames with real
+    headers (version 1 = MPEG-1 @ 1152 samples/frame, 2 = MPEG-2 @
+    576) and deterministic seed-derived payload bytes (the header walk
+    never reads them — they stand in for Huffman-coded audio). The
+    padding bit alternates by frame index so the walker's
+    variable-frame-length path is exercised. With ``id3`` a 32-byte
+    ID3v2.4 tag prefixes the stream. duration_ms parses back to
+    ``round(n_frames * samples * 1000 / rate)`` — closed form for the
+    DuckDB oracle."""
+    ver_bits, table, samples, coef = (
+        (3, _MP3_BITRATES_V1_L3, 1152, 144) if version == 1 else (2, _MP3_BITRATES_V2_L3, 576, 72)
+    )
+    bitrate_idx = table.index(bitrate // 1000)
+    rate_idx = _MP3_RATES[ver_bits].index(rate)
+    out = bytearray()
+    if id3:
+        pad = 22  # tag body: 32 total - 10 header
+        out += b"ID3\x04\x00\x00" + bytes((0, 0, 0, pad)) + b"\x00" * pad
+    for i in range(n_frames):
+        padding = i & 1
+        frame_len = coef * bitrate // rate + padding
+        b1 = 0xE0 | (ver_bits << 3) | (1 << 1) | 1  # layer III, no CRC
+        b2 = (bitrate_idx << 4) | (rate_idx << 2) | (padding << 1)
+        b3 = 0xC0  # single-channel mode
+        out += bytes((0xFF, b1, b2, b3))
+        body = frame_len - 4
+        s = seed or 0
+        out += bytes(((s * 31 + i * 11 + j * 17) % 256) for j in range(body))
+    return bytes(out)

@@ -23,12 +23,15 @@ Decode status (all via the pure-Python/stdlib kernel in
   BMP pixel-array layout): ``media_frame_sample`` emits the summed
   luma of the ACTUAL decoded frame covering each schedule point,
   exactly oracle-gated; compressed fourccs return NULL;
-* the remaining stubs are MP3/H.264 and compressed AVI fourccs
-  only — those yield NULL pixel/sample stats;
-  ``media_features`` falls back to a deterministic digest-derived
-  fake for unrecognized containers (documented below). Swap those
-  paths for Pillow/torchaudio/PyAV on a deployment with codec
-  libraries.
+* the remaining stubs are H.264 and compressed AVI fourccs only —
+  those yield NULL pixel/sample stats (MP3 gained a real frame-header
+  walk in round 6: duration/bitrate/sample-rate without audio
+  decode); ``media_features`` reports unrecognized containers
+  HONESTLY — NULL dimensions plus ``decoded = false`` — rather than
+  fabricating plausible values (round-5 verdict: a digest-derived
+  fake width is indistinguishable from a real one downstream, which
+  poisons corpus statistics). Swap the NULL paths for
+  Pillow/torchaudio/PyAV on a deployment with codec libraries.
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -68,18 +72,12 @@ FEATURE_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("duration_ms", LongType()),
         StructField("feature_dim", IntegerType()),
+        # True iff a real header parser recognized the container; when
+        # False every decode-derived field is NULL by contract — never
+        # a fabricated stand-in a stats pipeline could mistake for data
+        StructField("decoded", BooleanType()),
     ]
 )
-
-
-def _fake_decode(payload: bytes):
-    """Deterministic fake decode for formats without a header parser:
-    digest-derived dimensions. Keeps the pipeline end-to-end testable
-    without codecs; swap for Pillow/torchaudio/PyAV on deployment."""
-    digest = hashlib.md5(payload).hexdigest()
-    width = 64 + int(digest[:4], 16) % 1920
-    height = 64 + int(digest[4:8], 16) % 1080
-    return width, height
 
 
 def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -94,9 +92,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if header is not None:
                 fmt, width, height, duration = header.format, header.width, header.height, header.duration_ms
             else:
-                fmt = None
-                width, height = _fake_decode(payload)
-                duration = None
+                # honest NULLs for unrecognized containers (round-6
+                # change; previously digest-derived fake dimensions)
+                fmt = width = height = duration = None
             out["media_id"].append(row.media_id)
             out["kind"].append(row.kind)
             out["n_bytes"].append(len(payload))
@@ -106,6 +104,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["height"].append(height)
             out["duration_ms"].append(duration)
             out["feature_dim"].append(64)
+            out["decoded"].append(header is not None)
         yield pd.DataFrame(out)
 
 

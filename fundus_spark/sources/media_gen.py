@@ -21,6 +21,15 @@ oracle:
 * ``doc_id % 3 == 2`` and ``doc_id % 6 == 5`` -> AVI video,
                          n_frames = 3 + doc_id % 5 @ 25 fps (40 ms/frame),
                          same dimension formulas -> duration_ms = 40 * n_frames
+* ``doc_id % 12 == 8`` -> MP3 (round 6), n_frames = 3 + doc_id % 5:
+                         MPEG-1 Layer III @ 32 kHz / 64 kbps when
+                         ``doc_id % 24 == 8`` (1152 samples/frame ->
+                         36 ms/frame), MPEG-2 @ 24 kHz / 48 kbps with
+                         an ID3v2 prefix when ``doc_id % 24 == 20``
+                         (576 samples/frame -> 24 ms/frame); the
+                         frame-header walk yields the duration without
+                         decoding audio, so duration_ms =
+                         n_frames * (36 | 24) exactly
 * ``doc_id % 3 == 2`` otherwise -> WAV, n_samples = 1000 + (doc_id % 5) * 400
                          @ 8 kHz mono -> duration_ms = round(n_samples / 8)
 
@@ -49,7 +58,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..kernel.jpeg import build_jpeg
-from ..kernel.media import build_avi, build_bmp, build_bmp_rle8, build_gif, build_png, build_wav
+from ..kernel.media import (
+    build_avi,
+    build_bmp,
+    build_bmp_rle8,
+    build_gif,
+    build_mp3,
+    build_png,
+    build_wav,
+)
 from ..operators.multimodal import MEDIA_SCHEMA
 
 
@@ -108,6 +125,19 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     build_avi(width, height, media_frames(doc_id), seed=doc_id),
                     "video",
                     "video/avi",
+                )
+            elif doc_id % 12 == 8:
+                payload, kind, mime = (
+                    build_mp3(
+                        media_frames(doc_id),
+                        version=1 if doc_id % 24 == 8 else 2,
+                        rate=32000 if doc_id % 24 == 8 else 24000,
+                        bitrate=64000 if doc_id % 24 == 8 else 48000,
+                        seed=doc_id,
+                        id3=doc_id % 24 == 20,
+                    ),
+                    "audio",
+                    "audio/mpeg",
                 )
             else:
                 payload, kind, mime = build_wav(media_samples(doc_id), seed=doc_id), "audio", "audio/wav"

@@ -556,6 +556,66 @@ def test_media_header_roundtrip():
     assert parse_media_header(b"") is None
 
 
+def test_mp3_frame_header_walk():
+    """MPEG audio frame-header walk (round 6, kernel/media.py): real
+    duration/bitrate/sample-rate from pure bit math over the 4-byte
+    frame headers — no audio decode. Covers MPEG-1 (1152 samples/frame)
+    and MPEG-2 (576), the alternating padding bit (variable frame
+    length), an ID3v2 prefix, a non-integer-ms rate (44.1 kHz), VBR
+    accumulation across bitrate changes, and the refusal paths."""
+    from fundus_spark.kernel.media import build_mp3, parse_media_header
+
+    # MPEG-1 Layer III @ 32 kHz: 1152/32000 = exactly 36 ms per frame
+    h = parse_media_header(build_mp3(5, version=1, rate=32000, bitrate=64000, seed=9))
+    assert (h.format, h.duration_ms, h.sample_rate, h.n_frames, h.n_channels) == ("mp3", 180, 32000, 5, 1)
+    # MPEG-2 @ 24 kHz with ID3v2 prefix: 576/24000 = exactly 24 ms
+    h = parse_media_header(build_mp3(4, version=2, rate=24000, bitrate=48000, seed=9, id3=True))
+    assert (h.format, h.duration_ms, h.sample_rate, h.n_frames) == ("mp3", 96, 24000, 4)
+    # 44.1 kHz is not integer-ms per frame: 3 * 1152000/44100 = 78.37 -> 78
+    h = parse_media_header(build_mp3(3, version=1, rate=44100, bitrate=128000))
+    assert (h.duration_ms, h.sample_rate) == (78, 44100)
+    # VBR: the walk accumulates per-frame samples/rate across a bitrate
+    # change mid-stream (two concatenated CBR runs)
+    vbr = build_mp3(2, rate=32000, bitrate=64000) + build_mp3(3, rate=32000, bitrate=96000)
+    h = parse_media_header(vbr)
+    assert (h.n_frames, h.duration_ms) == (5, 180)
+    # refusals: free-format bitrate index, reserved version bits, a
+    # syncsafe-violating ID3 size, and a truncated final frame
+    assert parse_media_header(b"\xff\xfb\x00\xc0" + b"\x00" * 20) is None
+    assert parse_media_header(b"\xff\xeb\x90\xc0" + b"\x00" * 20) is None
+    assert parse_media_header(b"ID3\x04\x00\x00\x00\x00\x00\xff" + b"\x00" * 20) is None
+    whole = build_mp3(1, version=1, rate=32000, bitrate=64000)
+    assert parse_media_header(whole[:-1] + b"") is None  # frame cut short
+
+
+def test_media_features_unknown_container_is_honest_null():
+    """Round-6 contract (round-5 verdict #6): an unrecognized container
+    yields NULL format/width/height/duration and decoded=False — never
+    the old digest-derived fake dimensions a stats pipeline could
+    mistake for real data."""
+    import pandas as pd
+
+    from fundus_spark.kernel.media import build_bmp
+    from fundus_spark.operators.multimodal import _extract_batches
+
+    batch = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "kind": ["image", "image"],
+            "payload": [b"definitely not a media container, long enough to sniff", build_bmp(5, 4)],
+            "mime": ["application/octet-stream", "image/bmp"],
+        }
+    )
+    (out,) = list(_extract_batches([batch]))
+    unknown = out[out.media_id == 1].iloc[0]
+    assert not unknown.decoded
+    # int columns with missing values surface as NaN in pandas; Arrow
+    # maps both None and NaN to SQL NULL
+    assert unknown.format is None and pd.isna(unknown.width) and pd.isna(unknown.height)
+    known = out[out.media_id == 2].iloc[0]
+    assert bool(known.decoded) and known.format == "bmp" and known.width == 5 and known.height == 4
+
+
 def test_robots_matcher_rfc9309():
     """RFC 9309 semantics the reference's `robots` package implements:
     longest-match precedence, allow wins ties, * and $ patterns,
