@@ -154,7 +154,7 @@ def lsh_candidate_pairs(
     k: int = 4,
     hash_mode: str = "md5",
     shingles: Optional[DataFrame] = None,
-    bucket_cap: Optional[int] = None,
+    bucket_cap: Optional[int] = 1024,
 ) -> DataFrame:
     """Distinct candidate (a, b) pairs (a < b) sharing >= 1 LSH band.
 
@@ -173,10 +173,16 @@ def lsh_candidate_pairs(
     other but NOT of the representative are missed — for a template
     flood (the actual skew source) members are near-identical to the
     representative by construction. Small buckets are untouched.
-    Default None keeps the exact behavior (the curate chain's
-    upstream exact-dedup + trivial-doc gates already collapse the
-    common skew sources; the cap is the belt-and-braces for
-    near-identical-but-not-exact floods).
+
+    DEFAULT-ON at 1024 since round 6 (round-5 verdict #4): the user
+    who hits a near-identical template flood at 100 TB is exactly the
+    one who didn't set it, the embedding twin already defaults
+    ``bucket_cap=1024`` (similarity.lsh_bucketed_topk), and the
+    skew-stress suite proves no absorption loss. Below the cap the
+    plan is pair-for-pair identical to the exact all-pairs join (the
+    window pass that measures bucket sizes rides the same (band, key)
+    shuffle the self-join needs anyway). Pass ``None`` to opt out and
+    get the uncapped exact join.
     """
     banded = band_relation(df, text_col, id_col, n_perm, bands, k, hash_mode, shingles)
     if bucket_cap is not None:
@@ -434,7 +440,7 @@ def incremental_assign(
     hash_mode: str = "md5",
     frozen_bands: Optional[DataFrame] = None,
     broadcast_max_rows: int = 10_000_000,
-    bucket_cap: Optional[int] = None,
+    bucket_cap: Optional[int] = 1024,
 ) -> DataFrame:
     """Append-only incremental near-dup assignment: cluster a NEW batch
     of documents against a FROZEN, already-deduplicated corpus without

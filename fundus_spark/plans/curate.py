@@ -43,6 +43,24 @@ from ..operators import (
 from ..operators.dedup import shingle_relation
 
 
+def _is_cheap_rescan(df: DataFrame) -> bool:
+    """True when evaluating ``df`` twice costs ~one scan: it is already
+    persisted/cached, or its optimized plan is a bare file-source read
+    (scan/project/filter only — a count on it is parquet-metadata-cheap).
+    Anything with a shuffle- or generate-class node (Aggregate, Join,
+    Window, Distinct, ...) re-runs the whole job per evaluation and
+    should be checkpointed by the caller of this predicate."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return True
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — conservatively treat as expensive
+        return False
+    expensive = ("Aggregate", "Join", "Window", "Deduplicate", "Distinct", "Generate", "Sort")
+    return not any(tok in plan for tok in expensive)
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: Optional[DataFrame] = None,
@@ -61,7 +79,7 @@ def curate_corpus(
     shingle_k: int = 4,
     materialize_stages: bool = True,
     hash_mode: str = "md5",
-    lsh_bucket_cap: Optional[int] = None,
+    lsh_bucket_cap: Optional[int] = 1024,
 ) -> DataFrame:
     """Returns the training-ready corpus: quality-gated, exact- and
     near-dup-deduplicated, decontaminated against ``benchmark`` (if
@@ -74,8 +92,10 @@ def curate_corpus(
     ``lsh_bucket_cap`` bounds the band join's per-bucket quadratic
     term against near-identical template floods (star pairs above the
     cap — see :func:`operators.dedup.lsh_candidate_pairs`); the
-    upstream exact-dedup and trivial-doc gates already collapse exact
-    floods, so the default leaves it off.
+    upstream exact-dedup and trivial-doc gates collapse exact floods,
+    and since round 6 the cap is ALSO on by default (1024) as the
+    belt-and-braces for near-identical-but-not-exact floods — pass
+    ``None`` to opt out and get the exact uncapped band join.
 
     Incremental contract: the quality gate, exact dedup, split, and
     packing decisions are pure per-row functions of (row, parameters),
@@ -168,7 +188,7 @@ def curate_increment(
     frozen_bands: Optional[DataFrame] = None,
     materialize_stages: bool = True,
     broadcast_max_rows: int = 10_000_000,
-    lsh_bucket_cap: Optional[int] = None,
+    lsh_bucket_cap: Optional[int] = 1024,
 ) -> DataFrame:
     """The daily-increment twin of :func:`curate_corpus`: curate a NEW
     batch against a FROZEN, already-curated corpus without touching it.
@@ -223,6 +243,14 @@ def curate_increment(
             .select("fp")
             .localCheckpoint(eager=True)
         )
+    elif not _is_cheap_rescan(frozen_fps):
+        # a CALLER-supplied frozen_fps gets the same protection (round-6
+        # review finding: the guard count + the left_anti join evaluated
+        # an unpersisted caller lineage twice) — but only when re-scan is
+        # actually expensive: the documented 100 TB contract is a stored
+        # parquet fp relation, whose count is metadata-only and which an
+        # eager checkpoint would pointlessly copy in full.
+        frozen_fps = frozen_fps.localCheckpoint(eager=True)
     # The frozen fingerprint relation is one md5 row PER FROZEN DOC —
     # at the 100 TB append-only shape that is billions of rows, so a
     # forced broadcast would OOM the driver. Broadcast only under the
