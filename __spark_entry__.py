@@ -1833,14 +1833,26 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
     )
-    return media_features(media).select("media_id", "kind", "n_bytes", "content_digest")
+    return media_features(media).select(
+        "media_id", "kind", "n_bytes", "content_digest", "format", "width", "height", "decoded"
+    )
 
 
+# decoded is FALSE (and format/width/height NULL) for every row: the
+# payloads here are raw UTF-8 document text, which by construction
+# never carries a container magic (BM / RIFF / GIF8 / \x89PNG /
+# \xff\xd8 — verified over the fixtures); the operator's round-6
+# contract is honest NULLs for unrecognized containers, never a
+# fabricated fake dimension.
 _MEDIA_FEATURES_SQL = """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(length(text) AS BIGINT) AS n_bytes,
-       md5(text) AS content_digest
+       md5(text) AS content_digest,
+       CAST(NULL AS VARCHAR) AS format,
+       CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height,
+       FALSE AS decoded
 FROM documents
 """
 
@@ -1855,7 +1867,9 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     media = documents_as_media(docs)
-    return media_features(media).select("media_id", "kind", "format", "width", "height", "duration_ms")
+    return media_features(media).select(
+        "media_id", "kind", "format", "width", "height", "duration_ms", "decoded"
+    )
 
 
 _MEDIA_DECODE_SQL = """
@@ -1868,11 +1882,17 @@ SELECT doc_id AS media_id,
             WHEN doc_id % 6 = 4 THEN 'jpeg'
             WHEN doc_id % 3 = 1 THEN 'png'
             WHEN doc_id % 6 = 5 THEN 'avi'
+            WHEN doc_id % 12 = 8 THEN 'mp3'
             ELSE 'wav' END AS format,
        CASE WHEN doc_id % 3 < 2 OR doc_id % 6 = 5 THEN CAST(1 + doc_id % 64 AS INTEGER) END AS width,
        CASE WHEN doc_id % 3 < 2 OR doc_id % 6 = 5 THEN CAST(1 + doc_id % 48 AS INTEGER) END AS height,
+       -- mp3 (round 6): duration from the frame-header walk, exact by
+       -- construction — (3 + doc_id%5) frames of 1152 samples @ 32 kHz
+       -- (36 ms) for MPEG-1, 576 @ 24 kHz (24 ms) for the MPEG-2 twin
        CASE WHEN doc_id % 6 = 5 THEN CAST((3 + doc_id % 5) * 40 AS BIGINT)
-            WHEN doc_id % 3 = 2 THEN CAST(125 + (doc_id % 5) * 50 AS BIGINT) END AS duration_ms
+            WHEN doc_id % 12 = 8 THEN CAST((3 + doc_id % 5) * (CASE WHEN doc_id % 24 = 8 THEN 36 ELSE 24 END) AS BIGINT)
+            WHEN doc_id % 3 = 2 THEN CAST(125 + (doc_id % 5) * 50 AS BIGINT) END AS duration_ms,
+       TRUE AS decoded
 FROM documents
 """
 
@@ -1976,7 +1996,19 @@ UNION ALL
 SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGINT) AS t_ms,
        CAST(((doc_id * 31 + (i * 50 * 8) * 17) % 65536) - 32768 AS BIGINT) AS sample_value
 FROM documents, LATERAL (SELECT unnest(generate_series(0, 2 + doc_id % 5)) AS i) t
-WHERE doc_id % 3 = 2 AND doc_id % 6 <> 5
+WHERE doc_id % 3 = 2 AND doc_id % 6 <> 5 AND doc_id % 12 <> 8
+UNION ALL
+-- mp3 (round 6): the 50 ms schedule is REAL (duration comes from the
+-- frame-header walk: nf frames * 36 ms MPEG-1 / 24 ms MPEG-2), but the
+-- sample VALUE is honestly NULL — Layer III audio decode is
+-- codec-library-bound. points = ceil(duration / 50)
+SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGINT) AS t_ms,
+       CAST(NULL AS BIGINT) AS sample_value
+FROM (
+    SELECT doc_id,
+           (3 + doc_id % 5) * (CASE WHEN doc_id % 24 = 8 THEN 36 ELSE 24 END) AS dur
+    FROM documents WHERE doc_id % 12 = 8
+), LATERAL (SELECT unnest(generate_series(0, (dur + 49) // 50 - 1)) AS i) t
 """
 
 
@@ -2082,7 +2114,9 @@ sharded AS (
     FROM rec
 )
 SELECT shard_id,
-       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY url) - 1 AS INTEGER) AS record_idx,
+       -- full (url, date, body) tie-break mirrors warc_reshard's stable
+       -- sort: URL alone is not a total order (re-fetches repeat a URL)
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY url, warc_date, html) - 1 AS INTEGER) AS record_idx,
        url, warc_date, html
 FROM sharded
 """
@@ -2224,11 +2258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "shipping_priority": _q_shipping_priority,
-        "events_daily": _q_events_daily,
         "event_sessions": _q_event_sessions,
         "exact_dedup": _q_exact_dedup,
         "minhash_xxhash": _q_minhash_xxhash,
-        "ngram_jaccard": _q_ngram_jaccard,
         "lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "simhash_neardup": _q_simhash_neardup,
         "pack_by_budget": _q_pack_by_budget,
@@ -2259,6 +2291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": _q_robots_gate,
         "warc_extract": _q_warc_extract,
         "warc_to_articles": _q_warc_to_articles,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "quantized_ann": _q_quantized_ann,
         "pdf_extract": _q_pdf_extract,
         "boilerplate_strip": _q_boilerplate_strip,
         "language_filter": _q_language_filter,
@@ -2283,16 +2317,23 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * corpus_stats            — profile stats (exact-percentile twin);
                                 ceded its canonical slot to
                                 incremental_dedup in round 4
-    * warc_roundtrip          — write half of warc_extract (round 5):
-                                records -> warc_reshard -> read back,
-                                byte-identical
-    * quantized_ann           — cosine top-k over int8-quantized
-                                embeddings (round 5): the
-                                compressed-index twin of cosine_topk
+    * ngram_jaccard           — standalone shingle-self-join Jaccard;
+                                subsumed by lsh_jaccard_verified (the
+                                LSH-banded production path runs the
+                                same verify math over candidates) and
+                                by curate_corpus; ceded its canonical
+                                slot to warc_roundtrip in round 6
+    * events_daily            — plain groupBy day/type rollup; subsumed
+                                by event_sessions (sessionization over
+                                the same table is the strictly harder
+                                shape) and events_json; ceded its slot
+                                to quantized_ann in round 6
     """
     return {
         "extract_documents_keyed": _q_extract_documents_keyed,
         "events_json": _q_events_json,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "events_daily": _q_events_daily,
         "minhash_signatures": _q_minhash,
         "lsh_candidates": _q_lsh_candidates,
         "simhash": _q_simhash,
@@ -2301,8 +2342,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
         "corpus_stats": _q_corpus_stats,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "quantized_ann": _q_quantized_ann,
     }
 
 
@@ -2320,11 +2359,9 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
-        "events_daily": _EVENTS_DAILY_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "minhash_xxhash": _minhash_xxhash_sql(),
-        "ngram_jaccard": _ngram_jaccard_sql(),
         "lsh_jaccard_verified": _lsh_jaccard_verified_sql(),
         "simhash_neardup": _simhash_neardup_sql(),
         "pack_by_budget": _PACK_SQL,
@@ -2355,6 +2392,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate": _ROBOTS_GATE_SQL,
         "warc_extract": _WARC_EXTRACT_SQL,
         "warc_to_articles": _EXTRACT_DOCUMENTS_SQL,
+        "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "quantized_ann": _QUANTIZED_ANN_SQL,
         "pdf_extract": _PDF_EXTRACT_SQL,
         "boilerplate_strip": _BOILERPLATE_SQL,
         "language_filter": _LANGUAGE_FILTER_SQL,
@@ -2374,6 +2413,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
-        "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
-        "quantized_ann": _QUANTIZED_ANN_SQL,
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "events_daily": _EVENTS_DAILY_SQL,
     }

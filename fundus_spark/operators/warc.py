@@ -88,9 +88,12 @@ def warc_reshard(
     cheaper production path), NOT a row-number: it needs no global
     ordering (zero extra exchange beyond the one shard groupBy), is
     stable under re-runs and input reordering, and spreads hot sources
-    uniformly. Within a shard, records are sorted by URL so shard
-    bytes are deterministic (same input -> same gzip members, byte for
-    byte, since the builder writes mtime=0 headers).
+    uniformly. Within a shard, records are STABLE-sorted on the full
+    (url, date, body) tuple so shard bytes are deterministic (same
+    input -> same gzip members, byte for byte, since the builder
+    writes mtime=0 headers) — URL alone is not a total order because
+    crawl records legitimately repeat a URL (re-fetches), and pandas'
+    default quicksort would permute such ties across runs/input orders.
 
     Scale shape: ONE exchange (groupBy shard), then each shard builds
     its members in a single Arrow group — size shards via ``n_shards``
@@ -101,7 +104,7 @@ def warc_reshard(
     from .sampling import hash_bucket
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(url_col)
+        pdf = pdf.sort_values([url_col, date_col, body_col], kind="stable")
         payload = build_warc(
             [(r[0], r[1], r[2]) for r in zip(pdf[url_col], pdf[date_col], pdf[body_col])],
             compress=compress,

@@ -128,15 +128,33 @@ def _stream_id(spark: SparkSession, checkpoint_path: str) -> str:
             while b >= 0 and len(data) < 64:
                 data.append(b)
                 b = stream.read()
-            return bytes(data).decode("ascii")
+            sid = bytes(data).decode("ascii")
         finally:
             stream.close()
+        # an EMPTY marker is a crash artifact (died between create and
+        # write under the old create-then-write protocol, or a torn
+        # copy): adopting it would put this checkpoint in the ""
+        # namespace — shared with every other torn checkpoint, which
+        # re-enables the cross-stream batch-directory clobber the
+        # namespace exists to prevent. Treat as absent and re-mint.
+        if sid:
+            return sid
+    # mint via the same write-temp-then-atomic-rename idiom as the
+    # batch-directory commit: the marker either exists complete or not
+    # at all, never empty/torn.
     sid = uuid.uuid4().hex[:12]
-    out = fs.create(marker, True)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{checkpoint_path}/_curation_stream_id.tmp-{uuid.uuid4().hex[:8]}"
+    )
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(sid.encode("ascii")))
     finally:
         out.close()
+    if fs.exists(marker):
+        fs.delete(marker, False)
+    if not fs.rename(tmp, marker):
+        raise IOError(f"stream-id marker commit failed at {marker}")
     return sid
 
 
