@@ -45,13 +45,45 @@ SHIFT_COLS = {
 }
 
 
-def materialize_scaled_corpus(spark, src_dir: str, dst_dir: str, factor: int) -> dict:
+def _src_fingerprint(src_dir: str) -> dict:
+    """Cheap content fingerprint of the source fixture: per-table total
+    byte size and max mtime_ns over the parquet files. Keying the
+    manifest on (path, factor) alone silently reused a stale scaled
+    corpus after the sf fixture was regenerated — growth ratios then
+    compared new base timings against old stressed data."""
+    fp = {}
+    for table in SHIFT_COLS:
+        src = Path(src_dir) / f"{table}.parquet"
+        if not src.exists():
+            continue
+        files = sorted(src.rglob("*")) if src.is_dir() else [src]
+        stats = [f.stat() for f in files if f.is_file()]
+        fp[table] = {
+            "bytes": sum(s.st_size for s in stats),
+            "mtime_ns": max((s.st_mtime_ns for s in stats), default=0),
+        }
+    return fp
+
+
+def materialize_scaled_corpus(
+    spark, src_dir: str, dst_dir: str, factor: int, tables=None
+) -> dict:
     """Build ``dst_dir`` as a factor-N decorrelated replica of
-    ``src_dir``; returns per-table row counts. Cached via manifest."""
+    ``src_dir``; returns per-table row counts. Cached via manifest
+    keyed on (source path, factor, table subset, source content
+    fingerprint). ``tables`` restricts the replica to a subset — the
+    30x dedup/curate stress only needs documents + embeddings, and
+    skipping lineitem/events keeps a second-decade corpus cheap."""
     from pyspark.sql import functions as F
 
     manifest_path = Path(dst_dir) / "_MANIFEST.json"
-    want = {"src": src_dir, "factor": factor}
+    subset = dict(SHIFT_COLS) if tables is None else {t: SHIFT_COLS[t] for t in tables}
+    want = {
+        "src": src_dir,
+        "factor": factor,
+        "tables": sorted(subset),
+        "src_fp": _src_fingerprint(src_dir),
+    }
     if manifest_path.exists():
         have = json.loads(manifest_path.read_text())
         if {k: have.get(k) for k in want} == want:
@@ -59,7 +91,7 @@ def materialize_scaled_corpus(spark, src_dir: str, dst_dir: str, factor: int) ->
 
     os.makedirs(dst_dir, exist_ok=True)
     rows = {}
-    for table, keys in SHIFT_COLS.items():
+    for table, keys in subset.items():
         src = f"{src_dir}/{table}.parquet"
         if not os.path.exists(src):
             continue
