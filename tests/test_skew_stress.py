@@ -142,3 +142,43 @@ def test_curate_chain_exposes_bucket_cap(spark):
     ids = sorted(r.doc_id for r in capped.collect())
     assert ids[0] == 0 and len([i for i in ids if i < 80]) == 1
     assert len(ids) == 1 + 20
+
+
+def test_bucket_cap_is_default_on_above_1024(spark):
+    """Round-6 contract: the cap defaults ON at 1024 (round-5 verdict —
+    the user who hits a template flood at 100 TB is exactly the one who
+    didn't set it). A 3000-member non-exact variant flood — big enough
+    that every band's flood bucket exceeds the default cap (the
+    one-token perturbation scatters a fraction of docs out of each
+    band bucket, so n must be well above 1024 / that retention) — with
+    NO cap argument passed anywhere, must propose star-dominated
+    candidates (a small multiple of n), never the C(3000,2) ~ 4.5M
+    quadratic term — and the family must still fully absorb into its
+    min-id survivor."""
+    from fundus_spark.operators.dedup import dedup_survivors, lsh_candidate_pairs, ngram_jaccard_pairs
+
+    template = " ".join(f"viral{j} spam{j} chain{j}" for j in range(12))
+    n = 3000
+    rows = [(i, template.replace("spam3", f"spam{i}x")) for i in range(n)]
+    rows += [(n + i, " ".join(f"tok{n+i}_{j} word{n+i}_{j}" for j in range(15))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    candidates = lsh_candidate_pairs(docs)  # defaults only — no bucket_cap kwarg
+    n_cand = candidates.count()
+    # stars from each over-cap bucket plus all-pairs from sub-cap
+    # stragglers: well under one C(1024,2) bucket, let alone C(n,2)
+    assert 0 < n_cand <= 8 * n, n_cand
+    assert n_cand < n * (n - 1) // 2 // 50  # nowhere near quadratic
+
+    verified = ngram_jaccard_pairs(docs, threshold=0.5, candidates=candidates)
+    survivors = dedup_survivors(docs, verified)
+    flood_ids = sorted(r.doc_id for r in survivors.where(F.col("doc_id") < n).collect())
+    # the representative wins; the only other flood survivors are
+    # plain LSH-recall misses — docs whose perturbed token flipped
+    # their band key in all 4 bands, which the UNCAPPED join would
+    # miss identically (no candidate bucket shared). Expected rate
+    # ~(1-(1-4/33)^2)^4 < 0.5%; the cap adds zero absorption loss
+    # (pinned exactly by test_bucket_cap_bounds_residual_variant_flood).
+    assert flood_ids[0] == 0
+    assert len(flood_ids) <= 1 + n // 100, flood_ids[:20]
+    assert survivors.where(F.col("doc_id") >= n).count() == 20
