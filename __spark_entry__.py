@@ -1875,7 +1875,7 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIA_DECODE_SQL = """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 < 2 THEN 'image'
-            WHEN doc_id % 6 = 5 THEN 'video'
+            WHEN doc_id % 6 = 5 OR doc_id % 24 = 14 THEN 'video'
             ELSE 'audio' END AS kind,
        CASE WHEN doc_id % 6 = 3 THEN 'gif'
             WHEN doc_id % 3 = 0 THEN 'bmp'
@@ -1883,13 +1883,18 @@ SELECT doc_id AS media_id,
             WHEN doc_id % 3 = 1 THEN 'png'
             WHEN doc_id % 6 = 5 THEN 'avi'
             WHEN doc_id % 12 = 8 THEN 'mp3'
+            WHEN doc_id % 24 = 14 THEN 'mp4'
             ELSE 'wav' END AS format,
-       CASE WHEN doc_id % 3 < 2 OR doc_id % 6 = 5 THEN CAST(1 + doc_id % 64 AS INTEGER) END AS width,
-       CASE WHEN doc_id % 3 < 2 OR doc_id % 6 = 5 THEN CAST(1 + doc_id % 48 AS INTEGER) END AS height,
+       -- mp4 (round 6): width/height come from the avcC H.264 SPS via
+       -- the from-scratch Exp-Golomb parse — High-monochrome 1x1 crop
+       -- units make odd dimensions exactly expressible
+       CASE WHEN doc_id % 3 < 2 OR doc_id % 6 = 5 OR doc_id % 24 = 14 THEN CAST(1 + doc_id % 64 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 < 2 OR doc_id % 6 = 5 OR doc_id % 24 = 14 THEN CAST(1 + doc_id % 48 AS INTEGER) END AS height,
        -- mp3 (round 6): duration from the frame-header walk, exact by
        -- construction — (3 + doc_id%5) frames of 1152 samples @ 32 kHz
-       -- (36 ms) for MPEG-1, 576 @ 24 kHz (24 ms) for the MPEG-2 twin
-       CASE WHEN doc_id % 6 = 5 THEN CAST((3 + doc_id % 5) * 40 AS BIGINT)
+       -- (36 ms) for MPEG-1, 576 @ 24 kHz (24 ms) for the MPEG-2 twin;
+       -- mp4: mvhd movie duration, (3 + doc_id%5) frames @ 40 ms
+       CASE WHEN doc_id % 6 = 5 OR doc_id % 24 = 14 THEN CAST((3 + doc_id % 5) * 40 AS BIGINT)
             WHEN doc_id % 12 = 8 THEN CAST((3 + doc_id % 5) * (CASE WHEN doc_id % 24 = 8 THEN 36 ELSE 24 END) AS BIGINT)
             WHEN doc_id % 3 = 2 THEN CAST(125 + (doc_id % 5) * 50 AS BIGINT) END AS duration_ms,
        TRUE AS decoded
@@ -1996,7 +2001,15 @@ UNION ALL
 SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGINT) AS t_ms,
        CAST(((doc_id * 31 + (i * 50 * 8) * 17) % 65536) - 32768 AS BIGINT) AS sample_value
 FROM documents, LATERAL (SELECT unnest(generate_series(0, 2 + doc_id % 5)) AS i) t
-WHERE doc_id % 3 = 2 AND doc_id % 6 <> 5 AND doc_id % 12 <> 8
+WHERE doc_id % 3 = 2 AND doc_id % 6 <> 5 AND doc_id % 12 <> 8 AND doc_id % 24 <> 14
+UNION ALL
+-- mp4 (round 6): like mp3, the 50 ms schedule is REAL (duration from
+-- the mvhd walk: nf frames * 40 ms) but the sample VALUE is honestly
+-- NULL — H.264 slice decode is codec-library-bound
+SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 50 AS BIGINT) AS t_ms,
+       CAST(NULL AS BIGINT) AS sample_value
+FROM documents, LATERAL (SELECT unnest(generate_series(0, (40 * (3 + doc_id % 5) + 49) // 50 - 1)) AS i) t
+WHERE doc_id % 24 = 14
 UNION ALL
 -- mp3 (round 6): the 50 ms schedule is REAL (duration comes from the
 -- frame-header walk: nf frames * 36 ms MPEG-1 / 24 ms MPEG-2), but the

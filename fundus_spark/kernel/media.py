@@ -15,10 +15,12 @@ Two decode tiers, both REAL:
   walk — pure bit math over the 4-byte frame headers (version, layer,
   bitrate/sample-rate indices, padding), skipping an ID3v2 prefix —
   which yields REAL duration/bitrate/sample-rate metadata without
-  decoding any audio. Every format this repo sniffs decodes (or, for
-  MP3, measures) for real; the only remaining stubs are MP3 *audio
-  samples* and H.264 (genuinely impossible without codec libraries),
-  documented in ``operators/multimodal.py``.
+  decoding any audio, and an MP4 (ISO-BMFF) box walk whose avcC H.264
+  SPS is bit-parsed for real coded dimensions (:mod:`.h264` —
+  Exp-Golomb, frame-cropping calculus). Every format this repo sniffs
+  decodes (or measures) for real; the only remaining stubs are MP3
+  *audio samples* and H.264 *slice decode* (genuinely impossible
+  without codec libraries), documented in ``operators/multimodal.py``.
 """
 
 from __future__ import annotations
@@ -73,6 +75,8 @@ def parse_media_header(payload: bytes) -> Optional[MediaHeader]:
         return _parse_wav(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return _parse_avi(payload)
+    if payload[4:8] == b"ftyp":
+        return _parse_mp4(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpeg import parse_jpeg_header
 
@@ -185,6 +189,149 @@ def _parse_avi(payload: bytes) -> Optional[MediaHeader]:
                         n_frames=total,
                         frame_ms=frame_ms,
                     )
+    return None
+
+
+def _mp4_boxes(buf: bytes, pos: int, end: int):
+    """Iterate (type, payload_start, payload_end) over an ISO-BMFF box
+    run (ISO 14496-12 §4.2): 32-bit size, size==1 -> 64-bit largesize,
+    size==0 -> to end of enclosing box. Malformed sizes stop the walk
+    (refuse, never mis-walk)."""
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _parse_mp4(payload: bytes) -> Optional[MediaHeader]:
+    """ISO-BMFF / MP4 structural walk + H.264 SPS bit parse: duration
+    from ``mvhd`` (movie-timescale math), frame count / frame period
+    from the video track's ``stts``, and coded WIDTH/HEIGHT from the
+    avcC sample description's SPS via the from-scratch Exp-Golomb
+    parser in :mod:`.h264` — all pure byte/bit math, no codec library.
+    Falls back to the ``avc1`` visual-sample-entry dimension fields
+    when no SPS parses. Slice decode stays refused. Strict: a payload
+    whose bytes 4:8 merely HAPPEN to read ``ftyp`` (e.g. document
+    text) fails the moov/mvhd requirement and returns None."""
+    from .h264 import parse_sps
+
+    end = len(payload)
+    duration_ms = width = height = None
+    n_frames = frame_ms = None
+    saw_mvhd = False
+    for btype, s, e in _mp4_boxes(payload, 0, end):
+        if btype != b"moov":
+            continue
+        for b2, s2, e2 in _mp4_boxes(payload, s, e):
+            if b2 == b"mvhd" and e2 - s2 >= 20:
+                version = payload[s2]
+                if version == 1 and e2 - s2 >= 32:
+                    timescale = int.from_bytes(payload[s2 + 20 : s2 + 24], "big")
+                    duration = int.from_bytes(payload[s2 + 24 : s2 + 32], "big")
+                else:
+                    timescale = int.from_bytes(payload[s2 + 12 : s2 + 16], "big")
+                    duration = int.from_bytes(payload[s2 + 16 : s2 + 20], "big")
+                if timescale == 0:
+                    return None
+                duration_ms = duration * 1000 // timescale
+                saw_mvhd = True
+            elif b2 == b"trak" and width is None:
+                got = _parse_mp4_video_trak(payload, s2, e2, parse_sps)
+                if got is not None:
+                    width, height, n_frames, frame_ms = got
+    if not saw_mvhd:
+        return None
+    return MediaHeader(
+        "mp4",
+        width=width,
+        height=height,
+        duration_ms=duration_ms,
+        n_frames=n_frames,
+        frame_ms=frame_ms,
+    )
+
+
+def _parse_mp4_video_trak(buf: bytes, s: int, e: int, parse_sps):
+    """trak -> mdia -> (mdhd timescale, hdlr 'vide', minf/stbl ->
+    stsd avc1/avcC SPS dims, stts frame count+period). Returns
+    (width, height, n_frames, frame_ms) or None for non-video traks."""
+    for b2, s2, e2 in _mp4_boxes(buf, s, e):
+        if b2 != b"mdia":
+            continue
+        media_timescale = None
+        is_video = False
+        width = height = n_frames = frame_ms = None
+        for b3, s3, e3 in _mp4_boxes(buf, s2, e2):
+            if b3 == b"mdhd" and e3 - s3 >= 20:
+                version = buf[s3]
+                off = s3 + (20 if version == 1 else 12)
+                media_timescale = int.from_bytes(buf[off : off + 4], "big") or None
+            elif b3 == b"hdlr" and e3 - s3 >= 12:
+                is_video = buf[s3 + 8 : s3 + 12] == b"vide"
+            elif b3 == b"minf":
+                for b4, s4, e4 in _mp4_boxes(buf, s3, e3):
+                    if b4 != b"stbl":
+                        continue
+                    for b5, s5, e5 in _mp4_boxes(buf, s4, e4):
+                        if b5 == b"stsd" and e5 - s5 >= 8:
+                            got = _parse_mp4_stsd(buf, s5, e5, parse_sps)
+                            if got is not None:
+                                width, height = got
+                        elif b5 == b"stts" and e5 - s5 >= 16:
+                            n_entries = int.from_bytes(buf[s5 + 4 : s5 + 8], "big")
+                            total = 0
+                            delta0 = None
+                            for i in range(min(n_entries, (e5 - s5 - 8) // 8)):
+                                cnt = int.from_bytes(buf[s5 + 8 + 8 * i : s5 + 12 + 8 * i], "big")
+                                dlt = int.from_bytes(buf[s5 + 12 + 8 * i : s5 + 16 + 8 * i], "big")
+                                total += cnt
+                                if delta0 is None:
+                                    delta0 = dlt
+                            n_frames = total or None
+                            if delta0 and media_timescale:
+                                frame_ms = delta0 * 1000 // media_timescale or None
+        if is_video and (width is not None or n_frames is not None):
+            return width, height, n_frames, frame_ms
+    return None
+
+
+def _parse_mp4_stsd(buf: bytes, s: int, e: int, parse_sps):
+    """stsd -> first visual sample entry: prefer the avcC SPS coded
+    dimensions (authoritative, crop applied); fall back to the entry's
+    own width/height uint16 fields."""
+    for btype, s2, e2 in _mp4_boxes(buf, s + 8, e):
+        if e2 - s2 < 78:
+            continue
+        # VisualSampleEntry: 6 reserved + data_ref(2) + pre_defined/
+        # reserved(16) + width(2) + height(2) at payload offset 24
+        entry_w = int.from_bytes(buf[s2 + 24 : s2 + 26], "big")
+        entry_h = int.from_bytes(buf[s2 + 26 : s2 + 28], "big")
+        for b3, s3, e3 in _mp4_boxes(buf, s2 + 78, e2):
+            if b3 != b"avcC" or e3 - s3 < 7:
+                continue
+            n_sps = buf[s3 + 5] & 0x1F
+            pos = s3 + 6
+            for _ in range(n_sps):
+                if pos + 2 > e3:
+                    break
+                ln = int.from_bytes(buf[pos : pos + 2], "big")
+                sps = parse_sps(buf[pos + 2 : pos + 2 + ln])
+                if sps is not None:
+                    return sps["width"], sps["height"]
+                pos += 2 + ln
+        if entry_w and entry_h:
+            return entry_w, entry_h
     return None
 
 
@@ -963,6 +1110,121 @@ def build_avi(
     movi = b"movi" + b"".join(chunk(b"00db", fr) for fr in frames)
     body_bytes = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
     return b"RIFF" + struct.pack("<I", len(body_bytes)) + body_bytes
+
+
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def build_mp4(
+    width: int, height: int, n_frames: int, frame_ms: int = 40, seed: Optional[int] = None
+) -> bytes:
+    """Valid minimal ISO-BMFF MP4 with one H.264 video track whose
+    avcC carries a REAL High-monochrome SPS encoding exactly
+    ``width x height`` (kernel/h264.py — odd dimensions round-trip via
+    4:0:0 1x1 crop units). Movie duration is closed-form:
+    ``n_frames * frame_ms`` ms at movie timescale 1000. The mdat
+    payload is seed-derived filler standing in for CABAC/CAVLC slice
+    data — the structural walk never reads it, and slice decode is
+    honestly refused (codec-library-bound)."""
+    from .h264 import build_pps, build_sps
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    sps, pps = build_sps(width, height), build_pps()
+    duration = n_frames * frame_ms
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version/flags
+        + b"\x00" * 8  # creation/modification (epoch zero: deterministic)
+        + struct.pack(">II", 1000, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate 1.0, volume 1.0
+        + b"\x00" * 8
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x03"  # v0, enabled|in-movie
+        + b"\x00" * 8
+        + struct.pack(">II", 1, 0)  # track_ID, reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 display dims
+    )
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + b"\x00" * 8
+        + struct.pack(">II", 1000, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"video\x00")
+    avcc = box(
+        b"avcC",
+        bytes((1, sps[1], sps[2], sps[3], 0xFF, 0xE1))
+        + struct.pack(">H", len(sps))
+        + sps
+        + b"\x01"
+        + struct.pack(">H", len(pps))
+        + pps,
+    )
+    avc1 = box(
+        b"avc1",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+        + avcc,
+    )
+    # one fake length-prefixed IDR NAL per frame (structural stand-in)
+    frame_size = 24
+    s = seed or 0
+    frames = [
+        struct.pack(">I", frame_size - 4)
+        + bytes((0x65,))
+        + bytes(((s * 31 + f * 11 + j * 17) % 256) for j in range(frame_size - 5))
+        for f in range(n_frames)
+    ]
+    stsd = box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + avc1)
+    stts = box(
+        b"stts", b"\x00\x00\x00\x00" + struct.pack(">III", 1, n_frames, frame_ms)
+    )
+    stsc = box(b"stsc", b"\x00\x00\x00\x00" + struct.pack(">IIII", 1, 1, n_frames, 1))
+    stsz = box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", frame_size, n_frames))
+    stbl_partial = stsd + stts + stsc + stsz
+    vmhd = box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+    dinf = box(
+        b"dinf",
+        box(b"dref", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + box(b"url ", b"\x00\x00\x00\x01")),
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomavc1")
+    # stco needs the absolute mdat payload offset; sizes are all fixed
+    # once the box tree above is, so compute it from the assembled size
+    def assemble(chunk_offset: int) -> bytes:
+        stco = box(b"stco", b"\x00\x00\x00\x00" + struct.pack(">II", 1, chunk_offset))
+        stbl = box(b"stbl", stbl_partial + stco)
+        minf = box(b"minf", vmhd + dinf + stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        mdat = box(b"mdat", b"".join(frames))
+        return ftyp + moov + mdat
+
+    probe = assemble(0)
+    mdat_payload_at = len(probe) - n_frames * frame_size
+    return assemble(mdat_payload_at)
 
 
 def build_wav(n_samples: int, rate: int = 8000, channels: int = 1, seed: Optional[int] = None) -> bytes:

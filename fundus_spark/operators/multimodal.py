@@ -23,10 +23,12 @@ Decode status (all via the pure-Python/stdlib kernel in
   BMP pixel-array layout): ``media_frame_sample`` emits the summed
   luma of the ACTUAL decoded frame covering each schedule point,
   exactly oracle-gated; compressed fourccs return NULL;
-* the remaining stubs are H.264 and compressed AVI fourccs only —
-  those yield NULL pixel/sample stats (MP3 gained a real frame-header
-  walk in round 6: duration/bitrate/sample-rate without audio
-  decode); ``media_features`` reports unrecognized containers
+* the remaining stubs are H.264 *slice decode* and compressed AVI
+  fourccs only — those yield NULL pixel/sample stats (round 6 gave
+  MP3 a real frame-header walk — duration/bitrate/sample-rate without
+  audio decode — and MP4 a real ISO-BMFF box walk + avcC H.264 SPS
+  bit parse for coded dimensions, ``kernel/h264.py``);
+  ``media_features`` reports unrecognized containers
   HONESTLY — NULL dimensions plus ``decoded = false`` — rather than
   fabricating plausible values (round-5 verdict: a digest-derived
   fake width is indistinguishable from a real one downstream, which
@@ -158,7 +160,7 @@ def _resize_batches(max_w: int, max_h: int):
                 header = parse_media_header(payload)
                 if header is None or header.width is None:
                     continue  # not an image we can size
-                if header.format == "avi":
+                if header.format in ("avi", "mp4"):
                     # video is per-frame work: the schedule lives in
                     # media_frame_sample; resizing frames composes the
                     # two operators

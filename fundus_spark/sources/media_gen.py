@@ -30,6 +30,13 @@ oracle:
                          frame-header walk yields the duration without
                          decoding audio, so duration_ms =
                          n_frames * (36 | 24) exactly
+* ``doc_id % 24 == 14`` -> MP4/H.264 (round 6): ISO-BMFF container
+                         with a REAL High-monochrome SPS in avcC —
+                         width/height (odd dims included) parse back
+                         exactly via the Exp-Golomb bit parser
+                         (``kernel/h264.py``), n_frames = 3 + doc_id % 5
+                         @ 40 ms/frame -> duration_ms = 40 * n_frames
+                         from mvhd; slice decode honestly refused
 * ``doc_id % 3 == 2`` otherwise -> WAV, n_samples = 1000 + (doc_id % 5) * 400
                          @ 8 kHz mono -> duration_ms = round(n_samples / 8)
 
@@ -64,6 +71,7 @@ from ..kernel.media import (
     build_bmp_rle8,
     build_gif,
     build_mp3,
+    build_mp4,
     build_png,
     build_wav,
 )
@@ -138,6 +146,12 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     ),
                     "audio",
                     "audio/mpeg",
+                )
+            elif doc_id % 24 == 14:
+                payload, kind, mime = (
+                    build_mp4(width, height, media_frames(doc_id), seed=doc_id),
+                    "video",
+                    "video/mp4",
                 )
             else:
                 payload, kind, mime = build_wav(media_samples(doc_id), seed=doc_id), "audio", "audio/wav"

@@ -588,6 +588,77 @@ def test_mp3_frame_header_walk():
     assert parse_media_header(whole[:-1] + b"") is None  # frame cut short
 
 
+def test_h264_sps_roundtrip():
+    """From-scratch H.264 SPS codec (round 6, kernel/h264.py): the
+    High-monochrome builder's Exp-Golomb bit stream parses back to the
+    exact requested dimensions — odd ones included, via 4:0:0 1x1 crop
+    units — and a hand-built 4:2:0 Baseline SPS exercises the 2x2 crop
+    units and the profile branch WITHOUT the chroma/bit-depth block."""
+    from fundus_spark.kernel.h264 import (
+        _BitWriter,
+        build_sps,
+        insert_emulation_prevention,
+        parse_sps,
+        strip_emulation_prevention,
+    )
+
+    for w, h in [(1, 1), (16, 16), (17, 17), (33, 21), (64, 48), (1920, 1080), (4095, 33)]:
+        p = parse_sps(build_sps(w, h))
+        assert (p["width"], p["height"], p["profile_idc"], p["frame_mbs_only"]) == (w, h, 100, 1)
+    # Baseline (profile 66) 4:2:0 1920x1088-coded with crop_bottom=4
+    # chroma units (CropUnitY = 2): height = 68*16 - 2*4 = 1080
+    w = _BitWriter()
+    w.u(66, 8).u(0, 8).u(40, 8)
+    w.ue(0)  # sps_id (no chroma block for Baseline)
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)
+    w.ue(119).ue(67)  # 1920x1088 in macroblocks
+    w.u(1, 1).u(1, 1)  # frame_mbs_only, direct_8x8
+    w.u(1, 1)
+    w.ue(0).ue(0).ue(0).ue(4)  # crop bottom 4 * CropUnitY(2) = 8 samples
+    w.u(0, 1)  # vui absent
+    p = parse_sps(b"\x67" + insert_emulation_prevention(w.rbsp_trailing()))
+    assert (p["width"], p["height"], p["profile_idc"]) == (1920, 1080, 66)
+    # emulation-prevention inverse holds on adversarial zero runs
+    for data in (b"\x00\x00\x00\x00", b"\x00\x00\x01\x02", b"\x00\x00\x03\x00\x00\x02", b""):
+        assert strip_emulation_prevention(insert_emulation_prevention(data)) == data
+    # refusals: empty, wrong NAL type, forbidden bit, truncated stream
+    assert parse_sps(b"") is None
+    assert parse_sps(b"\x68\x64\x00\x0a\x80") is None
+    assert parse_sps(b"\xe7\x64\x00\x0a\x80") is None
+    assert parse_sps(build_sps(33, 21)[:4]) is None
+
+
+def test_mp4_box_walk():
+    """ISO-BMFF walk (round 6, kernel/media.py): duration from mvhd,
+    frame count/period from stts, and coded dimensions from the avcC
+    SPS — all structural math. Covers odd dimensions, 64-bit
+    largesize boxes, the text-that-says-ftyp false positive, and
+    truncation refusal."""
+    import struct
+
+    from fundus_spark.kernel.media import build_mp4, parse_media_header
+
+    h = parse_media_header(build_mp4(33, 21, 4, seed=7))
+    assert (h.format, h.width, h.height, h.duration_ms, h.n_frames, h.frame_ms) == (
+        "mp4", 33, 21, 160, 4, 40,
+    )
+    h = parse_media_header(build_mp4(64, 48, 7, frame_ms=20))
+    assert (h.width, h.height, h.duration_ms, h.frame_ms) == (64, 48, 140, 20)
+    # 64-bit largesize ftyp box still walks
+    p = build_mp4(19, 11, 3)
+    ftyp_len = int.from_bytes(p[:4], "big")
+    big = struct.pack(">I", 1) + b"ftyp" + struct.pack(">Q", 16 + ftyp_len - 8) + p[8:ftyp_len] + p[ftyp_len:]
+    h = parse_media_header(big)
+    assert (h.width, h.height) == (19, 11)
+    # strict: document text with accidental 'ftyp' at bytes 4:8 has no
+    # moov/mvhd -> honest None, not a fabricated video row
+    assert parse_media_header(b"abcdftyp plain document text " * 4) is None
+    assert parse_media_header(build_mp4(33, 21, 4)[:40]) is None
+
+
 def test_media_features_unknown_container_is_honest_null():
     """Round-6 contract (round-5 verdict #6): an unrecognized container
     yields NULL format/width/height/duration and decoded=False — never
