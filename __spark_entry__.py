@@ -2246,6 +2246,76 @@ FROM documents
 """
 
 
+def _q_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2) over synthesized
+    multi-line pages. Fixture text is single-line and punctuation-free,
+    so both engines build the SAME deterministic 5-line page per doc,
+    exercising every rule: a long line whose terminal period is dropped
+    when doc_id%5==0 (line-keep punctuation rule), a 3-word line (word
+    minimum), a quote-terminated line contributing zero sentence
+    terminators (doc_id%3==0 -> some docs fail the >=3-sentence
+    document rule), a lorem-ipsum plant (doc_id%7==3), and a
+    curly-brace code plant (doc_id%11==5, also punct-dropped)."""
+    from fundus_spark.operators import c4_page_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.col("text"), F.when(did % 5 == 0, F.lit("")).otherwise(F.lit("."))),
+        F.lit("too short line."),
+        F.when(did % 3 == 0, F.lit('he said this line was truly "quoted"'))
+        .otherwise(F.lit("this filler sentence has exactly seven words!")),
+        F.when(did % 7 == 3, F.lit("Lorem Ipsum dolor sit amet placeholder text."))
+        .otherwise(F.lit("a regular concluding sentence appears right here?")),
+        F.when(did % 11 == 5, F.lit("code block { int x = 1; }"))
+        .otherwise(F.lit("final closing words of the page.")),
+    )
+    pages = docs.select("doc_id", page.alias("page"))
+    return c4_page_filter(pages)
+
+
+_C4_PAGE_FILTER_SQL = r"""
+WITH pages AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 5 = 0 THEN '' ELSE '.' END || chr(10) ||
+           'too short line.' || chr(10) ||
+           CASE WHEN doc_id % 3 = 0 THEN 'he said this line was truly "quoted"'
+                ELSE 'this filler sentence has exactly seven words!' END || chr(10) ||
+           CASE WHEN doc_id % 7 = 3 THEN 'Lorem Ipsum dolor sit amet placeholder text.'
+                ELSE 'a regular concluding sentence appears right here?' END || chr(10) ||
+           CASE WHEN doc_id % 11 = 5 THEN 'code block { int x = 1; }'
+                ELSE 'final closing words of the page.' END AS page
+    FROM documents
+),
+split AS (
+    SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM pages
+),
+kept AS (
+    SELECT doc_id, page, lines,
+           list_filter(lines, l -> len(string_split_regex(trim(l), '\s+')) >= 5
+                               AND regexp_matches(l, '[.!?"]\s*$')) AS kept_lines
+    FROM split
+),
+agg AS (
+    SELECT doc_id, page,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
+           array_to_string(kept_lines, chr(10)) AS kept_text,
+           contains(lower(page), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(page, '{') AS has_curly_brace
+    FROM kept
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       CAST(len(regexp_extract_all(kept_text, '[.!?]')) AS BIGINT) AS n_sentences,
+       has_lorem_ipsum, has_curly_brace,
+       (len(regexp_extract_all(kept_text, '[.!?]')) >= 3
+        AND NOT has_lorem_ipsum AND NOT has_curly_brace) AS keep,
+       kept_text
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2302,7 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_frame_sample": _q_media_frames,
         "robots_gate": _q_robots_gate,
-        "warc_extract": _q_warc_extract,
+        "c4_page_filter": _q_c4_page_filter,
         "warc_to_articles": _q_warc_to_articles,
         "warc_roundtrip": _q_warc_roundtrip,
         "quantized_ann": _q_quantized_ann,
@@ -2341,8 +2411,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 the same table is the strictly harder
                                 shape) and events_json; ceded its slot
                                 to quantized_ann in round 6
+    * warc_extract            — raw record listing; subsumed by
+                                warc_to_articles (same reader + the
+                                extraction stage on top) and
+                                warc_roundtrip (same reader over
+                                resharded output); ceded its slot to
+                                c4_page_filter in round 6
     """
     return {
+        "warc_extract": _q_warc_extract,
         "extract_documents_keyed": _q_extract_documents_keyed,
         "events_json": _q_events_json,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2403,7 +2480,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": _MEDIA_RESIZE_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
         "robots_gate": _ROBOTS_GATE_SQL,
-        "warc_extract": _WARC_EXTRACT_SQL,
+        "c4_page_filter": _C4_PAGE_FILTER_SQL,
         "warc_to_articles": _EXTRACT_DOCUMENTS_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "quantized_ann": _QUANTIZED_ANN_SQL,
@@ -2428,4 +2505,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_stats": _CORPUS_STATS_SQL,
         "ngram_jaccard": _ngram_jaccard_sql(),
         "events_daily": _EVENTS_DAILY_SQL,
+        "warc_extract": _WARC_EXTRACT_SQL,
     }

@@ -207,3 +207,53 @@ def test_warc_reshard_round_trip_and_determinism(spark):
     }
     first = {r.shard_id: bytes(r.payload) for r in shards}
     assert again == first == reordered
+
+
+def test_c4_page_filter_rules(spark):
+    """Each C4 rule in isolation: word minimum, terminal punctuation,
+    sentence minimum, lorem-ipsum and curly-brace document rejects."""
+    from fundus_spark.operators import c4_page_filter
+
+    pages = [
+        # 0: three good sentences -> keep
+        (0, "alpha beta gamma delta epsilon one.\n"
+            "alpha beta gamma delta epsilon two!\n"
+            "alpha beta gamma delta epsilon three?"),
+        # 1: lines long enough but no terminal punct -> all dropped
+        (1, "alpha beta gamma delta epsilon one\n"
+            "alpha beta gamma delta epsilon two"),
+        # 2: punctuated but under the word minimum -> dropped lines
+        (2, "too short one.\ntoo short two.\ntoo short three."),
+        # 3: quote-terminated line kept, but 2 sentence terminators only
+        (3, 'he said it was truly great "quoted"\n'
+            "alpha beta gamma delta epsilon one.\n"
+            "alpha beta gamma delta epsilon two."),
+        # 4: lorem ipsum (case-insensitive) rejects the whole doc
+        (4, "alpha beta gamma delta epsilon one.\n"
+            "alpha beta gamma delta epsilon two.\n"
+            "this has LoReM IpSuM inside it okay."),
+        # 5: curly brace rejects the whole doc
+        (5, "alpha beta gamma delta epsilon one.\n"
+            "alpha beta gamma delta epsilon two.\n"
+            "function f() { return 1; } extra words here."),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, page string")
+    out = {r.doc_id: r for r in c4_page_filter(df).collect()}
+
+    assert out[0].keep and out[0].n_kept_lines == 3 and out[0].n_sentences == 3
+    assert not out[1].keep and out[1].n_kept_lines == 0 and out[1].kept_text == ""
+    assert not out[2].keep and out[2].n_kept_lines == 0
+    # quote counts for line-keep but not for the sentence terminator tally
+    assert not out[3].keep and out[3].n_kept_lines == 3 and out[3].n_sentences == 2
+    assert not out[4].keep and out[4].has_lorem_ipsum
+    assert not out[5].keep and out[5].has_curly_brace
+    # evidence columns are complete even on rejected docs
+    assert out[4].n_kept_lines == 3 and out[4].n_sentences == 3
+
+
+def test_c4_page_filter_is_zero_shuffle(spark):
+    from fundus_spark.operators import c4_page_filter
+
+    df = spark.createDataFrame([(1, "a b c d e ok.\nshort.")], "doc_id long, page string")
+    plan = c4_page_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
