@@ -2316,6 +2316,221 @@ FROM agg
 """
 
 
+_GOPHER_BULLETS = "\n".join(f"• bullet item number {j} here" for j in range(10))
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher rule set (Rae et al. 2021 A1.1) over synthesized
+    pages. Fixture text is 10-99 plain words, so the word-count rule
+    splits the corpus naturally; each other rule is planted by doc_id
+    mod: no extra stopwords (%3==0), 12 hash symbols (%7==2), a
+    10-bullet-line prefix (%5==1), an ellipsis-terminated line
+    (%11==4), 30 numeric words (%13==6), 60 thirty-char words
+    (%17==3)."""
+    from fundus_spark.operators import gopher_quality_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = F.concat(
+        F.when(did % 5 == 1, F.lit(_GOPHER_BULLETS + "\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(did % 3 != 0, F.lit(" and that have with")).otherwise(F.lit("")),
+        F.when(did % 7 == 2, F.lit(" " + "# " * 12)).otherwise(F.lit("")),
+        F.when(did % 13 == 6, F.lit(" " + "12345 " * 30)).otherwise(F.lit("")),
+        F.when(did % 17 == 3, F.lit(" " + "pneumonoultramicroscopicsilico " * 60)).otherwise(F.lit("")),
+        F.when(did % 11 == 4, F.lit("\nand the story continues...")).otherwise(F.lit("")),
+    )
+    return gopher_quality_filter(docs.select("doc_id", page.alias("page")))
+
+
+_GOPHER_QUALITY_SQL = f"""
+WITH pages AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 1 THEN '{_GOPHER_BULLETS}' || chr(10) ELSE '' END ||
+           text ||
+           CASE WHEN doc_id % 3 <> 0 THEN ' and that have with' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 2 THEN ' ' || repeat('# ', 12) ELSE '' END ||
+           CASE WHEN doc_id % 13 = 6 THEN ' ' || repeat('12345 ', 30) ELSE '' END ||
+           CASE WHEN doc_id % 17 = 3 THEN ' ' || repeat('pneumonoultramicroscopicsilico ', 60) ELSE '' END ||
+           CASE WHEN doc_id % 11 = 4 THEN chr(10) || 'and the story continues...' ELSE '' END AS page
+    FROM documents
+),
+w AS (
+    SELECT doc_id, page,
+           string_split_regex(trim(page), '\\s+') AS words,
+           string_split(page, chr(10)) AS lines
+    FROM pages
+),
+a AS (
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words) AS mean_wl,
+           CAST(len(regexp_extract_all(page, '#|\\.\\.\\.|…')) AS DOUBLE) / len(words) AS sym_ratio,
+           CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[•\\-*] '))) AS DOUBLE) / len(lines) AS bullet_frac,
+           CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
+           CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words) AS alpha_frac,
+           CAST(list_contains(list_transform(words, x -> lower(x)), 'the') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'be') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'to') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'of') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'and') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'that') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'have') AS INT)
+           + CAST(list_contains(list_transform(words, x -> lower(x)), 'with') AS INT) AS stop_hits
+    FROM w
+)
+SELECT doc_id, n_words,
+       round(mean_wl, 4) AS mean_word_len,
+       round(sym_ratio, 4) AS symbol_word_ratio,
+       round(bullet_frac, 4) AS frac_bullet_lines,
+       round(ellipsis_frac, 4) AS frac_ellipsis_lines,
+       round(alpha_frac, 4) AS frac_alpha_words,
+       CAST(stop_hits AS BIGINT) AS n_stopword_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND sym_ratio <= 0.1
+        AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3
+        AND alpha_frac >= 0.8
+        AND stop_hits >= 2) AS keep
+FROM a
+"""
+
+
+def _q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span dedup over synthesized 5-sentence pages:
+    sentences 1-3 are templates shared by every doc with the same
+    doc_id%7 (so only the class's global first keeps them), sentences
+    4-5 embed doc_id (never duplicated); %5==0 docs get a unique
+    opener (no dup span at all — left-join null path); %11==3 docs
+    append a second copy of the shared triple (intra-document span
+    dedup)."""
+    from fundus_spark.operators import sentence_span_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m7 = (did % 7).cast("string")
+    s1 = F.when(did % 5 == 0, F.concat(F.lit("solo opening for document "), did.cast("string"), F.lit("."))) \
+         .otherwise(F.concat(F.lit("shared opening template sentence number "), m7, F.lit(".")))
+    s2 = F.concat(F.lit("shared middle template sentence number "), m7, F.lit("!"))
+    s3 = F.concat(F.lit("shared closing template sentence number "), m7, F.lit("?"))
+    s4 = F.concat(F.lit("unique continuation for document "), did.cast("string"), F.lit("."))
+    s5 = F.concat(F.lit("tail "), F.substring("text", 1, 40), F.lit(" end "), did.cast("string"), F.lit("."))
+    page = F.concat(
+        F.concat_ws(" ", s1, s2, s3, s4, s5),
+        F.when(did % 11 == 3, F.concat(F.lit(" "), F.concat_ws(" ", s1, s2, s3))).otherwise(F.lit("")),
+    )
+    return sentence_span_dedup(docs.select("doc_id", page.alias("page")))
+
+
+_C4_SPAN_DEDUP_SQL = r"""
+WITH parts AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'solo opening for document ' || doc_id || '.'
+                ELSE 'shared opening template sentence number ' || (doc_id % 7) || '.' END AS s1,
+           'shared middle template sentence number ' || (doc_id % 7) || '!' AS s2,
+           'shared closing template sentence number ' || (doc_id % 7) || '?' AS s3,
+           'unique continuation for document ' || doc_id || '.' AS s4,
+           'tail ' || substr(text, 1, 40) || ' end ' || doc_id || '.' AS s5
+    FROM documents
+),
+pages AS (
+    SELECT doc_id,
+           s1 || ' ' || s2 || ' ' || s3 || ' ' || s4 || ' ' || s5 ||
+           CASE WHEN doc_id % 11 = 3 THEN ' ' || s1 || ' ' || s2 || ' ' || s3 ELSE '' END AS page
+    FROM parts
+),
+docs AS (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(page, '[^.!?]*[.!?]'), s -> trim(s)) AS sents
+    FROM pages
+),
+spans AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(sents[i::INT : (i + 2)::INT], ' ')) AS span_hash,
+           lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' || lpad(CAST(i - 1 AS VARCHAR), 6, '0') AS occ_key
+    FROM docs, unnest(range(1, greatest(len(sents) - 2, 0) + 1)) AS t(i)
+),
+firsts AS (
+    SELECT span_hash, min(occ_key) AS first_key, count(*) AS n_occ
+    FROM spans GROUP BY span_hash
+),
+removed AS (
+    SELECT doc_id,
+           list_distinct(flatten(list([s.pos + 1, s.pos + 2, s.pos + 3]))) AS removed_idx
+    FROM spans s JOIN firsts f USING (span_hash)
+    WHERE f.n_occ > 1 AND s.occ_key <> f.first_key
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.sents) AS BIGINT) AS n_sentences,
+       CAST(coalesce(len(r.removed_idx), 0) AS BIGINT) AS n_removed,
+       array_to_string(
+           list_filter(d.sents, (x, i) -> NOT coalesce(list_contains(r.removed_idx, i), FALSE)),
+           ' ') AS kept_text
+FROM docs d LEFT JOIN removed r USING (doc_id)
+"""
+
+
+def _q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import dup_substring_spans
+
+    return dup_substring_spans(
+        _read(spark, sf_dir, "documents"), k=8, window=4, max_chars=512
+    )
+
+
+_DUP_SUBSTRING_SQL = r"""
+WITH base AS (
+    SELECT doc_id, substr(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 512) AS t
+    FROM documents
+),
+g AS (SELECT doc_id, t, greatest(length(t) - 7, 0) AS n FROM base),
+hashes AS (
+    SELECT doc_id, n,
+           list_transform(range(1, greatest(n, 1) + 1),
+                          i -> CAST('0x' || substr(md5(substr(t, i::INT, 8)), 1, 8) AS BIGINT)) AS hs
+    FROM g
+),
+sel AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(n - 3, 1) + 1),
+               j -> {'fp': list_min(hs[j::INT : (j + least(4, n) - 1)::INT]),
+                     'pos': list_position(hs[j::INT : (j + least(4, n) - 1)::INT],
+                                          list_min(hs[j::INT : (j + least(4, n) - 1)::INT])) + j - 1}) AS sels
+    FROM hashes
+),
+-- DISTINCT here == Spark's per-doc array_distinct over (fp,pos)
+-- structs (a given doc never repeats a pair across docs)
+fps AS (
+    SELECT DISTINCT doc_id, u.fp AS fp, CAST(u.pos AS BIGINT) AS pos
+    FROM (SELECT doc_id, unnest(sels) AS u FROM sel)
+    WHERE u.fp IS NOT NULL
+),
+dupfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1),
+d AS (SELECT doc_id, pos FROM fps JOIN dupfp USING (fp)),
+b AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk
+    FROM d
+),
+s AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM b
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + 7 AS span_end,
+       max(pos) + 7 - min(pos) + 1 AS span_len,
+       count(*) AS n_grams
+FROM s GROUP BY doc_id, island
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2343,7 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,
         "event_sessions": _q_event_sessions,
         "exact_dedup": _q_exact_dedup,
-        "minhash_xxhash": _q_minhash_xxhash,
+        "gopher_quality": _q_gopher_quality,
         "lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "simhash_neardup": _q_simhash_neardup,
         "pack_by_budget": _q_pack_by_budget,
@@ -2355,7 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus_xxhash": _q_curate_xxhash,
         "multisignal_clusters": _q_multisignal_clusters,
         "crawl_to_corpus": _q_crawl_to_corpus,
-        "cosine_topk": _q_cosine_topk,
+        "c4_span_dedup": _q_c4_span_dedup,
         "cosine_neardup": _q_cosine_neardup,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
@@ -2366,7 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "tfidf_topk": _q_tfidf_topk,
         "char_entropy": _q_char_entropy,
-        "language_id": _q_language_id,
+        "dup_substring_spans": _q_dup_substring_spans,
         "winnowing": _q_winnowing,
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
@@ -2417,9 +2632,28 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 warc_roundtrip (same reader over
                                 resharded output); ceded its slot to
                                 c4_page_filter in round 6
+    * minhash_xxhash          — signature stage of the xxhash64
+                                pipeline; subsumed by
+                                curate_corpus_xxhash (same XXH64
+                                banding driven end-to-end) with the
+                                md5 twin minhash_signatures also
+                                gated; ceded its slot to
+                                gopher_quality in round 6
+    * cosine_topk             — the guarded brute-force ANN baseline;
+                                exact cosine math stays gated inside
+                                cosine_neardup's verify stage and the
+                                lsh/ivf/quantized ANN rows; ceded its
+                                slot to c4_span_dedup in round 6
+    * language_id             — per-doc label surface of the same
+                                estimator language_filter gates as a
+                                canonical row; ceded its slot to
+                                dup_substring_spans in round 6
     """
     return {
         "warc_extract": _q_warc_extract,
+        "minhash_xxhash": _q_minhash_xxhash,
+        "cosine_topk": _q_cosine_topk,
+        "language_id": _q_language_id,
         "extract_documents_keyed": _q_extract_documents_keyed,
         "events_json": _q_events_json,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2451,7 +2685,7 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
-        "minhash_xxhash": _minhash_xxhash_sql(),
+        "gopher_quality": _GOPHER_QUALITY_SQL,
         "lsh_jaccard_verified": _lsh_jaccard_verified_sql(),
         "simhash_neardup": _simhash_neardup_sql(),
         "pack_by_budget": _PACK_SQL,
@@ -2463,7 +2697,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
         "multisignal_clusters": _multisignal_clusters_sql(),
         "crawl_to_corpus": _curate_sql(docs_rel=_EXTRACTED_DOCS_REL),
-        "cosine_topk": _COSINE_TOPK_SQL,
+        "c4_span_dedup": _C4_SPAN_DEDUP_SQL,
         "cosine_neardup": _cosine_neardup_sql(),
         "lsh_ann": _lsh_ann_sql(),
         "ivf_ann": _ivf_ann_sql(),
@@ -2474,7 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
-        "language_id": _language_id_sql(),
+        "dup_substring_spans": _DUP_SUBSTRING_SQL,
         "winnowing": _winnowing_sql(),
         "media_decode": _MEDIA_DECODE_SQL,
         "media_resize": _MEDIA_RESIZE_SQL,
@@ -2506,4 +2740,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_sql(),
         "events_daily": _EVENTS_DAILY_SQL,
         "warc_extract": _WARC_EXTRACT_SQL,
+        "minhash_xxhash": _minhash_xxhash_sql(),
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "language_id": _language_id_sql(),
     }

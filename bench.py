@@ -45,6 +45,12 @@ HEADLINE = [
     "quality_score",
     "language_id",
     "fingerprint",
+    # round-6 additions (headline grows 22 -> 26; per-query times keep
+    # the old subtotal comparable across rounds)
+    "c4_page_filter",
+    "gopher_quality",
+    "c4_span_dedup",
+    "dup_substring_spans",
 ]
 
 
@@ -61,6 +67,8 @@ DEDUP_FAMILY = [
     "cosine_neardup",
     "curate_corpus",
     "curate_corpus_xxhash",
+    "c4_span_dedup",
+    "dup_substring_spans",
 ]
 
 

@@ -650,3 +650,159 @@ def contamination_flags(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+#: a sentence is a maximal run of non-terminator chars plus its
+#: terminator — extraction (not split) so Java and RE2 agree and the
+#: unterminated trailing fragment is excluded on both engines.
+SENTENCE_RE = r"[^.!?]*[.!?]"
+
+
+def sentence_span_dedup(
+    df: DataFrame,
+    text_col: str = "page",
+    id_col: str = "doc_id",
+    span: int = 3,
+) -> DataFrame:
+    """C4's span-deduplication half (Raffel et al. 2020 §2.2: "we
+    discard all but one of any three-sentence span occurring more than
+    once") — the companion of ``c4_page_filter``'s heuristic half.
+
+    Semantics: split each document into sentences (``SENTENCE_RE``),
+    hash every sliding window of ``span`` consecutive sentences, and
+    for every span content that occurs more than once corpus-wide keep
+    only the globally FIRST occurrence (ordered by ``(doc_id,
+    position)``); every sentence covered by a non-first duplicate span
+    is removed from its document.
+
+    Scale shape (the part that survives 100 TB): the global
+    first-occurrence is NOT a window over the span hash — a viral span
+    repeated 10^6 times would sort 10^6 rows in one partition. Instead
+    the occurrence key ``(doc_id, pos)`` is encoded as one
+    lexicographically ordered string and reduced with a map-side
+    combinable ``min`` per span hash, then joined back — two near-linear
+    shuffles however hot the span. The sentence relation is scanned
+    twice (span extraction + rebuild); a production pipeline
+    materializes it to the lake between the two.
+
+    Output: ``(doc_id, n_sentences, n_removed, kept_text)``.
+    Unterminated trailing fragments are not sentences and are dropped
+    from ``kept_text`` on both engines (C4 operates on sentence units).
+    """
+    sentences = F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), F.lit(0)),
+        lambda s: F.trim(s),
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"), sentences.alias("sents"))
+
+    n_spans = F.greatest(F.size("sents") - F.lit(span - 1), F.lit(0))
+    span_hashes = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("sents"), i, span))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = docs.select(
+        "doc_id", F.posexplode(span_hashes).alias("pos", "span_hash")
+    ).withColumn(
+        # one sortable string so first-occurrence is a plain min() agg
+        "occ_key",
+        F.concat(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            F.lit(":"),
+            F.lpad(F.col("pos").cast("string"), 6, "0"),
+        ),
+    )
+    firsts = spans.groupBy("span_hash").agg(
+        F.min("occ_key").alias("first_key"), F.count(F.lit(1)).alias("n_occ")
+    )
+    removed = (
+        spans.join(firsts.where(F.col("n_occ") > 1), "span_hash")
+        .where(F.col("occ_key") != F.col("first_key"))
+        .select("doc_id", F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + span)).alias("sent_idx"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("sent_idx").alias("removed_idx"))
+    )
+    kept = F.filter(
+        F.col("sents"),
+        lambda s, i: ~F.coalesce(F.array_contains(F.col("removed_idx"), i + 1), F.lit(False)),
+    )
+    return docs.join(removed, "doc_id", "left").select(
+        "doc_id",
+        F.size("sents").cast("long").alias("n_sentences"),
+        F.coalesce(F.size("removed_idx"), F.lit(0)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("kept_text"),
+    )
+
+
+def dup_substring_spans(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    max_chars: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate localization (the distributed stand-in
+    for Lee et al. 2021's suffix-array ExactSubstr dedup): find, per
+    document, the character spans covered by substrings that occur more
+    than once corpus-wide (cross- OR intra-document).
+
+    A suffix array needs a global sort of every suffix — not a Spark
+    shape. Winnowing fingerprints with positions give the same
+    guarantee distributed: any duplicated substring of length
+    >= k + window - 1 shares at least one selected k-gram AT THE SAME
+    CONTENT OFFSETS in both copies, so grouping the corpus by
+    fingerprint value finds every such duplicate with near-linear work
+    (one map-side-combinable count per fingerprint, one equi-join back
+    — no pair explosion: each occurrence joins exactly one count row,
+    however hot the fingerprint). Adjacent/overlapping duplicated
+    k-grams within a doc are merged into maximal spans with a
+    gaps-and-islands window over (doc, pos) — bounded per doc by
+    ``max_chars``, so the window never sees a skewed key.
+
+    Span boundaries are fingerprint-granular (a duplicated region's
+    first/last < k+window-1 chars may fall outside the selected grams)
+    and 32-bit-hash collisions can over-flag — both inherited from
+    winnowing and acceptable for dedup candidate generation; a
+    downstream exact verify (cf. ``ngram_jaccard_pairs``) confirms.
+
+    Output: ``(doc_id, span_start, span_end, span_len, n_grams)`` —
+    1-based char offsets into the whitespace-normalized, clipped text.
+    """
+    from pyspark.sql.window import Window
+
+    from .textstats import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(
+        df, k=k, window=window, max_chars=max_chars, text_col=text_col,
+        emit_positions=True,
+    )
+    dup_fps = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ")).where(
+        F.col("n_occ") > 1
+    )
+    dups = fps.join(dup_fps.select("fp"), "fp").select("doc_id", "pos")
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dups.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(by_pos) > k, F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_grams",
+        )
+    )

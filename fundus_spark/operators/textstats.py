@@ -108,6 +108,7 @@ def winnowing_fingerprints(
     window: int = 4,
     max_chars: int = 2048,
     text_col: str = "text",
+    emit_positions: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     MOSS algorithm): hash every character k-gram, slide a window of
@@ -122,7 +123,14 @@ def winnowing_fingerprints(
     size (at 100 TB you fingerprint a documented prefix, not unbounded
     payloads). Hashes are md5-derived (first 8 hex chars as int64) so
     the DuckDB oracle recomputes them exactly; swap xxhash64 for
-    production like minhash's hash_mode."""
+    production like minhash's hash_mode.
+
+    ``emit_positions=True`` additionally records WHERE each selected
+    k-gram starts (1-based char offset in the normalized+clipped text;
+    ties inside a window break to the FIRST occurrence of the minimum,
+    the rule ``list_position`` replays exactly in the oracle) — the
+    input ``dup_substring_spans`` needs to localize duplicated
+    substrings, not just flag documents sharing one."""
     # BOTH heavy intermediates are bound to lambda variables via the
     # one-element-array wrapper: the normalized+clipped STRING first
     # (else the whitespace regexp_replace re-runs per k-gram AND per
@@ -139,15 +147,29 @@ def winnowing_fingerprints(
             lambda i: F.conv(F.substring(F.md5(F.substring(s, i, k)), 1, 8), 16, 10).cast("long"),
         )
         n_windows = F.greatest(ng - F.lit(window - 1), F.lit(1))
+
+        def _select(hs, j):
+            sl = F.slice(hs, j, F.least(F.lit(window), ng))
+            mn = F.array_min(sl)
+            if not emit_positions:
+                return mn
+            return F.struct(
+                mn.alias("fp"),
+                (F.array_position(sl, mn) + j.cast("long") - 1).alias("pos"),
+            )
+
         return F.transform(
             F.array(hashes),
-            lambda hs: F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda j: F.array_min(F.slice(hs, j, F.least(F.lit(window), ng))),
-            ),
+            lambda hs: F.transform(F.sequence(F.lit(1), n_windows), lambda j: _select(hs, j)),
         )[0]
 
     minima = F.transform(F.array(clipped), _winnow)[0]
+    if emit_positions:
+        return (
+            df.select("doc_id", F.explode(F.array_distinct(minima)).alias("sel"))
+            .select("doc_id", F.col("sel.fp").alias("fp"), F.col("sel.pos").alias("pos"))
+            .where(F.col("fp").isNotNull())
+        )
     return (
         df.select("doc_id", F.explode(F.array_distinct(minima)).alias("fp"))
         .where(F.col("fp").isNotNull())
@@ -346,6 +368,84 @@ def c4_page_filter(
         has_brace.alias("has_curly_brace"),
         ((n_sentences >= min_sentences) & ~has_lorem & ~has_brace).alias("keep"),
         kept_text.alias("kept_text"),
+    )
+
+
+#: the Gopher "required stop words" list (Rae et al. 2021 §A1.1): a
+#: document must contain at least 2 of these to survive.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "page",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The full Gopher/MassiveText document-quality rule set (Rae et
+    al. 2021 §A1.1, the non-repetition half — ``repetition_score``
+    covers the dup-n-gram half), as one zero-shuffle JVM projection:
+
+    * word count in ``[min_words, max_words]``;
+    * mean word length in ``[min_mean_word_len, max_mean_word_len]``;
+    * symbol-to-word ratio (``#`` or ellipsis) <= ``max_symbol_word_ratio``;
+    * <= ``max_bullet_line_frac`` of lines starting with a bullet;
+    * <= ``max_ellipsis_line_frac`` of lines ending with an ellipsis;
+    * >= ``min_alpha_word_frac`` of words containing a letter;
+    * >= ``min_stopword_hits`` distinct ``GOPHER_STOPWORDS`` present.
+
+    Emits per-rule evidence columns (counts and ratios, rounded to 4
+    for display; the ``keep`` verdict uses the unrounded values) so
+    thresholds tune without re-running. ASCII-only regexes plus the
+    literal bullet/ellipsis code points, so Java (Spark) and RE2
+    (DuckDB oracle) agree exactly. At 100 TB this is a narrow map: no
+    shuffle, no UDF, whole-stage codegen end-to-end."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = sum_word_len / n_words
+    n_symbols = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    symbol_ratio = n_symbols / n_words
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•\-*] "))) / n_lines
+    ellipsis_frac = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    low_words = F.transform(words, lambda w: F.lower(w))
+    stop_hits = sum(
+        F.array_contains(low_words, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 4).alias("frac_bullet_lines"),
+        F.round(ellipsis_frac, 4).alias("frac_ellipsis_lines"),
+        F.round(alpha_frac, 4).alias("frac_alpha_words"),
+        stop_hits.cast("long").alias("n_stopword_hits"),
+        keep.alias("keep"),
     )
 
 

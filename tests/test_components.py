@@ -257,3 +257,124 @@ def test_c4_page_filter_is_zero_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c d e ok.\nshort.")], "doc_id long, page string")
     plan = c4_page_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule in isolation (Rae et al. 2021 A1.1)."""
+    from fundus_spark.operators import gopher_quality_filter
+
+    good = "the quick brown words be to of and that have with more tokens here " * 5
+    pages = [
+        (0, good),                                    # passes everything
+        (1, "the be to of short"),                    # word count < min
+        (2, good + " ###########"),                   # symbol ratio
+        (3, "\n".join(["• item one here"] * 19 + [good])),   # bullets > 90%
+        (4, good + "\ntrailing thought goes on..."),  # ellipsis > 30% of 2 lines
+        (5, good + " " + "123456 " * 40),             # alpha frac < 0.8
+        (6, ("zz " * 70).strip()),                    # no stopwords
+        (7, good + " " + "pneumonoultramicroscopicsilico " * 60),  # mean len > 10
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, page string")
+    out = {r.doc_id: r for r in gopher_quality_filter(df, min_words=50).collect()}
+
+    assert out[0].keep
+    assert not out[1].keep and out[1].n_words == 5
+    assert not out[2].keep and out[2].symbol_word_ratio > 0.1
+    assert not out[3].keep and out[3].frac_bullet_lines == 0.95
+    assert not out[4].keep and out[4].frac_ellipsis_lines == 0.5
+    assert not out[5].keep and out[5].frac_alpha_words < 0.8
+    assert not out[6].keep and out[6].n_stopword_hits == 0
+    assert not out[7].keep and out[7].mean_word_len > 10
+    # evidence is complete on every row
+    assert out[3].n_stopword_hits >= 2 and out[4].n_words >= 50
+
+
+def test_gopher_quality_filter_is_zero_shuffle(spark):
+    from fundus_spark.operators import gopher_quality_filter
+
+    df = spark.createDataFrame([(1, "the of and words")], "doc_id long, page string")
+    plan = gopher_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sentence_span_dedup_first_occurrence_wins(spark):
+    from fundus_spark.operators import sentence_span_dedup
+
+    shared = "one shared. two shared! three shared?"
+    pages = [
+        (0, shared + " unique tail zero."),
+        (1, shared + " unique tail one."),      # loses the shared triple
+        (2, "totally distinct. second sentence! third here? fourth one."),
+        (3, "short doc only two. sentences here!"),  # < span sentences
+        (4, shared),                             # loses everything
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, page string")
+    out = {r.doc_id: r for r in sentence_span_dedup(df).collect()}
+
+    assert out[0].n_removed == 0 and out[0].kept_text.startswith("one shared.")
+    assert out[1].n_removed == 3 and out[1].kept_text == "unique tail one."
+    assert out[2].n_removed == 0 and out[2].n_sentences == 4
+    assert out[3].n_removed == 0 and out[3].n_sentences == 2
+    assert out[4].n_removed == 3 and out[4].kept_text == ""
+
+
+def test_sentence_span_dedup_intra_document(spark):
+    """A span repeated INSIDE one document: first copy stays."""
+    from fundus_spark.operators import sentence_span_dedup
+
+    page = "alpha one. beta two! gamma three? alpha one. beta two! gamma three?"
+    df = spark.createDataFrame([(7, page)], "doc_id long, page string")
+    row = sentence_span_dedup(df).collect()[0]
+    assert row.n_sentences == 6
+    assert row.n_removed == 3
+    assert row.kept_text == "alpha one. beta two! gamma three?"
+
+
+def test_sentence_span_dedup_drops_trailing_fragment(spark):
+    from fundus_spark.operators import sentence_span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "complete sentence here. unterminated trailing fragment")],
+        "doc_id long, page string",
+    )
+    row = sentence_span_dedup(df).collect()[0]
+    assert row.n_sentences == 1 and row.kept_text == "complete sentence here."
+
+
+def test_dup_substring_spans_localizes_shared_text(spark):
+    from fundus_spark.operators import dup_substring_spans
+
+    shared = "a long exactly duplicated run of characters"
+    rows = [
+        (0, "prefix zero " + shared + " suffix zero"),
+        (1, "other start " + shared + " other end"),
+        (2, "nothing in common with anybody else xyzzy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_substring_spans(df, k=8, window=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    assert 0 in by_doc and 1 in by_doc
+    # doc 2 shares nothing long enough
+    assert 2 not in by_doc
+    # the merged span in each doc covers the shared run (within
+    # fingerprint granularity: boundaries may be up to k+window-2 loose)
+    for d in (0, 1):
+        spans = by_doc[d]
+        cover = max(s.span_end for s in spans) - min(s.span_start for s in spans)
+        assert cover >= len(shared) - (8 + 4 - 2)
+        for s in spans:
+            assert s.span_len == s.span_end - s.span_start + 1
+
+
+def test_dup_substring_spans_detects_intra_doc_repeat(spark):
+    from fundus_spark.operators import dup_substring_spans
+
+    df = spark.createDataFrame(
+        [(5, "unique head then repeated block repeated block tail")],
+        "doc_id long, text string",
+    )
+    out = dup_substring_spans(df, k=8, window=4).collect()
+    assert out and all(r.doc_id == 5 for r in out)

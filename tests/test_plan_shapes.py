@@ -154,3 +154,34 @@ def test_bigram_lm_has_no_cartesian(spark, entry):
     NOT appear is an unbroadcast CartesianProduct over data relations."""
     plan = _plan(entry.queries()["bigram_logprob"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_shuffle_budget(spark, entry):
+    """sentence_span_dedup's first-occurrence is an agg+join, never a
+    window over the span hash: exactly 2 span_hash exchanges (agg +
+    probe side) and 2 doc_id exchanges (removal agg + rebuild join) —
+    no Sort-within-a-hot-key-partition pattern, no cartesian."""
+    df = entry.queries()["c4_span_dedup"](spark, SF_DIR)
+    plan = _plan(df)
+    # exact counts are AQE-size-dependent (small sides broadcast at
+    # sf0.001); the invariants are the BOUNDS and the absent shapes
+    assert plan.count("Exchange hashpartitioning(span_hash") <= 2
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 2
+    assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_dup_substring_spans_reuses_window_partitioning(spark, entry):
+    """dup_substring_spans: 2 fp exchanges (count agg + probe) and ONE
+    doc_id exchange — the final per-doc span aggregation must reuse
+    the gaps-and-islands window's partitioning, not re-shuffle."""
+    df = entry.queries()["dup_substring_spans"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning(fp") <= 2
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_and_c4_filters_are_zero_shuffle(spark, entry):
+    for name in ("gopher_quality", "c4_page_filter"):
+        plan = _plan(entry.queries()[name](spark, SF_DIR))
+        assert "Exchange" not in plan, name
