@@ -2,6 +2,7 @@ from .assemble import assemble_conversations, ordered_turns
 from .curate import curate_corpus, curate_increment
 from .curate_job import CurateJobResult, run_curate_job
 from .extract_stage import EXTRACTION_SCHEMA, extract_articles
+from .frozen_store import read_frozen_state, register_frozen_state, write_frozen_state
 from .job import JobResult, run_extraction_job
 from .session import build_session
 
@@ -13,6 +14,9 @@ __all__ = [
     "curate_corpus",
     "curate_increment",
     "extract_articles",
+    "read_frozen_state",
+    "register_frozen_state",
+    "write_frozen_state",
     "ordered_turns",
     "run_extraction_job",
 ]

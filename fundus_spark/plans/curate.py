@@ -209,6 +209,14 @@ def curate_increment(
        probe of the frozen corpus (pass ``frozen_bands`` = the stored
        :func:`band_relation`), exact verify, freeze-respecting cluster
        adoption; only batch docs that survive stay;
+
+    Pass BOTH frozen relations from :mod:`plans.frozen_store` at scale:
+    the store writes them as bucketed tables hashed on their join keys
+    (``fp`` / ``(band, key)``), so when a batch is too large to
+    broadcast and the probe joins fall back to sort-merge, the frozen
+    side reads its buckets in place — the shuffled volume stays
+    O(batch) instead of O(corpus) (pinned by
+    ``tests/test_frozen_store.py``'s differential Exchange counts).
     4. decontamination vs ``benchmark`` (broadcast shingles);
     5. split assignment with the SAME salt as the full runs — the pure
        (salt, id) decision agrees with any past or future run;

@@ -1,0 +1,166 @@
+"""Bucketed on-disk store for the frozen-corpus dedup state.
+
+The append-only curation contract (``plans/curate.py:curate_increment``,
+``operators/dedup.py:incremental_assign``) probes two frozen-side
+relations on EVERY append:
+
+* the exact-dedup fingerprints — ``(fp, keep_id, n_dups)``, one row per
+  distinct frozen text, anti-joined on ``fp``;
+* the LSH band relation — ``(doc_id, band, key)``, one row per frozen
+  doc per band, equi-joined on ``(band, key)``.
+
+At the 100 TB shape these are billions of rows, while a daily batch is
+tiny: the probe joins run as broadcast-hash joins of the NEW side and
+the frozen side is only scanned. But the moment a batch is too large to
+broadcast — a bulk backfill, a re-crawl merge — the joins degrade to
+sort-merge and BOTH sides shuffle, i.e. the entire frozen corpus state
+moves over the network once per append. Storage-level bucketing removes
+exactly that cost class: the frozen relations are written once as
+bucketed tables hashed on their join keys, so every later probe's
+sort-merge join reads the frozen buckets in place (zero frozen-side
+Exchange, ``SelectedBucketsCount`` visible in the scan) and only the
+new batch shuffles — the shuffled volume is O(batch), never O(corpus).
+
+This is Spark's equivalent of the reference crawler's persistent
+URL-dedup state (``crawler.py:447-450`` keeps seen-URL identity across
+runs); here the persisted identity is the full text + near-dup
+fingerprint state, stored in the layout the probe join wants.
+
+Bucketed writes need a table catalog (``bucketBy`` is metadata, not
+file layout alone), so the store records a small manifest next to the
+data and :func:`register_frozen_state` re-issues the ``CREATE TABLE …
+CLUSTERED BY … INTO n BUCKETS`` DDL in any later session — the
+in-memory catalog is per-session, the parquet buckets on disk are not.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import band_relation, exact_dedup
+
+_MANIFEST = "_FROZEN_STATE.json"
+
+
+def _ddl(df: DataFrame) -> str:
+    # StructType.toDDL is JVM-side only in some pyspark lines; both
+    # store tables are flat simple types, so simpleString is valid DDL
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def _table_prefix(path: str) -> str:
+    # catalog identifiers are per-session; derive a stable one from the
+    # store path so re-registration is idempotent across sessions
+    return "frozen_" + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+
+
+def _write_bucketed(
+    df: DataFrame, table: str, path: str, bucket_cols: Tuple[str, ...], num_buckets: int
+) -> None:
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+    )
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    writer.saveAsTable(table)
+
+
+def write_frozen_state(
+    frozen_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 8,
+    bands: int = 4,
+    k: int = 4,
+    hash_mode: str = "md5",
+    num_buckets: int = 64,
+) -> dict:
+    """Materialize the frozen corpus's dedup state at ``store_path`` as
+    two bucketed parquet tables (fingerprints hashed on ``fp``, band
+    relation hashed on ``(band, key)``) plus a manifest. One-time cost
+    per freeze; every later append probes these without shuffling them.
+
+    ``num_buckets`` sizes the per-bucket file count — pick so a bucket
+    is a few hundred MB at the target corpus size (100 TB of text →
+    ~1 GB of band rows per bucket at 4096 buckets; the default 64 fits
+    test/bench scale). Returns the manifest dict.
+    """
+    spark = frozen_docs.sparkSession
+    prefix = _table_prefix(store_path)
+    fps = exact_dedup(frozen_docs, text_col=text_col, id_col=id_col)
+    bnd = band_relation(
+        frozen_docs, text_col=text_col, id_col=id_col, n_perm=n_perm, bands=bands, k=k, hash_mode=hash_mode
+    )
+    tables = {
+        "fps": {
+            "table": f"{prefix}_fps",
+            "path": os.path.join(store_path, "fps"),
+            "bucket_cols": ["fp"],
+            "ddl_schema": _ddl(fps),
+        },
+        "bands": {
+            "table": f"{prefix}_bands",
+            "path": os.path.join(store_path, "bands"),
+            "bucket_cols": ["band", "key"],
+            "ddl_schema": _ddl(bnd),
+        },
+    }
+    _write_bucketed(fps, tables["fps"]["table"], tables["fps"]["path"], ("fp",), num_buckets)
+    _write_bucketed(bnd, tables["bands"]["table"], tables["bands"]["path"], ("band", "key"), num_buckets)
+    manifest = {
+        "num_buckets": num_buckets,
+        "lsh": {"n_perm": n_perm, "bands": bands, "k": k, "hash_mode": hash_mode},
+        "tables": tables,
+    }
+    os.makedirs(store_path, exist_ok=True)
+    tmp = os.path.join(store_path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, os.path.join(store_path, _MANIFEST))
+    return manifest
+
+
+def register_frozen_state(spark: SparkSession, store_path: str) -> dict:
+    """Re-register the store's bucketed tables in THIS session's catalog
+    (idempotent). The parquet buckets persist on disk; only the catalog
+    entry carrying the bucketing spec is session-scoped, so a fresh
+    session (a new day's append job) calls this before probing."""
+    with open(os.path.join(store_path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    for spec in manifest["tables"].values():
+        if spark.catalog.tableExists(spec["table"]):
+            continue
+        cols = ", ".join(spec["bucket_cols"])
+        ddl = spec.get("ddl_schema")
+        if not ddl:
+            raise ValueError(f"manifest for {spec['table']} lacks a DDL schema")
+        abspath = os.path.abspath(spec["path"])
+        spark.sql(
+            f"CREATE TABLE {spec['table']} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({cols}) SORTED BY ({cols}) INTO {manifest['num_buckets']} BUCKETS "
+            f"LOCATION '{abspath}'"
+        )
+    return manifest
+
+
+def read_frozen_state(
+    spark: SparkSession, store_path: str
+) -> Tuple[DataFrame, DataFrame, dict]:
+    """``(frozen_fps, frozen_bands, manifest)`` ready to pass to
+    :func:`plans.curate.curate_increment` / ``incremental_assign``.
+    Both are catalog-backed bucketed scans: metadata-cheap to count
+    (the broadcast guard's requirement) and exchange-free on the
+    frozen side of the probe joins."""
+    manifest = register_frozen_state(spark, store_path)
+    fps = spark.table(manifest["tables"]["fps"]["table"])
+    bnd = spark.table(manifest["tables"]["bands"]["table"])
+    return fps, bnd, manifest
