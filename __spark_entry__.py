@@ -1799,6 +1799,80 @@ def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(_read(spark, sf_dir, "documents"), k=8, window=4, max_chars=512)
 
 
+#: sources whose documents play the DSIR "target" corpus; the rest of
+#: the documents table is the raw pool being selected from
+_DSIR_TARGET_SOURCES = ("src0", "src1")
+_DSIR_BUCKETS = 4096
+_DSIR_K = 50
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR pretraining-data selection (Xie et al. 2023): hashed-ngram
+    importance weights of the raw pool vs a small target corpus,
+    Gumbel-top-k resample. Deterministic end-to-end: md5 feature
+    hashing + md5-derived Gumbel draws, so DuckDB replays the exact
+    selection."""
+    from fundus_spark.operators import dsir_select
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    raw = docs.where(~F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    return dsir_select(raw, target, k=_DSIR_K, n_buckets=_DSIR_BUCKETS)
+
+
+def _dsir_sql(n_buckets: int = _DSIR_BUCKETS, k: int = _DSIR_K, alpha: float = 0.5) -> str:
+    srcs = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+    bucket = "CAST('0x' || substr(md5({g}), 1, 8) AS BIGINT) % " + str(n_buckets)
+    return f"""
+WITH raw AS (SELECT doc_id, text FROM documents WHERE source NOT IN ({srcs})),
+tgt AS (SELECT doc_id, text FROM documents WHERE source IN ({srcs})),
+rtok AS (
+    SELECT doc_id, i AS pos, toks[i] AS w
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM raw),
+         LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t
+),
+ttok AS (
+    SELECT doc_id, i AS pos, toks[i] AS w
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM tgt),
+         LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t
+),
+rinst AS (
+    SELECT doc_id, {bucket.format(g='w')} AS feature FROM rtok
+    UNION ALL
+    SELECT a.doc_id, {bucket.format(g="a.w || ' ' || b.w")} AS feature
+    FROM rtok a JOIN rtok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+tinst AS (
+    SELECT doc_id, {bucket.format(g='w')} AS feature FROM ttok
+    UNION ALL
+    SELECT a.doc_id, {bucket.format(g="a.w || ' ' || b.w")} AS feature
+    FROM ttok a JOIN ttok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+rc AS (SELECT feature, COUNT(*) AS cr FROM rinst GROUP BY feature),
+tc AS (SELECT feature, COUNT(*) AS ct FROM tinst GROUP BY feature),
+nr AS (SELECT COUNT(*) AS n FROM rinst),
+nt AS (SELECT COUNT(*) AS n FROM tinst),
+ratio AS (
+    SELECT rc.feature,
+           LN((COALESCE(tc.ct, 0) + {alpha}) / (nt.n + {alpha} * {n_buckets}))
+         - LN((rc.cr + {alpha}) / (nr.n + {alpha} * {n_buckets})) AS log_ratio
+    FROM rc LEFT JOIN tc USING (feature) CROSS JOIN nr CROSS JOIN nt
+),
+w AS (
+    SELECT rinst.doc_id, ROUND(SUM(ratio.log_ratio), 6) AS log_weight
+    FROM rinst JOIN ratio USING (feature)
+    GROUP BY rinst.doc_id
+)
+SELECT doc_id, log_weight,
+       ROUND(log_weight + -LN(-LN(
+           (CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+           / 4294967296.0)), 6) AS score
+FROM w
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
 def _winnowing_sql(k: int = 8, window: int = 4, max_chars: int = 512) -> str:
     return f"""
 WITH base AS (
@@ -2582,7 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "char_entropy": _q_char_entropy,
         "dup_substring_spans": _q_dup_substring_spans,
-        "winnowing": _q_winnowing,
+        "dsir_select": _q_dsir_select,
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "media_frame_sample": _q_media_frames,
@@ -2648,8 +2722,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 estimator language_filter gates as a
                                 canonical row; ceded its slot to
                                 dup_substring_spans in round 6
+    * winnowing               — plain winnowing fingerprints; subsumed
+                                by dup_substring_spans, which drives
+                                the same selection positionally
+                                (emit_positions) plus count-join span
+                                localization on top; ceded its slot to
+                                dsir_select in round 6
     """
     return {
+        "winnowing": _q_winnowing,
         "warc_extract": _q_warc_extract,
         "minhash_xxhash": _q_minhash_xxhash,
         "cosine_topk": _q_cosine_topk,
@@ -2709,7 +2790,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _TFIDF_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
         "dup_substring_spans": _DUP_SUBSTRING_SQL,
-        "winnowing": _winnowing_sql(),
+        "dsir_select": _dsir_sql(),
         "media_decode": _MEDIA_DECODE_SQL,
         "media_resize": _MEDIA_RESIZE_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
@@ -2727,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
 def extra_oracle_sql() -> dict[str, str]:
     """Oracles for ``extra_queries()`` — consumed by the local mimic."""
     return {
+        "winnowing": _winnowing_sql(),
         "extract_documents_keyed": _EXTRACT_DOCUMENTS_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "minhash_signatures": _minhash_oracle_sql(),

@@ -51,6 +51,7 @@ HEADLINE = [
     "gopher_quality",
     "c4_span_dedup",
     "dup_substring_spans",
+    "dsir_select",
 ]
 
 
@@ -69,6 +70,7 @@ DEDUP_FAMILY = [
     "curate_corpus_xxhash",
     "c4_span_dedup",
     "dup_substring_spans",
+    "dsir_select",
 ]
 
 

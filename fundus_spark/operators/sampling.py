@@ -114,3 +114,133 @@ def split_assign(
     for name, bound in reversed(bounds):
         expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Select raw-corpus documents that look like a small
+# TARGET corpus: fit hashed-ngram bag-of-features multinomials over
+# target (p) and raw (q), weight every raw doc by its log importance
+# ratio sum(ln p_f - ln q_f), then Gumbel-top-k resample so selection
+# is a weighted sample rather than a hard argmax. Everything is column
+# algebra over two count aggregations — the reference has no selection
+# surface; this is the standard pretraining-data curation recipe.
+# ---------------------------------------------------------------------------
+
+
+def _hashed_ngram_features(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """``(doc_id, feature)`` instance relation: whitespace unigrams and
+    bigrams, feature-hashed into ``n_buckets`` buckets via the md5
+    bucket primitive (engine-portable, so the DuckDB oracle recomputes
+    the exact same buckets). One row per token/bigram OCCURRENCE —
+    DSIR's feature counts are occurrence counts, not presence."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # bind the token array: referencing the split expression inside the
+    # per-position lambda would re-evaluate it per element (O(tokens^2))
+    grams = F.transform(
+        F.array(toks),
+        lambda ts: F.concat(
+            ts,
+            F.when(F.size(ts) < 2, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(ts, i), F.element_at(ts, i + 1)),
+                )
+            ),
+        ),
+    )[0]
+    gram = F.explode(grams).alias("gram")
+    return df.select(F.col(id_col).alias("doc_id"), gram).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ).alias("feature"),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """``(doc_id, log_weight)`` for every raw doc with >=1 token:
+    ``log_weight = sum_occurrences ln(p_f / q_f)`` where ``p`` / ``q``
+    are the alpha-smoothed hashed-ngram multinomials of the target and
+    raw corpora (``p_f = (c_f + alpha) / (N + alpha * B)``).
+
+    Scale shape: two map-side-combinable count aggregations build the
+    models; the per-feature log-ratio table is at most ``n_buckets``
+    rows (a few KB — always broadcast); scoring is one broadcast join
+    of raw instances to the ratio table plus one per-doc sum. The
+    target corpus is small by construction (that is DSIR's premise);
+    the raw corpus is never joined to itself, so the plan is two
+    narrow scans + bounded-size broadcasts at any corpus size. The
+    ratio table can be persisted once and reused to score appends —
+    the same frozen-model contract as ``incremental_assign``.
+    """
+    raw_inst = _hashed_ngram_features(raw, text_col, id_col, n_buckets)
+    tgt_inst = _hashed_ngram_features(target, text_col, id_col, n_buckets)
+    raw_counts = raw_inst.groupBy("feature").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = tgt_inst.groupBy("feature").agg(F.count(F.lit(1)).alias("ct"))
+    raw_total = raw_inst.agg(F.count(F.lit(1)).alias("nr"))
+    tgt_total = tgt_inst.agg(F.count(F.lit(1)).alias("nt"))
+    b = F.lit(float(n_buckets))
+    a = F.lit(float(alpha))
+    ratio = (
+        raw_counts.join(tgt_counts, "feature", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "feature",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + a) / (F.col("nt") + a * b))
+                - F.log((F.col("cr") + a) / (F.col("nr") + a * b))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        raw_inst.join(F.broadcast(ratio), "feature")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("log_ratio"), 6).alias("log_weight"))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    salt: str = "dsir",
+    mode: str = "md5",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: perturb each raw doc's
+    ``log_weight`` with a deterministic hash-derived Gumbel draw
+    ``g(id) = -ln(-ln(u(id)))`` and keep the ``k`` highest
+    ``log_weight + g`` — equivalent to sampling k docs without
+    replacement with probability proportional to their importance
+    weights (the Gumbel-max trick), but reproducible: the draw depends
+    only on (salt, id), so reruns, engines, and cluster sizes agree.
+
+    Returns ``(doc_id, log_weight, score)`` ordered by score. Scale
+    shape: the weights are narrow after their broadcast join
+    (:func:`dsir_log_weights`); top-k is a TakeOrdered (per-partition
+    partial top-k, one k-row reduce) — for k beyond driver comfort
+    (tens of millions), filter on a score threshold instead: the score
+    column is a pure function of (model, salt, id), so a threshold
+    chosen on a sample is stable."""
+    weights = dsir_log_weights(raw, target, text_col, id_col, n_buckets, alpha)
+    u = (hash_bucket(F.col("doc_id"), salt, mode) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    gumbel = -F.log(-F.log(u))
+    scored = weights.select(
+        "doc_id", "log_weight", F.round(F.col("log_weight") + gumbel, 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

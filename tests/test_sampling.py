@@ -240,3 +240,50 @@ def test_quantized_topk_matches_full_precision_on_separated_data(spark):
     full = {(r.query_id, r.rank): r.cand_id for r in cosine_topk(df, q, k=2).collect()}
     quant = {(r.query_id, r.rank): r.cand_id for r in quantized_topk(df, q, k=2).collect()}
     assert full == quant and (0, 1) in full
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from fundus_spark.operators import dsir_log_weights, dsir_select
+
+    target = spark.createDataFrame(
+        [(1000 + i, "medical patient clinical trial dosage outcome") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "medical patient clinical trial dosage outcome report"),
+         (2, "football match score goal referee stadium crowd"),
+         (3, "clinical dosage outcome patient medical study"),
+         (4, "recipe butter flour sugar oven bake cake")],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r.log_weight for r in dsir_log_weights(raw, target).collect()}
+    assert set(w) == {1, 2, 3, 4}
+    # target-domain docs must outscore off-domain docs
+    assert min(w[1], w[3]) > max(w[2], w[4])
+
+    # determinism + k bound + ordering
+    a = dsir_select(raw, target, k=2).collect()
+    b = dsir_select(raw, target, k=2).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == 2 and a[0].score >= a[1].score
+    # with weights this separated the top-2 are the on-domain docs
+    assert {r.doc_id for r in a} == {1, 3}
+
+
+def test_dsir_gumbel_salt_perturbs_selection_not_weights(spark):
+    from fundus_spark.operators import dsir_log_weights, dsir_select
+
+    # near-uniform weights: selection is then driven by the Gumbel draw
+    raw = spark.createDataFrame(
+        [(i, "common words shared by every document here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "common words shared by every document here")], "doc_id long, text string"
+    )
+    w1 = {r.doc_id: r.log_weight for r in dsir_log_weights(raw, target).collect()}
+    s_a = {r.doc_id for r in dsir_select(raw, target, k=5, salt="a").collect()}
+    s_b = {r.doc_id for r in dsir_select(raw, target, k=5, salt="b").collect()}
+    assert len(set(w1.values())) == 1  # identical text -> identical weight
+    assert len(s_a) == len(s_b) == 5
+    assert s_a != s_b  # different salt -> different resample universe
