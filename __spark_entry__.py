@@ -1799,6 +1799,53 @@ def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(_read(spark, sf_dir, "documents"), k=8, window=4, max_chars=512)
 
 
+#: the mixture recipe for the domain_mix extra query: upsample src0/src1
+#: (rates ~2.1 / ~1.6 at the fixture token counts), downsample src2
+_MIX_PROPS = {"src0": 0.5, "src1": 0.4, "src2": 0.1}
+_MIX_TOKENS = 6000
+
+
+def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mixture (LLaMA-style): per-domain rates from
+    target proportions over the actual domain token counts; whole
+    epochs replicate, the fractional epoch keeps a deterministic
+    hash-bucket subset per (salt, epoch, id)."""
+    from fundus_spark.operators import domain_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    return domain_mix(docs, _MIX_PROPS, total_tokens=_MIX_TOKENS).select(
+        "doc_id", "source", "epoch"
+    )
+
+
+def _domain_mix_sql() -> str:
+    case = " ".join(f"WHEN '{d}' THEN {p}" for d, p in sorted(_MIX_PROPS.items()))
+    srcs = ", ".join(f"'{d}'" for d in sorted(_MIX_PROPS))
+    return f"""
+WITH pool AS (
+    SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS ntok
+    FROM documents WHERE source IN ({srcs})
+),
+tot AS (SELECT source, CAST(SUM(ntok) AS DOUBLE) AS dt FROM pool GROUP BY source),
+rated AS (
+    SELECT p.doc_id, p.source,
+           (CASE p.source {case} END) * {float(_MIX_TOKENS)} / t.dt AS r
+    FROM pool p JOIN tot t USING (source)
+),
+ex AS (
+    SELECT doc_id, source, r,
+           unnest(generate_series(0, CAST(FLOOR(r) AS BIGINT))) AS epoch
+    FROM rated
+)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+FROM ex
+WHERE epoch < FLOOR(r)
+   OR (epoch = FLOOR(r)
+       AND CAST('0x' || substr(md5('mix' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           < CAST(TRUNC(4294967296.0 * (r - FLOOR(r))) AS BIGINT))
+"""
+
+
 #: sources whose documents play the DSIR "target" corpus; the rest of
 #: the documents table is the raw pool being selected from
 _DSIR_TARGET_SOURCES = ("src0", "src1")
@@ -2728,9 +2775,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 (emit_positions) plus count-join span
                                 localization on top; ceded its slot to
                                 dsir_select in round 6
+    * domain_mix              — token-budget domain mixture (round 6;
+                                epoch replication + fractional
+                                hash-bucket keep — the same md5 bucket
+                                decision split_assign gates
+                                canonically)
     """
     return {
         "winnowing": _q_winnowing,
+        "domain_mix": _q_domain_mix,
         "warc_extract": _q_warc_extract,
         "minhash_xxhash": _q_minhash_xxhash,
         "cosine_topk": _q_cosine_topk,
@@ -2809,6 +2862,7 @@ def extra_oracle_sql() -> dict[str, str]:
     """Oracles for ``extra_queries()`` — consumed by the local mimic."""
     return {
         "winnowing": _winnowing_sql(),
+        "domain_mix": _domain_mix_sql(),
         "extract_documents_keyed": _EXTRACT_DOCUMENTS_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "minhash_signatures": _minhash_oracle_sql(),

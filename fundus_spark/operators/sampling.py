@@ -244,3 +244,70 @@ def dsir_select(
         "doc_id", "log_weight", F.round(F.col("log_weight") + gumbel, 6).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def domain_mix(
+    df: DataFrame,
+    proportions: Dict[str, float],
+    total_tokens: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    mode: str = "md5",
+) -> DataFrame:
+    """Token-budget data mixture (the LLaMA/SlimPajama recipe): build a
+    training mix where domain ``d`` contributes ``proportions[d] *
+    total_tokens`` tokens, DOWN-sampling over-represented domains and
+    UP-sampling (epoch replication) under-represented ones. Domains
+    absent from ``proportions`` are dropped.
+
+    Per domain the target rate is ``r = proportions[d] * total_tokens /
+    domain_tokens``; every row is replicated ``floor(r)`` times (column
+    ``epoch`` = 0..) and one extra epoch is kept with probability
+    ``frac(r)`` by the usual deterministic hash bucket over
+    ``(salt, epoch, id)`` — so the decision for every (row, epoch)
+    depends only on (salt, id, epoch, the domain totals), reruns and
+    engines agree, and growing a domain only re-rates that domain.
+    Token accounting is whitespace tokens (the packing operator's
+    convention).
+
+    Scale shape: one map-side-combinable per-domain token agg, folded
+    back via a broadcast (a mixture has dozens of domains, never
+    millions); replication is a narrow ``explode(sequence(...))``
+    with zero shuffle; no row of the fact table moves. The expected
+    token count per domain converges to the target at corpus scale
+    (per-row sampling is exact-in-expectation, like every hash-bucket
+    operator here).
+
+    Returns the mixed rows with ``epoch`` (bigint) added — downstream
+    packing treats (id, epoch) as the sequence identity.
+    """
+    rates = {d: float(p) for d, p in proportions.items()}
+    totals = (
+        df.where(F.col(domain_col).isin(*rates.keys()))
+        .groupBy(domain_col)
+        .agg(F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("double").alias("_domain_tokens"))
+    )
+    prop = F.lit(0.0)
+    for d, p in sorted(rates.items()):
+        prop = F.when(F.col(domain_col) == d, F.lit(p)).otherwise(prop)
+    rate = prop * F.lit(float(total_tokens)) / F.col("_domain_tokens")
+    epoch_id = F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col(id_col).cast("string"))
+    # epochs 0..floor(r)-1 are whole replicas; epoch floor(r) is the
+    # fractional one, kept with probability frac(r) per (salt, epoch, id)
+    keep = (F.col("epoch") < F.floor(F.col("_rate"))) | (
+        (F.col("epoch") == F.floor(F.col("_rate")))
+        & (
+            hash_bucket(epoch_id, salt, mode)
+            < (F.lit(float(_BUCKETS)) * (F.col("_rate") - F.floor(F.col("_rate")))).cast("bigint")
+        )
+    )
+    return (
+        df.join(F.broadcast(totals), domain_col)
+        .withColumn("_rate", rate)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0).cast("long"), F.floor(F.col("_rate")).cast("long"))))
+        .where(keep)
+        .drop("_domain_tokens", "_rate")
+        .withColumn("epoch", F.col("epoch").cast("bigint"))
+    )

@@ -287,3 +287,47 @@ def test_dsir_gumbel_salt_perturbs_selection_not_weights(spark):
     assert len(set(w1.values())) == 1  # identical text -> identical weight
     assert len(s_a) == len(s_b) == 5
     assert s_a != s_b  # different salt -> different resample universe
+
+
+def test_domain_mix_hits_target_token_proportions(spark):
+    from fundus_spark.operators import domain_mix
+
+    # web: 4000 docs x 10 tokens = 40k tokens; books: 400 x 10 = 4k;
+    # code: 1000 x 10 = 10k (dropped — not in the mixture)
+    rows = (
+        [(i, "web", " ".join("w%d" % j for j in range(10))) for i in range(4000)]
+        + [(10_000 + i, "books", " ".join("b%d" % j for j in range(10))) for i in range(400)]
+        + [(20_000 + i, "code", " ".join("c%d" % j for j in range(10))) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = domain_mix(df, {"web": 0.5, "books": 0.5}, total_tokens=16_000)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # web target 8k tokens / 40k available -> rate 0.2 -> ~800 docs
+    assert abs(got["web"] - 800) < 80
+    # books target 8k / 4k available -> rate 2.0 -> exactly 2 epochs each
+    assert got["books"] == 800
+    assert "code" not in got
+    ep = {r["source"]: r["m"] for r in out.groupBy("source").agg(F.max("epoch").alias("m")).collect()}
+    assert ep["web"] == 0 and ep["books"] == 1
+    # deterministic
+    a = sorted((r.doc_id, r.epoch) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.epoch)
+        for r in domain_mix(df, {"web": 0.5, "books": 0.5}, total_tokens=16_000).collect()
+    )
+    assert a == b
+
+
+def test_domain_mix_fractional_epoch_is_partial(spark):
+    from fundus_spark.operators import domain_mix
+
+    rows = [(i, "d", " ".join("t%d" % j for j in range(10))) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # rate = 25000 / 10000 = 2.5: epochs 0,1 full; epoch 2 for ~half
+    out = domain_mix(df, {"d": 1.0}, total_tokens=25_000)
+    per_epoch = {r.epoch: r.n for r in out.groupBy("epoch").agg(F.count("*").alias("n")).collect()}
+    assert per_epoch[0] == 1000 and per_epoch[1] == 1000
+    assert 400 < per_epoch[2] < 600
+    # the fractional epoch keeps a proper subset chosen per (salt, epoch, id)
+    tok = out.agg(F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("t")).collect()[0].t
+    assert abs(tok - 25_000) < 1_000
