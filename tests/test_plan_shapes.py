@@ -185,3 +185,31 @@ def test_gopher_and_c4_filters_are_zero_shuffle(spark, entry):
     for name in ("gopher_quality", "c4_page_filter"):
         plan = _plan(entry.queries()[name](spark, SF_DIR))
         assert "Exchange" not in plan, name
+
+
+def test_dsir_ratio_join_is_broadcast_no_self_join(spark, entry):
+    """DSIR's scoring join must broadcast the bounded ratio table (at
+    most n_buckets rows) onto the raw instance relation — never
+    sort-merge it — and nothing in the plan may join the raw corpus to
+    itself (no pair explosion at any corpus size)."""
+    df = entry.queries()["dsir_select"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only SortMergeJoin-eligible relation pair is instances x
+    # ratio; with the ratio broadcast there must be none at all
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_mix_fact_side_never_shuffles(spark, entry):
+    """domain_mix: the per-domain totals aggregate (tiny) is folded
+    back by broadcast; the fact table itself is scan -> broadcast-join
+    -> explode -> filter with no Exchange on its side. The only
+    exchanges allowed are the aggregation of the totals relation."""
+    df = entry.extra_queries()["domain_mix"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # both exchanges in the plan belong to the totals aggregation
+    # (partial -> final); the fact scan feeds the broadcast join direct
+    assert plan.count("Exchange") <= 2
