@@ -331,3 +331,23 @@ def test_domain_mix_fractional_epoch_is_partial(spark):
     # the fractional epoch keeps a proper subset chosen per (salt, epoch, id)
     tok = out.agg(F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("t")).collect()[0].t
     assert abs(tok - 25_000) < 1_000
+
+
+def test_domain_mix_domains_are_independent(spark):
+    """Growing one domain re-rates ONLY that domain: every other
+    domain's (doc_id, epoch) decisions are untouched — the per-domain
+    analogue of the hash-bucket growth-stability contract, and the
+    property that lets a 100 TB mixture be rebuilt incrementally when
+    a single domain's corpus is refreshed."""
+    from fundus_spark.operators import domain_mix
+
+    base = [(i, "a", " ".join("a%d" % j for j in range(10))) for i in range(300)] + [
+        (1000 + i, "b", " ".join("b%d" % j for j in range(10))) for i in range(300)
+    ]
+    grown = base + [(2000 + i, "b", " ".join("x%d" % j for j in range(10))) for i in range(300)]
+    props = {"a": 0.5, "b": 0.5}
+    df1 = spark.createDataFrame(base, "doc_id long, source string, text string")
+    df2 = spark.createDataFrame(grown, "doc_id long, source string, text string")
+    mix1 = {(r.doc_id, r.epoch) for r in domain_mix(df1, props, 4000).collect() if r.source == "a"}
+    mix2 = {(r.doc_id, r.epoch) for r in domain_mix(df2, props, 4000).collect() if r.source == "a"}
+    assert mix1 == mix2 and mix1
