@@ -54,6 +54,7 @@ class CurateJobResult:
     stages_run: List[str] = field(default_factory=list)
     stages_resumed: List[str] = field(default_factory=list)
     rows_out: int = 0
+    frozen_store: Optional[str] = None
 
 
 def _manifest_path(workdir: str) -> str:
@@ -90,11 +91,21 @@ def run_curate_job(
     lsh_bands: int = 4,
     shingle_k: int = 4,
     hash_mode: str = "md5",
+    freeze_state: bool = False,
+    freeze_buckets: int = 64,
 ) -> CurateJobResult:
     """Runs the curation chain with each stage written to
     ``{workdir}/{stage}`` and committed to the job manifest; committed
     stages are read back, not recomputed. Deterministic inputs +
-    parameters mean a resumed run produces the identical corpus."""
+    parameters mean a resumed run produces the identical corpus.
+
+    ``freeze_state=True`` adds a final committed stage that writes the
+    curated corpus's dedup state (exact fingerprints + LSH band
+    relation, same lsh/shingle/hash parameters as this run) to
+    ``{workdir}/frozen_state`` as bucketed tables via
+    :mod:`plans.frozen_store` — the handoff that turns this full run
+    into the frozen side of every later :func:`plans.curate.curate_increment`
+    append without recomputing or re-shuffling corpus state."""
     os.makedirs(workdir, exist_ok=True)
     done = _committed_stages(workdir)
     result = CurateJobResult(workdir=workdir)
@@ -151,4 +162,24 @@ def run_curate_job(
 
     final = _stage("final", _build_final)
     result.rows_out = final.count()
+
+    if freeze_state:
+        from .frozen_store import write_frozen_state
+
+        store = os.path.join(workdir, "frozen_state")
+        if "frozen" in done:
+            result.stages_resumed.append("frozen")
+        else:
+            write_frozen_state(
+                final,
+                store,
+                n_perm=lsh_perm,
+                bands=lsh_bands,
+                k=shingle_k,
+                hash_mode=hash_mode,
+                num_buckets=freeze_buckets,
+            )
+            _commit_stage(workdir, "frozen")
+            result.stages_run.append("frozen")
+        result.frozen_store = store
     return result

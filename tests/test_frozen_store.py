@@ -180,3 +180,28 @@ def test_write_is_idempotent_overwrite(spark, tmp_path):
     fps, bands, _ = read_frozen_state(spark, store)
     assert fps.count() == exact_dedup(frozen).count()
     assert bands.count() == band_relation(frozen).count()
+
+
+def test_curate_job_freeze_then_increment_lifecycle(spark, tmp_path):
+    """The full -> incremental handoff: run_curate_job(freeze_state=True)
+    commits a frozen_state stage; a later curate_increment probing the
+    store's relations equals one probing the final corpus inline — and
+    a resumed job re-reads the committed freeze instead of rewriting."""
+    from fundus_spark.plans import curate_increment, run_curate_job
+
+    frozen_docs = _frozen_docs(spark)
+    wd = str(tmp_path / "job")
+    r1 = run_curate_job(spark, frozen_docs, wd, jaccard_threshold=0.2, freeze_state=True)
+    assert "frozen" in r1.stages_run and r1.frozen_store
+    r2 = run_curate_job(spark, frozen_docs, wd, jaccard_threshold=0.2, freeze_state=True)
+    assert "frozen" in r2.stages_resumed and r2.frozen_store == r1.frozen_store
+
+    corpus = spark.read.parquet(str(tmp_path / "job" / "final"))
+    fps, bands, _ = read_frozen_state(spark, r1.frozen_store)
+    new = _new_docs(spark)
+    key = lambda r: (r.doc_id, r.cluster_id, r.split)  # noqa: E731
+    got = curate_increment(
+        new, corpus, frozen_fps=fps, frozen_bands=bands, jaccard_threshold=0.2
+    )
+    want = curate_increment(new, corpus, jaccard_threshold=0.2)
+    assert {key(r) for r in got.collect()} == {key(r) for r in want.collect()}
