@@ -171,13 +171,18 @@ def test_span_dedup_shuffle_budget(spark, entry):
 
 
 def test_dup_substring_spans_reuses_window_partitioning(spark, entry):
-    """dup_substring_spans: 2 fp exchanges (count agg + probe) and ONE
-    doc_id exchange — the final per-doc span aggregation must reuse
-    the gaps-and-islands window's partitioning, not re-shuffle."""
+    """dup_substring_spans: 2 fp exchanges (count agg + probe), and
+    exactly TWO doc_id exchanges — one feeding the winnowing
+    selection's sliding-min window (round 6: the hash/winnow stage is
+    exploded relational algebra, 4x the interpreted-HOF throughput, at
+    the price of this doc-partitioned window), one feeding the
+    gaps-and-islands window after the fp probe join; the final per-doc
+    span aggregation must reuse the islands window's partitioning, not
+    re-shuffle."""
     df = entry.queries()["dup_substring_spans"](spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning(fp") <= 2
-    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert plan.count("Exchange hashpartitioning(doc_id") == 2
     assert "CartesianProduct" not in plan
 
 
