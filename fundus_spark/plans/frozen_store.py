@@ -40,7 +40,8 @@ import json
 import os
 from typing import Optional, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import band_relation, exact_dedup
 
@@ -164,3 +165,178 @@ def read_frozen_state(
     fps = spark.table(manifest["tables"]["fps"]["table"])
     bnd = spark.table(manifest["tables"]["bands"]["table"])
     return fps, bnd, manifest
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: an APPEND-ONLY bucketed store whose rows are keyed
+# by the corpus part (per-batch directory / flat file) they derive
+# from. The continuous-curation loop appends each committed batch's
+# fp/band rows after the corpus commit, and probes read only rows whose
+# part is actually present in the corpus listing — so
+#
+# * a re-delivered trigger excludes its own part (same contract as the
+#   corpus read) and its re-append writes byte-identical rows
+#   (recompute is deterministic), making duplicates harmless to the
+#   duplicate-insensitive probes (anti-join / distinct candidates);
+# * a crash AFTER the stream checkpoint commit but before the store
+#   append leaves a corpus part with no store rows — the next trigger
+#   detects it (corpus listing vs store manifest) and computes that
+#   part's relations on the fly, then the commit path re-appends it:
+#   self-healing, no correctness window;
+# * stale store rows for a part whose corpus directory was deleted
+#   (an attempt that recomputed to zero rows) are excluded by the
+#   presence filter automatically.
+# ---------------------------------------------------------------------------
+
+_STREAM_PARTS = "_STREAM_PARTS.json"
+
+
+def _stream_manifest_path(store_path: str) -> str:
+    return os.path.join(store_path, _STREAM_PARTS)
+
+
+def _stream_parts(store_path: str) -> dict:
+    path = _stream_manifest_path(store_path)
+    if not os.path.exists(path):
+        return {"num_buckets": None, "lsh": None, "parts": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _commit_stream_parts(store_path: str, manifest: dict) -> None:
+    os.makedirs(store_path, exist_ok=True)
+    tmp = _stream_manifest_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, _stream_manifest_path(store_path))
+
+
+def _stream_tables(store_path: str) -> dict:
+    prefix = _table_prefix(store_path) + "_stream"
+    return {
+        "fps": {
+            "table": f"{prefix}_fps",
+            "path": os.path.join(store_path, "stream_fps"),
+            "bucket_cols": ("fp",),
+            "ddl": "fp string, part string",
+        },
+        "bands": {
+            "table": f"{prefix}_bands",
+            "path": os.path.join(store_path, "stream_bands"),
+            "bucket_cols": ("band", "key"),
+            "ddl": "doc_id bigint, band int, key string, part string",
+        },
+    }
+
+
+def _register_stream_tables(spark: SparkSession, store_path: str, num_buckets: int) -> dict:
+    tables = _stream_tables(store_path)
+    for spec in tables.values():
+        if spark.catalog.tableExists(spec["table"]):
+            continue
+        if not os.path.exists(spec["path"]):
+            continue  # nothing written yet; saveAsTable will create it
+        cols = ", ".join(spec["bucket_cols"])
+        spark.sql(
+            f"CREATE TABLE {spec['table']} ({spec['ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({cols}) SORTED BY ({cols}) INTO {num_buckets} BUCKETS "
+            f"LOCATION '{os.path.abspath(spec['path'])}'"
+        )
+    return tables
+
+
+def _part_relations(
+    docs: DataFrame, part: Column, lsh: dict
+) -> Tuple[DataFrame, DataFrame]:
+    fps = exact_dedup(docs).select("fp").withColumn("part", part)
+    bnd = band_relation(
+        docs, n_perm=lsh["n_perm"], bands=lsh["bands"], k=lsh["k"], hash_mode=lsh["hash_mode"]
+    ).withColumn("part", part)
+    return fps, bnd
+
+
+def append_frozen_parts(
+    spark: SparkSession,
+    store_path: str,
+    part_docs: dict,
+    n_perm: int = 8,
+    bands: int = 4,
+    k: int = 4,
+    hash_mode: str = "md5",
+    num_buckets: int = 64,
+) -> None:
+    """Append the fp/band relations of the given corpus parts
+    (``{part_name: docs DataFrame}``) to the streaming store. First
+    call creates the bucketed tables; later calls append with the same
+    bucket spec. LSH parameters are pinned by the first append — a
+    mismatch raises rather than silently mixing incompatible band
+    keys."""
+    manifest = _stream_parts(store_path)
+    lsh = {"n_perm": n_perm, "bands": bands, "k": k, "hash_mode": hash_mode}
+    if manifest["lsh"] is not None and manifest["lsh"] != lsh:
+        raise ValueError(
+            f"streaming store at {store_path} was created with lsh={manifest['lsh']}, "
+            f"append requested lsh={lsh}"
+        )
+    if manifest["num_buckets"] is not None:
+        num_buckets = manifest["num_buckets"]
+    tables = _register_stream_tables(spark, store_path, num_buckets)
+    for name, docs in part_docs.items():
+        fps, bnd = _part_relations(docs, F.lit(name), lsh)
+        for df, spec in ((fps, tables["fps"]), (bnd, tables["bands"])):
+            (
+                df.write.mode("append")
+                .format("parquet")
+                .bucketBy(num_buckets, *spec["bucket_cols"])
+                .sortBy(*spec["bucket_cols"])
+                .option("path", spec["path"])
+                .saveAsTable(spec["table"])
+            )
+    manifest["lsh"] = lsh
+    manifest["num_buckets"] = num_buckets
+    manifest["parts"] = sorted(set(manifest["parts"]) | set(part_docs))
+    _commit_stream_parts(store_path, manifest)
+
+
+def stream_frozen_relations(
+    spark: SparkSession,
+    store_path: str,
+    corpus_parts: dict,
+    n_perm: int = 8,
+    bands: int = 4,
+    k: int = 4,
+    hash_mode: str = "md5",
+) -> Tuple[Optional[DataFrame], Optional[DataFrame], list]:
+    """Assemble ``(frozen_fps, frozen_bands, missing_parts)`` for the
+    corpus parts in ``corpus_parts`` (``{part_name: docs DataFrame}``,
+    already excluding the probing batch's own part). Parts present in
+    the store read from the bucketed tables (filtered to exactly the
+    live part set — stale rows of deleted parts drop out here); parts
+    the store has not absorbed yet are computed from their text on the
+    fly and unioned in (the self-heal path; callers re-append them at
+    commit time). Returns ``(None, None, [])`` when there are no parts
+    at all. When nothing is missing, the returned relations are pure
+    bucketed scans — the probe joins run with zero frozen-side
+    shuffle in the sort-merge regime."""
+    if not corpus_parts:
+        return None, None, []
+    manifest = _stream_parts(store_path)
+    lsh = {"n_perm": n_perm, "bands": bands, "k": k, "hash_mode": hash_mode}
+    if manifest["lsh"] is not None and manifest["lsh"] != lsh:
+        raise ValueError(
+            f"streaming store at {store_path} was created with lsh={manifest['lsh']}, "
+            f"probe requested lsh={lsh}"
+        )
+    stored = set(manifest["parts"]) & set(corpus_parts)
+    missing = sorted(set(corpus_parts) - stored)
+    fps = bnd = None
+    if stored:
+        tables = _register_stream_tables(spark, store_path, manifest["num_buckets"] or 64)
+        live = sorted(stored)
+        fps = spark.table(tables["fps"]["table"]).where(F.col("part").isin(live))
+        bnd = spark.table(tables["bands"]["table"]).where(F.col("part").isin(live))
+    for name in missing:
+        mfps, mbnd = _part_relations(corpus_parts[name], F.lit(name), lsh)
+        fps = mfps if fps is None else fps.unionByName(mfps)
+        bnd = mbnd if bnd is None else bnd.unionByName(mbnd)
+    return fps, bnd, missing

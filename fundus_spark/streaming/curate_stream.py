@@ -158,6 +158,18 @@ def _stream_id(spark: SparkSession, checkpoint_path: str) -> str:
     return sid
 
 
+def _store_lsh(curate_kwargs: dict) -> dict:
+    """The LSH parameters curate_increment will use, in the streaming
+    store's vocabulary — the store pins them so a probe/append with
+    different banding fails loudly instead of mixing key spaces."""
+    return {
+        "n_perm": curate_kwargs.get("lsh_perm", 8),
+        "bands": curate_kwargs.get("lsh_bands", 4),
+        "k": curate_kwargs.get("shingle_k", 4),
+        "hash_mode": curate_kwargs.get("hash_mode", "md5"),
+    }
+
+
 def curate_batch_into_corpus(
     spark: SparkSession,
     batch: DataFrame,
@@ -165,6 +177,7 @@ def curate_batch_into_corpus(
     benchmark: Optional[DataFrame] = None,
     batch_id: Optional[int] = None,
     stream_id: Optional[str] = None,
+    frozen_store_path: Optional[str] = None,
     **curate_kwargs,
 ) -> int:
     """Curate one batch of new documents against the corpus at
@@ -195,11 +208,39 @@ def curate_batch_into_corpus(
     Without ``batch_id`` (direct calls) the survivors append as flat
     files; re-running the SAME batch twice then appends nothing
     because the first run's survivors are in the frozen side and the
-    exact-fingerprint stage drops them."""
+    exact-fingerprint stage drops them.
+
+    ``frozen_store_path`` (streaming path only) switches the frozen
+    fp/band probes to the append-only bucketed streaming store
+    (:func:`plans.frozen_store.stream_frozen_relations`): each
+    committed batch's relations are appended after the corpus commit,
+    so steady-state triggers never recompute minhashes over corpus
+    text and never shuffle the frozen side; corpus parts the store has
+    not absorbed yet (a crash landed the corpus commit but not the
+    store append, or pre-existing flat files) are computed on the fly
+    for this trigger and re-appended at this trigger's commit —
+    self-healing with no correctness window. Corpus text is still the
+    verify-stage source, read only for band-candidate docs."""
     tag = None if batch_id is None else f"{stream_id or 'direct'}-{batch_id}"
     frozen = _read_corpus(spark, corpus_path, exclude_batch=tag)
     if frozen is None:
         frozen = spark.createDataFrame([], CORPUS_SCHEMA)
+    store_missing: list = []
+    part_docs: dict = {}
+    if frozen_store_path is not None and batch_id is not None:
+        from ..plans.frozen_store import stream_frozen_relations
+
+        lsh = _store_lsh(curate_kwargs)
+        parts = _corpus_parts(spark, corpus_path, exclude_batch=tag) or []
+        part_docs = {
+            p.rstrip("/").rsplit("/", 1)[-1]: spark.read.schema(CORPUS_SCHEMA).parquet(p)
+            for p in parts
+        }
+        fps, bnds, store_missing = stream_frozen_relations(
+            spark, frozen_store_path, part_docs, **lsh
+        )
+        if fps is not None:
+            curate_kwargs = {**curate_kwargs, "frozen_fps": fps, "frozen_bands": bnds}
     curated = curate_increment(batch, frozen, benchmark=benchmark, **curate_kwargs)
     # materialize the curated increment ONCE: count + write would
     # otherwise each execute the post-checkpoint stages
@@ -231,6 +272,22 @@ def curate_batch_into_corpus(
         # recompute says this batch contributes nothing — clear the
         # partial/stale directory a crashed attempt may have left
         fs.delete(final, True)
+    if frozen_store_path is not None:
+        # absorb AFTER the corpus commit: this batch's survivors plus
+        # any part the probe had to compute on the fly (self-heal). A
+        # crash before this append leaves the corpus part un-absorbed,
+        # which the next trigger detects and heals; a re-delivered
+        # append writes byte-identical rows (deterministic recompute),
+        # which the duplicate-insensitive probes ignore.
+        from ..plans.frozen_store import append_frozen_parts
+
+        to_absorb = {name: part_docs[name] for name in store_missing}
+        if n:
+            to_absorb[f"batch-{tag}"] = out
+        if to_absorb:
+            append_frozen_parts(
+                spark, frozen_store_path, to_absorb, **_store_lsh(curate_kwargs)
+            )
     return n
 
 
@@ -242,6 +299,7 @@ def continuous_curation(
     benchmark: Optional[DataFrame] = None,
     max_files_per_trigger: int = 1,
     trigger: Optional[dict] = None,
+    frozen_store_path: Optional[str] = None,
     **curate_kwargs,
 ):
     """readStream over a document drop directory -> per-micro-batch
@@ -255,6 +313,13 @@ def continuous_curation(
     excludes its own ``batch-<id>`` directory from the frozen side and
     atomically replaces it — exactly-once corpus content without
     dedup-on-read (see :func:`curate_batch_into_corpus`).
+
+    ``frozen_store_path`` activates the append-only bucketed fp/band
+    store for the frozen-side probes (see
+    :func:`curate_batch_into_corpus`): steady-state triggers stop
+    recomputing corpus minhashes and the probe joins stop shuffling
+    the frozen side — the difference between O(batch) and O(corpus)
+    work per trigger once the corpus dwarfs the batches.
 
     ``trigger`` is passed verbatim to ``DataStreamWriter.trigger``:
     the default ``{"availableNow": True}`` drains currently-available
@@ -276,6 +341,7 @@ def continuous_curation(
             benchmark=benchmark,
             batch_id=batch_id,
             stream_id=stream_id,
+            frozen_store_path=frozen_store_path,
             **curate_kwargs,
         )
 

@@ -370,3 +370,145 @@ def test_fresh_checkpoint_never_clobbers_prior_stream_commits(spark, tmp_path):
 
     # restarting checkpoint 1 reads the SAME id back (redelivery safety)
     assert _stream_id(spark, str(tmp_path / "ckpt1")) == sid1
+
+
+def test_streaming_frozen_store_matches_recompute_path(spark, tmp_path):
+    """The store-backed loop must commit the exact same corpus as the
+    recompute-per-trigger loop, absorb every committed part into the
+    store, and serve steady-state probes from pure bucketed scans."""
+    from fundus_spark.plans.frozen_store import _stream_parts, stream_frozen_relations
+    from fundus_spark.streaming import curate_batch_into_corpus, read_corpus
+
+    schema = "doc_id long, source string, text string"
+    base = " ".join("alpha%d beta%d gamma%d" % (j, j, j) for j in range(12))
+    fresh = " ".join("delta%d eps%d zeta%d" % (j, j, j) for j in range(12))
+    later = " ".join("iota%d kappa%d lam%d" % (j, j, j) for j in range(12))
+    b1 = [(1, "s1", base), (2, "s1", fresh)]
+    b2 = [(10, "s1", base.replace("alpha3", "changed3")), (11, "s1", later)]
+
+    store = str(tmp_path / "store")
+    with_store = str(tmp_path / "corpus_store")
+    without = str(tmp_path / "corpus_plain")
+    for bid, rows in enumerate((b1, b2)):
+        df = spark.createDataFrame(rows, schema)
+        n_a = curate_batch_into_corpus(
+            spark, df, with_store, batch_id=bid, frozen_store_path=store, jaccard_threshold=0.2
+        )
+        n_b = curate_batch_into_corpus(spark, df, without, batch_id=bid, jaccard_threshold=0.2)
+        assert n_a == n_b
+    got = {r.doc_id for r in read_corpus(spark, with_store).collect()}
+    assert got == {r.doc_id for r in read_corpus(spark, without).collect()} == {1, 2, 11}
+
+    # every committed corpus part is absorbed
+    manifest = _stream_parts(store)
+    assert set(manifest["parts"]) >= {"batch-direct-0", "batch-direct-1"}
+    # steady-state probe: nothing missing, relations are catalog scans
+    parts = {
+        "batch-direct-0": spark.read.schema(schema).parquet(with_store + "/batch-direct-0"),
+        "batch-direct-1": spark.read.schema(schema).parquet(with_store + "/batch-direct-1"),
+    }
+    fps, bands, missing = stream_frozen_relations(spark, store, parts)
+    assert missing == []
+    # bucketing proof: aggregating on the bucket keys needs NO exchange
+    # (the bucketed scan already satisfies the distribution) — the same
+    # property that makes the probe joins frozen-side-shuffle-free
+    fp_agg = fps.groupBy("fp").count()
+    assert "Exchange" not in fp_agg._jdf.queryExecution().executedPlan().toString()
+    bk_agg = bands.groupBy("band", "key").count()
+    assert "Exchange" not in bk_agg._jdf.queryExecution().executedPlan().toString()
+    assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == {1, 2, 11}
+
+
+def test_streaming_frozen_store_self_heals_unabsorbed_parts(spark, tmp_path):
+    """A corpus part committed WITHOUT the store (crash after corpus
+    commit but before store append, or a pre-existing corpus) is
+    computed on the fly for the probe and absorbed at the trigger's
+    commit — and near-dup absorption against that part still works."""
+    from fundus_spark.plans.frozen_store import _stream_parts
+    from fundus_spark.streaming import curate_batch_into_corpus, read_corpus
+
+    schema = "doc_id long, source string, text string"
+    base = " ".join("tok%d word%d item%d" % (j, j, j) for j in range(12))
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    # batch 0 commits with NO store (simulates the crash window)
+    assert curate_batch_into_corpus(
+        spark, spark.createDataFrame([(1, "s", base)], schema), corpus, batch_id=0
+    ) == 1
+    assert _stream_parts(store)["parts"] == []
+    # batch 1 probes via the store: near-dup of frozen doc 1 absorbed,
+    # fresh doc survives, and BOTH parts are absorbed afterwards
+    b1 = spark.createDataFrame(
+        [
+            (10, "s", base.replace("tok3", "changed3")),
+            (11, "s", " ".join("new%d words%d here%d" % (j, j, j) for j in range(12))),
+        ],
+        schema,
+    )
+    assert (
+        curate_batch_into_corpus(
+            spark, b1, corpus, batch_id=1, frozen_store_path=store, jaccard_threshold=0.2
+        )
+        == 1
+    )
+    assert sorted(r.doc_id for r in read_corpus(spark, corpus).collect()) == [1, 11]
+    assert set(_stream_parts(store)["parts"]) == {"batch-direct-0", "batch-direct-1"}
+
+
+def test_streaming_frozen_store_redelivery_stays_exactly_once(spark, tmp_path):
+    """Redelivery with the store active (corpus + store committed,
+    checkpoint was not): the re-run excludes its own part from BOTH
+    the corpus read and the store probe, recomputes identically, and
+    the corpus ends with zero duplicate doc_ids."""
+    from fundus_spark.streaming import curate_batch_into_corpus, read_corpus
+
+    schema = "doc_id long, source string, text string"
+    base = " ".join("mmm%d nnn%d ooo%d" % (j, j, j) for j in range(12))
+    other = " ".join("ppp%d qqq%d rrr%d" % (j, j, j) for j in range(12))
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame([(1, "s", base)], schema)
+    b1 = spark.createDataFrame([(2, "s", other)], schema)
+    kw = dict(frozen_store_path=store, jaccard_threshold=0.2)
+    assert curate_batch_into_corpus(spark, b0, corpus, batch_id=0, **kw) == 1
+    assert curate_batch_into_corpus(spark, b1, corpus, batch_id=1, **kw) == 1
+    # redelivery of batch 1
+    assert curate_batch_into_corpus(spark, b1, corpus, batch_id=1, **kw) == 1
+    assert sorted(r.doc_id for r in read_corpus(spark, corpus).collect()) == [1, 2]
+    # an all-dup redelivered batch commits nothing and leaves no part
+    dup = spark.createDataFrame([(9, "s", base)], schema)
+    assert curate_batch_into_corpus(spark, dup, corpus, batch_id=2, **kw) == 0
+    assert sorted(r.doc_id for r in read_corpus(spark, corpus).collect()) == [1, 2]
+
+
+def test_continuous_curation_with_frozen_store(spark, tmp_path):
+    """End-to-end streaming query with frozen_store_path: same corpus
+    as the storeless stream, store absorbs every batch."""
+    import time
+
+    from fundus_spark.plans.frozen_store import _stream_parts
+    from fundus_spark.streaming import continuous_curation, read_corpus
+
+    schema = "doc_id long, source string, text string"
+    base = " ".join("aa%d bb%d cc%d" % (j, j, j) for j in range(12))
+    b1 = [(1, "s1", base), (2, "s1", " ".join("dd%d ee%d ff%d" % (j, j, j) for j in range(12)))]
+    b2 = [(10, "s1", base.replace("aa3", "zz3")), (11, "s1", " ".join("gg%d hh%d ii%d" % (j, j, j) for j in range(12)))]
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(inp)
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    query = continuous_curation(
+        spark,
+        input_path=inp,
+        corpus_path=corpus,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        frozen_store_path=store,
+        jaccard_threshold=0.2,
+    )
+    query.awaitTermination(120)
+    assert not query.isActive
+    assert {r.doc_id for r in read_corpus(spark, corpus).collect()} == {1, 2, 11}
+    assert len(_stream_parts(store)["parts"]) == 2
