@@ -108,3 +108,59 @@ def test_contamination_matches_set_algebra(spark, corpus_tokens, bench_tokens, k
         if shared:
             want[i] = shared
     assert got == want
+
+
+def _reference_winnow(text, k, window):
+    """Brute-force MOSS winnowing with positions: every window of
+    ``window`` consecutive k-gram hashes selects its minimum, ties to
+    the FIRST occurrence; returns the distinct (fp, pos) set (1-based
+    positions into the normalized text)."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text).strip()
+    if len(t) < k:
+        return set()
+    hashes = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    n_windows = max(len(hashes) - window + 1, 1)
+    out = set()
+    for j in range(n_windows):
+        sl = hashes[j : j + window]
+        mn = min(sl)
+        out.add((mn, j + sl.index(mn) + 1))
+    return out
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_winnowing_positions_match_bruteforce(spark, texts):
+    """The round-6 relational winnowing (codegen hash + sliding
+    min(struct) + lag run-collapse) must equal brute-force winnowing on
+    arbitrary strings — in particular the run-collapse step, which
+    relies on selections of one (fp, pos) being contiguous. The tiny
+    'ab c' alphabet forces heavy hash ties and repeated grams."""
+    from fundus_spark.operators import winnowing_fingerprints
+
+    k, window = 3, 4
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp, r.pos)
+        for r in winnowing_fingerprints(df, k=k, window=window, max_chars=64, emit_positions=True).collect()
+    }
+    want = {
+        (i, fp, pos)
+        for i, t in enumerate(texts)
+        for (fp, pos) in _reference_winnow(t[:9999], k, window)
+    }
+    # reference normalizes the raw text; operator clips AFTER
+    # normalizing to 64 chars — inputs are <= 40 chars so no clip
+    assert got == want
