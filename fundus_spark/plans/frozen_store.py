@@ -198,9 +198,11 @@ def _stream_manifest_path(store_path: str) -> str:
 def _stream_parts(store_path: str) -> dict:
     path = _stream_manifest_path(store_path)
     if not os.path.exists(path):
-        return {"num_buckets": None, "lsh": None, "parts": []}
+        return {"num_buckets": None, "lsh": None, "parts": [], "generation": 0}
     with open(path) as f:
-        return json.load(f)
+        manifest = json.load(f)
+    manifest.setdefault("generation", 0)
+    return manifest
 
 
 def _commit_stream_parts(store_path: str, manifest: dict) -> None:
@@ -211,26 +213,32 @@ def _commit_stream_parts(store_path: str, manifest: dict) -> None:
     os.replace(tmp, _stream_manifest_path(store_path))
 
 
-def _stream_tables(store_path: str) -> dict:
+def _stream_tables(store_path: str, generation: int = 0) -> dict:
+    # compaction bumps the generation: tables/dirs are suffixed so a
+    # compacted store swaps in atomically at the manifest commit and a
+    # crashed compaction leaves only orphan next-gen directories
+    suffix = "" if generation == 0 else f"_g{generation}"
     prefix = _table_prefix(store_path) + "_stream"
     return {
         "fps": {
-            "table": f"{prefix}_fps",
-            "path": os.path.join(store_path, "stream_fps"),
+            "table": f"{prefix}_fps{suffix}",
+            "path": os.path.join(store_path, f"stream_fps{suffix}"),
             "bucket_cols": ("fp",),
             "ddl": "fp string, part string",
         },
         "bands": {
-            "table": f"{prefix}_bands",
-            "path": os.path.join(store_path, "stream_bands"),
+            "table": f"{prefix}_bands{suffix}",
+            "path": os.path.join(store_path, f"stream_bands{suffix}"),
             "bucket_cols": ("band", "key"),
             "ddl": "doc_id bigint, band int, key string, part string",
         },
     }
 
 
-def _register_stream_tables(spark: SparkSession, store_path: str, num_buckets: int) -> dict:
-    tables = _stream_tables(store_path)
+def _register_stream_tables(
+    spark: SparkSession, store_path: str, num_buckets: int, generation: int = 0
+) -> dict:
+    tables = _stream_tables(store_path, generation)
     for spec in tables.values():
         if spark.catalog.tableExists(spec["table"]):
             continue
@@ -280,7 +288,7 @@ def append_frozen_parts(
         )
     if manifest["num_buckets"] is not None:
         num_buckets = manifest["num_buckets"]
-    tables = _register_stream_tables(spark, store_path, num_buckets)
+    tables = _register_stream_tables(spark, store_path, num_buckets, manifest["generation"])
     for name, docs in part_docs.items():
         fps, bnd = _part_relations(docs, F.lit(name), lsh)
         for df, spec in ((fps, tables["fps"]), (bnd, tables["bands"])):
@@ -331,7 +339,9 @@ def stream_frozen_relations(
     missing = sorted(set(corpus_parts) - stored)
     fps = bnd = None
     if stored:
-        tables = _register_stream_tables(spark, store_path, manifest["num_buckets"] or 64)
+        tables = _register_stream_tables(
+            spark, store_path, manifest["num_buckets"] or 64, manifest["generation"]
+        )
         live = sorted(stored)
         fps = spark.table(tables["fps"]["table"]).where(F.col("part").isin(live))
         bnd = spark.table(tables["bands"]["table"]).where(F.col("part").isin(live))
@@ -340,3 +350,50 @@ def stream_frozen_relations(
         fps = mfps if fps is None else fps.unionByName(mfps)
         bnd = mbnd if bnd is None else bnd.unionByName(mbnd)
     return fps, bnd, missing
+
+
+def compact_stream_store(
+    spark: SparkSession, store_path: str, live_parts: Optional[list] = None
+) -> dict:
+    """Offline maintenance for the streaming store: rewrite both tables
+    keeping only rows of ``live_parts`` (default: the manifest's own
+    part list) and dropping exact-duplicate rows left by re-delivered
+    appends. Run while the stream is stopped.
+
+    The rewrite lands in generation-suffixed tables/directories; the
+    manifest commit (atomic rename) is the swap point — the stream's
+    next trigger reads the new generation, probes are never exposed to
+    a half-written rewrite, and a crash mid-compaction leaves only
+    orphan next-generation directories (re-running cleans them by
+    overwriting). Old-generation directories are deleted after the
+    commit. Returns the new manifest."""
+    import shutil
+
+    manifest = _stream_parts(store_path)
+    if manifest["num_buckets"] is None:
+        raise ValueError(f"no streaming store at {store_path}")
+    live = sorted(set(manifest["parts"] if live_parts is None else live_parts))
+    old_gen, new_gen = manifest["generation"], manifest["generation"] + 1
+    old_tables = _register_stream_tables(spark, store_path, manifest["num_buckets"], old_gen)
+    new_tables = _stream_tables(store_path, new_gen)
+    for key in ("fps", "bands"):
+        src, dst = old_tables[key], new_tables[key]
+        rows = (
+            spark.table(src["table"]).where(F.col("part").isin(live)).dropDuplicates()
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {dst['table']}")
+        (
+            rows.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(manifest["num_buckets"], *dst["bucket_cols"])
+            .sortBy(*dst["bucket_cols"])
+            .option("path", dst["path"])
+            .saveAsTable(dst["table"])
+        )
+    manifest["generation"] = new_gen
+    manifest["parts"] = live
+    _commit_stream_parts(store_path, manifest)  # the swap point
+    for key in ("fps", "bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {old_tables[key]['table']}")
+        shutil.rmtree(old_tables[key]["path"], ignore_errors=True)
+    return manifest

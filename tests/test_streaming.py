@@ -512,3 +512,62 @@ def test_continuous_curation_with_frozen_store(spark, tmp_path):
     assert not query.isActive
     assert {r.doc_id for r in read_corpus(spark, corpus).collect()} == {1, 2, 11}
     assert len(_stream_parts(store)["parts"]) == 2
+
+
+def test_stream_store_compaction_reclaims_and_preserves_probes(spark, tmp_path):
+    """compact_stream_store drops dead-part rows and duplicate appends,
+    bumps the generation atomically, and the stream keeps working —
+    including a post-compaction trigger and its probe results."""
+    from fundus_spark.plans.frozen_store import (
+        _stream_parts,
+        _stream_tables,
+        append_frozen_parts,
+        compact_stream_store,
+        stream_frozen_relations,
+    )
+    from fundus_spark.streaming import curate_batch_into_corpus, read_corpus
+
+    schema = "doc_id long, source string, text string"
+    base = " ".join("ca%d cb%d cc%d" % (j, j, j) for j in range(12))
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    kw = dict(frozen_store_path=store, jaccard_threshold=0.2)
+    b0 = spark.createDataFrame([(1, "s", base)], schema)
+    b1 = spark.createDataFrame(
+        [(2, "s", " ".join("cd%d ce%d cf%d" % (j, j, j) for j in range(12)))], schema
+    )
+    assert curate_batch_into_corpus(spark, b0, corpus, batch_id=0, **kw) == 1
+    assert curate_batch_into_corpus(spark, b1, corpus, batch_id=1, **kw) == 1
+    # simulate a crashed re-append (duplicate rows) and a dead part
+    append_frozen_parts(spark, store, {"batch-direct-1": b1.select("doc_id", "source", "text")})
+    append_frozen_parts(
+        spark, store, {"batch-ghost-9": spark.createDataFrame([(99, "s", base)], schema)}
+    )
+    live = ["batch-direct-0", "batch-direct-1"]
+    manifest = compact_stream_store(spark, store, live_parts=live)
+    assert manifest["generation"] == 1 and manifest["parts"] == live
+    tables = _stream_tables(store, 1)
+    fps = spark.table(tables["fps"]["table"])
+    # dead part gone, duplicates collapsed: one fp row per live doc
+    assert fps.count() == 2
+    assert {r.part for r in fps.select("part").distinct().collect()} == set(live)
+    # probes still serve from pure bucketed scans after the swap
+    parts = {
+        name: spark.read.schema(schema).parquet(f"{corpus}/{name}") for name in live
+    }
+    fps2, bands2, missing = stream_frozen_relations(spark, store, parts)
+    assert missing == []
+    agg = fps2.groupBy("fp").count()
+    assert "Exchange" not in agg._jdf.queryExecution().executedPlan().toString()
+    # and the NEXT trigger works end-to-end on the compacted store:
+    # a near-dup of frozen doc 1 is absorbed, fresh content survives
+    b2 = spark.createDataFrame(
+        [
+            (10, "s", base.replace("ca3", "zz3")),
+            (11, "s", " ".join("cg%d ch%d ci%d" % (j, j, j) for j in range(12))),
+        ],
+        schema,
+    )
+    assert curate_batch_into_corpus(spark, b2, corpus, batch_id=2, **kw) == 1
+    assert sorted(r.doc_id for r in read_corpus(spark, corpus).collect()) == [1, 2, 11]
+    assert set(_stream_parts(store)["parts"]) == set(live) | {"batch-direct-2"}
