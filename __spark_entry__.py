@@ -2376,7 +2376,11 @@ def _q_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum), a quote-terminated line contributing zero sentence
     terminators (doc_id%3==0 -> some docs fail the >=3-sentence
     document rule), a lorem-ipsum plant (doc_id%7==3), and a
-    curly-brace code plant (doc_id%11==5, also punct-dropped)."""
+    curly-brace code plant (doc_id%11==5, also punct-dropped), and a
+    blocklist plant (doc_id%13==7 embeds 'Crapola', mixed-case, in an
+    otherwise-kept line — exercises the case-insensitive whole-word
+    bad-words rule; 'crap' alone in the %13==9 variant must NOT match,
+    pinning the word boundary)."""
     from fundus_spark.operators import c4_page_filter
 
     docs = _read(spark, sf_dir, "documents")
@@ -2389,11 +2393,13 @@ def _q_c4_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("this filler sentence has exactly seven words!")),
         F.when(did % 7 == 3, F.lit("Lorem Ipsum dolor sit amet placeholder text."))
         .otherwise(F.lit("a regular concluding sentence appears right here?")),
-        F.when(did % 11 == 5, F.lit("code block { int x = 1; }"))
+        F.when(did % 13 == 7, F.lit("this page mentions Crapola somewhere plainly."))
+        .when(did % 13 == 9, F.lit("crapshoot wording appears but not blocked here."))
+        .when(did % 11 == 5, F.lit("code block { int x = 1; }"))
         .otherwise(F.lit("final closing words of the page.")),
     )
     pages = docs.select("doc_id", page.alias("page"))
-    return c4_page_filter(pages)
+    return c4_page_filter(pages, blocklist=["crapola", "verboten"])
 
 
 _C4_PAGE_FILTER_SQL = r"""
@@ -2405,7 +2411,9 @@ WITH pages AS (
                 ELSE 'this filler sentence has exactly seven words!' END || chr(10) ||
            CASE WHEN doc_id % 7 = 3 THEN 'Lorem Ipsum dolor sit amet placeholder text.'
                 ELSE 'a regular concluding sentence appears right here?' END || chr(10) ||
-           CASE WHEN doc_id % 11 = 5 THEN 'code block { int x = 1; }'
+           CASE WHEN doc_id % 13 = 7 THEN 'this page mentions Crapola somewhere plainly.'
+                WHEN doc_id % 13 = 9 THEN 'crapshoot wording appears but not blocked here.'
+                WHEN doc_id % 11 = 5 THEN 'code block { int x = 1; }'
                 ELSE 'final closing words of the page.' END AS page
     FROM documents
 ),
@@ -2424,14 +2432,16 @@ agg AS (
            CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
            array_to_string(kept_lines, chr(10)) AS kept_text,
            contains(lower(page), 'lorem ipsum') AS has_lorem_ipsum,
-           contains(page, '{') AS has_curly_brace
+           contains(page, '{') AS has_curly_brace,
+           regexp_matches(page, '\b(crapola|verboten)\b', 'i') AS has_blocked_word
     FROM kept
 )
 SELECT doc_id, n_lines, n_kept_lines,
        CAST(len(regexp_extract_all(kept_text, '[.!?]')) AS BIGINT) AS n_sentences,
-       has_lorem_ipsum, has_curly_brace,
+       has_lorem_ipsum, has_curly_brace, has_blocked_word,
        (len(regexp_extract_all(kept_text, '[.!?]')) >= 3
-        AND NOT has_lorem_ipsum AND NOT has_curly_brace) AS keep,
+        AND NOT has_lorem_ipsum AND NOT has_curly_brace
+        AND NOT has_blocked_word) AS keep,
        kept_text
 FROM agg
 """
@@ -2569,19 +2579,23 @@ docs AS (
 ),
 spans AS (
     SELECT doc_id, i - 1 AS pos,
-           md5(array_to_string(sents[i::INT : (i + 2)::INT], ' ')) AS span_hash,
-           lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' || lpad(CAST(i - 1 AS VARCHAR), 6, '0') AS occ_key
+           md5(array_to_string(sents[i::INT : (i + 2)::INT], ' ')) AS span_hash
     FROM docs, unnest(range(1, greatest(len(sents) - 2, 0) + 1)) AS t(i)
 ),
-firsts AS (
-    SELECT span_hash, min(occ_key) AS first_key, count(*) AS n_occ
-    FROM spans GROUP BY span_hash
+-- independent formulation of Spark's min(struct(doc_id, pos)) agg:
+-- rank occurrences per span content; rn > 1 == non-first occurrence.
+-- Exact for the full BIGINT id domain (no fixed-width string key).
+ranked AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY span_hash) AS n_occ
+    FROM spans
 ),
 removed AS (
     SELECT doc_id,
-           list_distinct(flatten(list([s.pos + 1, s.pos + 2, s.pos + 3]))) AS removed_idx
-    FROM spans s JOIN firsts f USING (span_hash)
-    WHERE f.n_occ > 1 AND s.occ_key <> f.first_key
+           list_distinct(flatten(list([pos + 1, pos + 2, pos + 3]))) AS removed_idx
+    FROM ranked
+    WHERE n_occ > 1 AND rn > 1
     GROUP BY doc_id
 )
 SELECT d.doc_id,

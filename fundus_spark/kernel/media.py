@@ -269,13 +269,27 @@ def _parse_mp4_video_trak(buf: bytes, s: int, e: int, parse_sps):
     for b2, s2, e2 in _mp4_boxes(buf, s, e):
         if b2 != b"mdia":
             continue
+        # ISO-BMFF does not mandate child order inside mdia (mdhd may
+        # legally follow minf), so collect every fact in one pass over
+        # the children and only THEN derive frame_ms — a
+        # sequential-dependence read of mdhd-before-stbl would drop the
+        # frame schedule for a legal file.
         media_timescale = None
         is_video = False
-        width = height = n_frames = frame_ms = None
+        width = height = n_frames = None
+        delta0 = None
         for b3, s3, e3 in _mp4_boxes(buf, s2, e2):
             if b3 == b"mdhd" and e3 - s3 >= 20:
                 version = buf[s3]
-                off = s3 + (20 if version == 1 else 12)
+                if version == 1:
+                    # full v1 mdhd is 32+ bytes (64-bit times); a
+                    # 20..31-byte v1 box is malformed — refuse rather
+                    # than int.from_bytes a short slice into garbage
+                    if e3 - s3 < 32:
+                        continue
+                    off = s3 + 20
+                else:
+                    off = s3 + 12
                 media_timescale = int.from_bytes(buf[off : off + 4], "big") or None
             elif b3 == b"hdlr" and e3 - s3 >= 12:
                 is_video = buf[s3 + 8 : s3 + 12] == b"vide"
@@ -291,7 +305,6 @@ def _parse_mp4_video_trak(buf: bytes, s: int, e: int, parse_sps):
                         elif b5 == b"stts" and e5 - s5 >= 16:
                             n_entries = int.from_bytes(buf[s5 + 4 : s5 + 8], "big")
                             total = 0
-                            delta0 = None
                             for i in range(min(n_entries, (e5 - s5 - 8) // 8)):
                                 cnt = int.from_bytes(buf[s5 + 8 + 8 * i : s5 + 12 + 8 * i], "big")
                                 dlt = int.from_bytes(buf[s5 + 12 + 8 * i : s5 + 16 + 8 * i], "big")
@@ -299,8 +312,9 @@ def _parse_mp4_video_trak(buf: bytes, s: int, e: int, parse_sps):
                                 if delta0 is None:
                                     delta0 = dlt
                             n_frames = total or None
-                            if delta0 and media_timescale:
-                                frame_ms = delta0 * 1000 // media_timescale or None
+        frame_ms = None
+        if delta0 and media_timescale:
+            frame_ms = delta0 * 1000 // media_timescale or None
         if is_video and (width is not None or n_frames is not None):
             return width, height, n_frames, frame_ms
     return None

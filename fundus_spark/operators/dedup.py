@@ -678,12 +678,14 @@ def sentence_span_dedup(
     Scale shape (the part that survives 100 TB): the global
     first-occurrence is NOT a window over the span hash — a viral span
     repeated 10^6 times would sort 10^6 rows in one partition. Instead
-    the occurrence key ``(doc_id, pos)`` is encoded as one
-    lexicographically ordered string and reduced with a map-side
-    combinable ``min`` per span hash, then joined back — two near-linear
-    shuffles however hot the span. The sentence relation is scanned
-    twice (span extraction + rebuild); a production pipeline
-    materializes it to the lake between the two.
+    the occurrence key ``(doc_id, pos)`` is reduced with a map-side
+    combinable ``min`` over the STRUCT per span hash (struct ordering
+    is lexicographic by field — exact for the full long domain,
+    unlike a fixed-width string encoding, which silently truncates
+    13+-digit ids), then joined back — two near-linear shuffles
+    however hot the span. The sentence relation is scanned twice
+    (span extraction + rebuild); a production pipeline materializes
+    it to the lake between the two.
 
     Output: ``(doc_id, n_sentences, n_removed, kept_text)``.
     Unterminated trailing fragments are not sentences and are dropped
@@ -705,21 +707,19 @@ def sentence_span_dedup(
     ).otherwise(F.array().cast("array<string>"))
     spans = docs.select(
         "doc_id", F.posexplode(span_hashes).alias("pos", "span_hash")
-    ).withColumn(
-        # one sortable string so first-occurrence is a plain min() agg
-        "occ_key",
-        F.concat(
-            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
-            F.lit(":"),
-            F.lpad(F.col("pos").cast("string"), 6, "0"),
-        ),
     )
+    # struct min orders by (doc_id, pos) natively — no fixed-width
+    # string key, so ids >= 10^12 and >10^6 spans/doc stay exact
     firsts = spans.groupBy("span_hash").agg(
-        F.min("occ_key").alias("first_key"), F.count(F.lit(1)).alias("n_occ")
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("first_occ"),
+        F.count(F.lit(1)).alias("n_occ"),
     )
     removed = (
         spans.join(firsts.where(F.col("n_occ") > 1), "span_hash")
-        .where(F.col("occ_key") != F.col("first_key"))
+        .where(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
         .select("doc_id", F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + span)).alias("sent_idx"))
         .groupBy("doc_id")
         .agg(F.collect_set("sent_idx").alias("removed_idx"))
@@ -784,9 +784,17 @@ def dup_substring_spans(
     )
     dups = fps.join(dup_fps.select("fp"), "fp").select("doc_id", "pos")
     by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    # Winnowing guarantees consecutive SELECTED positions inside one
+    # duplicated region are <= window apart (one selection per window),
+    # and adjacent duplicated k-grams overlap within k — so the island
+    # merge gap must be max(k, window), not k alone, or window > k
+    # (non-default params) fragments a single duplicated region into
+    # multiple spans and breaks the >= k+window-1 localization
+    # guarantee.
+    gap = max(k, window)
     islands = dups.withColumn(
         "brk",
-        F.when(F.col("pos") - F.lag("pos").over(by_pos) > k, F.lit(1)).otherwise(F.lit(0)),
+        F.when(F.col("pos") - F.lag("pos").over(by_pos) > gap, F.lit(1)).otherwise(F.lit(0)),
     ).withColumn(
         "island",
         F.sum("brk").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),

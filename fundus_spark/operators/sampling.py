@@ -255,6 +255,7 @@ def domain_mix(
     id_col: str = "doc_id",
     salt: str = "mix",
     mode: str = "md5",
+    max_epochs: int = 16,
 ) -> DataFrame:
     """Token-budget data mixture (the LLaMA/SlimPajama recipe): build a
     training mix where domain ``d`` contributes ``proportions[d] *
@@ -282,13 +283,42 @@ def domain_mix(
 
     Returns the mixed rows with ``epoch`` (bigint) added — downstream
     packing treats (id, epoch) as the sequence identity.
+
+    ``max_epochs`` bounds the replication rate: real mixtures repeat a
+    domain single-digit times (LLaMA reports <= ~3 epochs for any
+    source), so a computed rate above the bound is almost always a
+    mis-set proportion or token budget — and an unbounded rate is an
+    executor OOM (a rate of 10^6 is a million-element ``sequence()``
+    per row). The job FAILS FAST at that point (analysis-time check
+    against the already-aggregated domain totals — no partial output)
+    rather than silently exploding; raise ``max_epochs`` explicitly if
+    a tiny-but-precious domain really should replicate more.
     """
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
     rates = {d: float(p) for d, p in proportions.items()}
     totals = (
         df.where(F.col(domain_col).isin(*rates.keys()))
         .groupBy(domain_col)
         .agg(F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("double").alias("_domain_tokens"))
+        .localCheckpoint(eager=True)
     )
+    # Fail fast on absurd replication rates BEFORE any row explodes.
+    # ``totals`` is bounded by the mixture's domain count (dozens, never
+    # millions — it is broadcast below for the same reason), so this is
+    # driver-side metadata, not a collect over the fact table; the
+    # checkpoint above means the broadcast join reuses the same
+    # materialization rather than re-aggregating.
+    for row in totals.collect():
+        r = rates[row[domain_col]] * float(total_tokens) / row["_domain_tokens"]
+        if r > float(max_epochs):
+            raise ValueError(
+                f"domain_mix: domain {row[domain_col]!r} would replicate "
+                f"{r:.1f} epochs (> max_epochs={max_epochs}): target "
+                f"{rates[row[domain_col]]:.4f} * {total_tokens} tokens vs "
+                f"{row['_domain_tokens']:.0f} available. Check proportions/"
+                f"total_tokens, or raise max_epochs explicitly."
+            )
     prop = F.lit(0.0)
     for d, p in sorted(rates.items()):
         prop = F.when(F.col(domain_col) == d, F.lit(p)).otherwise(prop)

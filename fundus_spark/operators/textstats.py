@@ -10,6 +10,9 @@ document fingerprinting (md5 of whitespace-normalized text).
 
 from __future__ import annotations
 
+import re
+from typing import Optional, Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -346,6 +349,7 @@ def c4_page_filter(
     id_col: str = "doc_id",
     min_words_per_line: int = 5,
     min_sentences: int = 3,
+    blocklist: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """The classic C4 heuristic cleaning pass (Raffel et al. 2020 §2.2,
     also the FineWeb baseline filters), as pure JVM column algebra —
@@ -359,11 +363,18 @@ def c4_page_filter(
 
     Emits the per-rule evidence columns (not just the verdict) so a
     pipeline can tune thresholds without re-running: n_lines,
-    n_kept_lines, n_sentences, has_lorem_ipsum, has_curly_brace, keep,
-    kept_text. The bad-words list rule is deliberately omitted
-    (list-bound; C4 used a 400+-entry external list — supply your own
-    via ``regex_filter``). At 100 TB this is a narrow map: no shuffle,
-    no UDF, whole-stage codegen end-to-end."""
+    n_kept_lines, n_sentences, has_lorem_ipsum, has_curly_brace,
+    has_blocked_word, keep, kept_text.
+
+    ``blocklist`` is C4's bad-words page rule (the original used an
+    externally maintained 400+-entry list — supply your own): a page
+    containing ANY listed word (case-insensitive, whole-word) is
+    dropped. Compiled into ONE regex alternation evaluated JVM-side —
+    a few hundred literal words is a small machine, not a join, and
+    the words are regex-escaped so list entries are literals. With no
+    list, ``has_blocked_word`` is constant false and the rule is
+    inert. At 100 TB this is a narrow map: no shuffle, no UDF,
+    whole-stage codegen end-to-end."""
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(
         lines,
@@ -374,6 +385,13 @@ def c4_page_filter(
     n_sentences = F.size(F.regexp_extract_all(kept_text, F.lit(r"[.!?]"), F.lit(0)))
     has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
     has_brace = F.col(text_col).contains("{")
+    if blocklist:
+        # one alternation, escaped literals, word-bounded, (?i) —
+        # RE2-portable (no backrefs/lookaround) like the PII patterns
+        pat = r"(?i)\b(?:" + "|".join(re.escape(w) for w in blocklist) + r")\b"
+        has_blocked = F.col(text_col).rlike(pat)
+    else:
+        has_blocked = F.lit(False)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(lines).cast("long").alias("n_lines"),
@@ -381,7 +399,10 @@ def c4_page_filter(
         n_sentences.cast("long").alias("n_sentences"),
         has_lorem.alias("has_lorem_ipsum"),
         has_brace.alias("has_curly_brace"),
-        ((n_sentences >= min_sentences) & ~has_lorem & ~has_brace).alias("keep"),
+        has_blocked.alias("has_blocked_word"),
+        (
+            (n_sentences >= min_sentences) & ~has_lorem & ~has_brace & ~has_blocked
+        ).alias("keep"),
         kept_text.alias("kept_text"),
     )
 

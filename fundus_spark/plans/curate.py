@@ -61,6 +61,35 @@ def _is_cheap_rescan(df: DataFrame) -> bool:
     return not any(tok in plan for tok in expensive)
 
 
+def decontaminate(
+    survivors: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    contamination_k: int = 8,
+    broadcast_max_rows: int = 10_000_000,
+) -> DataFrame:
+    """Anti-join out benchmark-contaminated docs, with the same
+    broadcast guard + shuffle fallback every other potentially
+    unbounded broadcast in the chain carries.
+
+    The flagged-id set is usually tiny, but the exact scenario
+    decontamination exists for — benchmark text mirrored across
+    millions of crawled pages — makes it unbounded at 100 TB, so it is
+    broadcast only under ``broadcast_max_rows``; above that the
+    left_anti join runs as a plain shuffle join (same result, one
+    extra exchange). The flagged relation is eagerly checkpointed
+    first so the guard count and the join read one materialization,
+    not two evaluations of the contamination pipeline.
+    """
+    flagged = contamination_flags(
+        survivors, benchmark, text_col=text_col, id_col=id_col, k=contamination_k
+    )
+    ids = flagged.select(F.col("doc_id").alias(id_col)).localCheckpoint(eager=True)
+    side = F.broadcast(ids) if ids.count() <= broadcast_max_rows else ids
+    return survivors.join(side, id_col, "left_anti")
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: Optional[DataFrame] = None,
@@ -80,6 +109,7 @@ def curate_corpus(
     materialize_stages: bool = True,
     hash_mode: str = "md5",
     lsh_bucket_cap: Optional[int] = 1024,
+    broadcast_max_rows: int = 10_000_000,
 ) -> DataFrame:
     """Returns the training-ready corpus: quality-gated, exact- and
     near-dup-deduplicated, decontaminated against ``benchmark`` (if
@@ -151,11 +181,9 @@ def curate_corpus(
         survivors = survivors.localCheckpoint(eager=True)
 
     if benchmark is not None:
-        flagged = contamination_flags(
-            survivors, benchmark, text_col=text_col, id_col=id_col, k=contamination_k
-        )
-        survivors = survivors.join(
-            F.broadcast(flagged.select(F.col("doc_id").alias(id_col))), id_col, "left_anti"
+        survivors = decontaminate(
+            survivors, benchmark, text_col=text_col, id_col=id_col,
+            contamination_k=contamination_k, broadcast_max_rows=broadcast_max_rows,
         )
 
     assigned = split_assign(survivors, weights=split_weights, salt=split_salt, id_col=id_col)
@@ -300,11 +328,9 @@ def curate_increment(
         survivors = survivors.localCheckpoint(eager=True)
 
     if benchmark is not None:
-        flagged = contamination_flags(
-            survivors, benchmark, text_col=text_col, id_col=id_col, k=contamination_k
-        )
-        survivors = survivors.join(
-            F.broadcast(flagged.select(F.col("doc_id").alias(id_col))), id_col, "left_anti"
+        survivors = decontaminate(
+            survivors, benchmark, text_col=text_col, id_col=id_col,
+            contamination_k=contamination_k, broadcast_max_rows=broadcast_max_rows,
         )
 
     assigned = split_assign(survivors, weights=split_weights, salt=split_salt, id_col=id_col)

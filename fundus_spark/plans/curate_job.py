@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import (
-    contamination_flags,
     dedup_survivors,
     exact_dedup,
     lsh_candidate_pairs,
@@ -44,6 +43,7 @@ from ..operators import (
     split_assign,
 )
 from ..operators.dedup import shingle_relation
+from .curate import decontaminate
 
 STAGES = ("gated", "deduped", "survivors", "final")
 
@@ -93,6 +93,7 @@ def run_curate_job(
     hash_mode: str = "md5",
     freeze_state: bool = False,
     freeze_buckets: int = 64,
+    broadcast_max_rows: int = 10_000_000,
 ) -> CurateJobResult:
     """Runs the curation chain with each stage written to
     ``{workdir}/{stage}`` and committed to the job manifest; committed
@@ -151,8 +152,10 @@ def run_curate_job(
     def _build_final() -> DataFrame:
         clean = survivors
         if benchmark is not None:
-            flagged = contamination_flags(clean, benchmark, k=contamination_k)
-            clean = clean.join(F.broadcast(flagged.select("doc_id")), "doc_id", "left_anti")
+            clean = decontaminate(
+                clean, benchmark, contamination_k=contamination_k,
+                broadcast_max_rows=broadcast_max_rows,
+            )
         assigned = split_assign(clean, weights=split_weights, salt=split_salt)
         toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
         return pack_by_budget(

@@ -378,3 +378,90 @@ def test_dup_substring_spans_detects_intra_doc_repeat(spark):
     )
     out = dup_substring_spans(df, k=8, window=4).collect()
     assert out and all(r.doc_id == 5 for r in out)
+
+
+def test_sentence_span_dedup_wide_doc_ids_no_key_truncation(spark):
+    """Round-7 ADVICE regression: the first-occurrence key used to be a
+    12-char lpad of doc_id — Spark's lpad TRUNCATES longer input, so two
+    13-digit ids sharing a duplicate span collided to the same key and
+    the duplicate was silently kept in BOTH docs (n_removed=0). The
+    struct-min key is exact over the whole long domain."""
+    from fundus_spark.operators import sentence_span_dedup
+
+    shared = "one shared. two shared! three shared?"
+    a, b = 4_000_000_000_001, 4_000_000_000_002  # both lpad-truncate to '400000000000'
+    df = spark.createDataFrame(
+        [(a, shared + " tail a."), (b, shared + " tail b.")],
+        "doc_id long, page string",
+    )
+    out = {r.doc_id: r for r in sentence_span_dedup(df).collect()}
+    assert out[a].n_removed == 0 and out[a].kept_text.startswith("one shared.")
+    assert out[b].n_removed == 3 and out[b].kept_text == "tail b."
+
+
+def test_dup_substring_spans_window_gt_k_merges_one_region(spark):
+    """Round-7 ADVICE regression: with window > k the island-merge gap
+    must be max(k, window) — winnowing only guarantees consecutive
+    selected positions within one duplicated region are <= window
+    apart, so a gap threshold of k alone fragments a single duplicated
+    region into several spans."""
+    from fundus_spark.operators import dup_substring_spans
+
+    shared = "this is one long exactly duplicated region of text that runs on for a while"
+    rows = [
+        (0, "zq alpha bravo xy " + shared + " um golf hotel vw"),
+        (1, "jk india juliet pq " + shared + " rs mike once nb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_substring_spans(df, k=4, window=12).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in (0, 1):
+        # the duplicated region must surface as ONE merged span (with a
+        # gap of only k it fragments: selected positions are up to
+        # window=12 > k=4 apart inside the region)
+        best = max(by_doc[d], key=lambda s: s.span_len)
+        assert best.span_len >= len(shared) - (4 + 12 - 2), by_doc[d]
+
+
+def test_c4_page_filter_blocklist_whole_word_case_insensitive(spark):
+    from fundus_spark.operators import c4_page_filter
+
+    rows = [
+        (1, "a perfectly ordinary clean sentence right here. another fine sentence follows now. third one closes it out."),
+        (2, "this page mentions CRAPOLA in loud caps today. another fine sentence follows now. third one closes it out."),
+        (3, "crapshoot is not the blocked word at all. another fine sentence follows now. third one closes it out."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, page string")
+    out = {r.doc_id: r for r in c4_page_filter(df, blocklist=["crapola", "verboten"]).collect()}
+    assert not out[1].has_blocked_word and out[1].keep
+    assert out[2].has_blocked_word and not out[2].keep
+    # substring must NOT match: whole-word boundary
+    assert not out[3].has_blocked_word and out[3].keep
+    # no list -> rule inert, same schema
+    out0 = {r.doc_id: r for r in c4_page_filter(df).collect()}
+    assert not out0[2].has_blocked_word and out0[2].keep
+
+
+def test_decontaminate_shuffle_fallback_equals_broadcast(spark):
+    """Round-7: the contamination anti-join now carries the same
+    broadcast guard + shuffle fallback as the rest of the chain.
+    Forcing the fallback (broadcast_max_rows=0) must give the
+    identical survivor set."""
+    from fundus_spark.plans.curate import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "document number %d talks about %s topics today" % (i, "benchmark secret" if i % 3 == 0 else "ordinary"))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "every benchmark secret topics today phrase lives here")],
+        "doc_id long, text string",
+    )
+    kw = dict(text_col="text", id_col="doc_id", contamination_k=4)
+    bc = {r.doc_id for r in decontaminate(docs, bench, **kw).collect()}
+    sh = {r.doc_id for r in decontaminate(docs, bench, broadcast_max_rows=0, **kw).collect()}
+    assert bc == sh
+    assert bc and bc != {r.doc_id for r in docs.collect()}  # something was flagged

@@ -1281,3 +1281,65 @@ def test_bmp_rle8_and_palette_decode():
     (data_offset,) = struct.unpack_from("<I", bad, 10)
     bad[data_offset] = 255  # first repeat count > width
     assert decode_image_luma(bytes(bad)) is None
+
+
+def test_mp4_mdhd_after_minf_still_yields_frame_schedule():
+    """Round-7 ADVICE regression: ISO-BMFF does not mandate child order
+    inside mdia — a legal file with mdhd AFTER minf used to lose
+    frame_ms (timescale read in the same sequential pass that needed it
+    earlier). Byte-surgery reorder of the generated file must parse
+    identically."""
+    from fundus_spark.kernel.media import _mp4_boxes, build_mp4, parse_media_header
+
+    orig = build_mp4(64, 48, 5, frame_ms=40)
+    base = parse_media_header(orig)
+    assert base is not None and base.frame_ms == 40
+
+    def find(data, start, end, name):
+        for b, s, e in _mp4_boxes(data, start, end):
+            if b == name:
+                return s, e
+        raise AssertionError("missing box %r" % name)
+
+    buf = bytearray(orig)
+    ms, me = find(orig, 0, len(orig), b"moov")
+    ts, te = find(orig, ms, me, b"trak")
+    ds, de = find(orig, ts, te, b"mdia")
+    kids = {b: bytes(orig[s - 8 : e]) for b, s, e in _mp4_boxes(orig, ds, de)}
+    reordered = kids[b"hdlr"] + kids[b"minf"] + kids[b"mdhd"]
+    assert len(reordered) == de - ds
+    buf[ds:de] = reordered
+    h = parse_media_header(bytes(buf))
+    assert h is not None
+    assert h.frame_ms == base.frame_ms == 40
+    assert h.n_frames == base.n_frames == 5
+    assert (h.width, h.height) == (base.width, base.height)
+
+
+def test_mp4_short_v1_mdhd_is_refused_not_garbage():
+    """A version-1 mdhd needs 32+ payload bytes (64-bit times); the
+    generator's v0 payload is 24 bytes, so flipping the version byte
+    without resizing makes a malformed 24-byte v1 box. The parser must
+    refuse the timescale (frame_ms None) instead of int.from_bytes-ing
+    a short slice into a garbage rate."""
+    from fundus_spark.kernel.media import _mp4_boxes, build_mp4, parse_media_header
+
+    orig = build_mp4(64, 48, 5, frame_ms=40)
+
+    def find(data, start, end, name):
+        for b, s, e in _mp4_boxes(data, start, end):
+            if b == name:
+                return s, e
+        raise AssertionError("missing box %r" % name)
+
+    ms, me = find(orig, 0, len(orig), b"moov")
+    ts, te = find(orig, ms, me, b"trak")
+    ds, de = find(orig, ts, te, b"mdia")
+    hs, he = find(orig, ds, de, b"mdhd")
+    assert he - hs == 24  # v0 payload the generator writes
+    buf = bytearray(orig)
+    buf[hs] = 1  # claim version 1 without the 64-bit payload
+    h = parse_media_header(bytes(buf))
+    assert h is not None
+    assert h.frame_ms is None  # refused, not garbage
+    assert h.n_frames == 5  # stts still parses

@@ -351,3 +351,32 @@ def test_domain_mix_domains_are_independent(spark):
     mix1 = {(r.doc_id, r.epoch) for r in domain_mix(df1, props, 4000).collect() if r.source == "a"}
     mix2 = {(r.doc_id, r.epoch) for r in domain_mix(df2, props, 4000).collect() if r.source == "a"}
     assert mix1 == mix2 and mix1
+
+
+def test_domain_mix_fail_fasts_on_absurd_replication_rate(spark):
+    """Round-7: an unvalidated rate = p * total_tokens / domain_tokens
+    used to silently explode floor(rate)+1 rows per input row — one
+    mis-set proportion away from a million-element sequence() per row.
+    Now it fail-fasts at plan-build time, before any row replicates."""
+    import pytest as _pytest
+
+    from fundus_spark.operators import domain_mix
+
+    rows = [(i, "tiny", "only three words") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # 9 tokens available, 0.5 * 10_000 = 5_000 targeted -> rate ~556
+    with _pytest.raises(ValueError, match="max_epochs"):
+        domain_mix(df, {"tiny": 0.5}, total_tokens=10_000)
+    # explicit opt-in raises the bound and the job runs
+    out = domain_mix(df, {"tiny": 0.5}, total_tokens=10_000, max_epochs=600)
+    assert out.count() > 3 * 500
+
+
+def test_domain_mix_default_bound_allows_normal_mixtures(spark):
+    from fundus_spark.operators import domain_mix
+
+    rows = [(i, "d", " ".join("t%d" % j for j in range(10))) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # rate 3.0 — a realistic upsample, well under the default bound of 16
+    out = domain_mix(df, {"d": 1.0}, total_tokens=3_000)
+    assert out.groupBy().agg(F.max("epoch").alias("m")).collect()[0].m == 2
