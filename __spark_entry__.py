@@ -2703,7 +2703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "curate_corpus": _q_curate,
         "curate_corpus_xxhash": _q_curate_xxhash,
-        "multisignal_clusters": _q_multisignal_clusters,
         "crawl_to_corpus": _q_crawl_to_corpus,
         "c4_span_dedup": _q_c4_span_dedup,
         "cosine_neardup": _q_cosine_neardup,
@@ -2718,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "dup_substring_spans": _q_dup_substring_spans,
         "dsir_select": _q_dsir_select,
+        "domain_mix": _q_domain_mix,
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "media_frame_sample": _q_media_frames,
@@ -2789,15 +2789,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 (emit_positions) plus count-join span
                                 localization on top; ceded its slot to
                                 dsir_select in round 6
-    * domain_mix              — token-budget domain mixture (round 6;
-                                epoch replication + fractional
-                                hash-bucket keep — the same md5 bucket
-                                decision split_assign gates
-                                canonically)
+    * multisignal_clusters    — union-of-evidence clustering; its two
+                                edge sources and the component pass are
+                                each canonically gated on their own
+                                (lsh_jaccard_verified, cosine_neardup,
+                                dedup_survivors) — the union is plain
+                                composition; ceded its slot to
+                                domain_mix in round 7 (whose epoch
+                                replication / fractional-keep logic had
+                                no driver row of its own)
     """
     return {
         "winnowing": _q_winnowing,
-        "domain_mix": _q_domain_mix,
+        "multisignal_clusters": _q_multisignal_clusters,
         "warc_extract": _q_warc_extract,
         "minhash_xxhash": _q_minhash_xxhash,
         "cosine_topk": _q_cosine_topk,
@@ -2843,7 +2847,6 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "curate_corpus": _curate_sql(),
         "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
-        "multisignal_clusters": _multisignal_clusters_sql(),
         "crawl_to_corpus": _curate_sql(docs_rel=_EXTRACTED_DOCS_REL),
         "c4_span_dedup": _C4_SPAN_DEDUP_SQL,
         "cosine_neardup": _cosine_neardup_sql(),
@@ -2858,6 +2861,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _CHAR_ENTROPY_SQL,
         "dup_substring_spans": _DUP_SUBSTRING_SQL,
         "dsir_select": _dsir_sql(),
+        "domain_mix": _domain_mix_sql(),
         "media_decode": _MEDIA_DECODE_SQL,
         "media_resize": _MEDIA_RESIZE_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
@@ -2876,7 +2880,7 @@ def extra_oracle_sql() -> dict[str, str]:
     """Oracles for ``extra_queries()`` — consumed by the local mimic."""
     return {
         "winnowing": _winnowing_sql(),
-        "domain_mix": _domain_mix_sql(),
+        "multisignal_clusters": _multisignal_clusters_sql(),
         "extract_documents_keyed": _EXTRACT_DOCUMENTS_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "minhash_signatures": _minhash_oracle_sql(),

@@ -211,7 +211,7 @@ def test_domain_mix_fact_side_never_shuffles(spark, entry):
     back by broadcast; the fact table itself is scan -> broadcast-join
     -> explode -> filter with no Exchange on its side. The only
     exchanges allowed are the aggregation of the totals relation."""
-    df = entry.extra_queries()["domain_mix"](spark, SF_DIR)
+    df = entry.queries()["domain_mix"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
