@@ -1435,6 +1435,66 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, k=3, n_centroids=64, n_probe=3, dim=64, cell_cap=128)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-quantizer clustering bounds
+    the pairwise cosine to within-cell, min-id pruning above the
+    threshold. 16 cells over the 500-vector fixture gives ~30-member
+    cells, so both the prune and keep paths carry real traffic; the
+    0.25 threshold sits inside the fixture's similarity mass (99th pct
+    ~0.29) so boundary rounding is exercised too."""
+    from fundus_spark.operators import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return semantic_dedup(emb, threshold=0.25, n_centroids=16, dim=64, cell_cap=128)
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.25, n_centroids: int = 16, dim: int = 64, seed: int = 7, cap: int = 128
+) -> str:
+    """DuckDB twin of semantic_dedup: identical literal codebook,
+    argmax cell, capped inverted lists, within-cell a<b pairwise with
+    rounded cosine, min-smaller-id prune, left join back."""
+    from fundus_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids, seed)
+    cent_rows = ",\n".join(
+        f"({i}, [{', '.join(repr(w) for w in c)}]::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(i, w) AS (VALUES {cent_rows}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+    SELECT vec_id, i, list_dot_product(e, w) AS s FROM v CROSS JOIN cents
+),
+ranked AS (
+    SELECT vec_id, i,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rnk
+    FROM scored
+),
+assigned AS (SELECT vec_id, i AS cell FROM ranked WHERE rnk = 1),
+capped AS (
+    SELECT vec_id, cell, e FROM (
+        SELECT a.vec_id, a.cell, v.e,
+               row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rn
+        FROM assigned a JOIN v USING (vec_id)
+    ) WHERE rn <= {cap}
+),
+pruned AS (
+    SELECT b.vec_id AS b_id, min(a.vec_id) AS pruned_by
+    FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+          >= {threshold}
+    GROUP BY b.vec_id
+)
+SELECT s.vec_id, CAST(s.cell AS INT) AS cell,
+       p.pruned_by IS NULL AS kept, CAST(p.pruned_by AS BIGINT) AS pruned_by
+FROM assigned s LEFT JOIN pruned p ON s.vec_id = p.b_id
+"""
+
+
 def _ivf_ann_sql(k: int = 3, n_centroids: int = 64, n_probe: int = 3, dim: int = 64, seed: int = 7, cap: int = 128) -> str:
     """DuckDB twin of ivf_topk: literal deterministic centroids, argmax
     cell assignment, n_probe best cells per query, truncated inverted
@@ -1502,6 +1562,89 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_actual
 FROM documents
 """
+
+
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (Sennrich et al. 2016): train 24 merges on
+    the documents table (pair-count iterations over the word-frequency
+    relation, deterministic (count desc, pair asc) arg-max), then count
+    per-doc tokens by applying the merge chain to the distinct-word
+    vocabulary and joining back. The oracle unrolls the same 24
+    training iterations as chained MATERIALIZED CTEs with the identical
+    literal-replace symbol-string encoding (operators/bpe.py docstring),
+    so the learned merges — not just the counts — agree exactly."""
+    from fundus_spark.operators import bpe_token_count
+
+    return bpe_token_count(_read(spark, sf_dir, "documents"), n_merges=24)
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE model itself — (rank, left, right, pair_count) — gated
+    directly so a training divergence is attributable to the exact
+    first differing merge, not just downstream counts."""
+    from fundus_spark.operators import bpe_train
+
+    return bpe_train(_read(spark, sf_dir, "documents"), n_merges=24)
+
+
+def _bpe_training_ctes(n_merges: int) -> str:
+    """The shared unrolled-training CTE chain: w0 (word-freq + spaced
+    symbol string) and, per iteration i, p{i} (weighted adjacent-pair
+    counts), m{i} (deterministic arg-max merge), w{i} (literal-replace
+    application). MATERIALIZED keeps the chain linear — an inlined CTE
+    referenced twice per iteration would expand exponentially."""
+    parts = [
+        r"""
+w0 AS MATERIALIZED (
+    SELECT word, cnt,
+           chr(31) || array_to_string(list_append(regexp_extract_all(word, '.'), chr(23)), chr(31)||chr(31)) || chr(31) AS s
+    FROM (
+        SELECT w AS word, count(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        WHERE len(w) > 0 AND NOT contains(w, chr(31)) AND NOT contains(w, chr(23))
+        GROUP BY w
+    )
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""
+p{i} AS (
+    SELECT syms[j] AS l, syms[j+1] AS r, sum(cnt) AS pair_count
+    FROM (SELECT cnt, string_split(trim(s, chr(31)), chr(31)||chr(31)) AS syms FROM w{i-1}),
+         unnest(range(1, len(syms))) AS t(j)
+    GROUP BY l, r
+),
+m{i} AS MATERIALIZED (SELECT l, r, pair_count FROM p{i} ORDER BY pair_count DESC, l, r LIMIT 1),
+w{i} AS MATERIALIZED (
+    SELECT word, cnt,
+           replace(s, coalesce(chr(31)||m.l||chr(31)||chr(31)||m.r||chr(31), chr(0)),
+                      coalesce(chr(31)||m.l||m.r||chr(31), '')) AS s
+    FROM w{i-1} LEFT JOIN m{i} m ON TRUE
+)"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_token_count_sql(n_merges: int = 24) -> str:
+    return f"""WITH {_bpe_training_ctes(n_merges)},
+vocab AS (SELECT word, CAST((len(s) - len(replace(s, chr(31), ''))) // 2 AS BIGINT) AS n_tokens FROM w{n_merges}),
+docw AS (
+    SELECT doc_id, w AS word
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+    WHERE len(w) > 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM docw JOIN vocab USING (word) GROUP BY doc_id
+"""
+
+
+def _bpe_merges_sql(n_merges: int = 24) -> str:
+    rows = " UNION ALL ".join(
+        f'SELECT CAST({i-1} AS INT) AS rank, l AS "left", r AS "right", CAST(pair_count AS BIGINT) AS pair_count FROM m{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_training_ctes(n_merges)} {rows}"
 
 
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2702,13 +2845,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "contamination": _q_contamination,
         "curate_corpus": _q_curate,
-        "curate_corpus_xxhash": _q_curate_xxhash,
+        "semantic_dedup": _q_semantic_dedup,
         "crawl_to_corpus": _q_crawl_to_corpus,
         "c4_span_dedup": _q_c4_span_dedup,
         "cosine_neardup": _q_cosine_neardup,
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
-        "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
         "repetition_score": _q_repetition,
         "pii_scrub": _q_pii_scrub,
@@ -2738,6 +2881,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     noted below). All remain oracle-gated by the local driver mimic and
     callable by the bench harness:
 
+    * token_count             — whitespace + regex-approximate BPE
+                                counts; superseded as a driver row by
+                                bpe_token_count (REAL learned merges,
+                                round 7) — kept mimic-gated as the
+                                cheap pre-tokenizer surface
+    * bpe_merges              — the learned BPE model table itself
+                                (round 7): same unrolled-training
+                                oracle as bpe_token_count, gated so a
+                                training divergence pins the exact
+                                first differing merge
+    * curate_corpus_xxhash    — hash-mode twin of curate_corpus (same
+                                chain, XXH64 shingles vs md5; the
+                                xxhash banding math stays gated here
+                                and in minhash_xxhash); ceded its slot
+                                to semantic_dedup in round 7
     * extract_documents_keyed — extract_documents + id-recovery join
     * events_json             — events_daily over JSON-extracted props
     * minhash_signatures      — md5-portability twin of minhash_xxhash
@@ -2800,6 +2958,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 no driver row of its own)
     """
     return {
+        "token_count": _q_token_count,
+        "bpe_merges": _q_bpe_merges,
+        "curate_corpus_xxhash": _q_curate_xxhash,
         "winnowing": _q_winnowing,
         "multisignal_clusters": _q_multisignal_clusters,
         "warc_extract": _q_warc_extract,
@@ -2846,13 +3007,13 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _incremental_dedup_sql(),
         "contamination": _CONTAMINATION_SQL,
         "curate_corpus": _curate_sql(),
-        "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
+        "semantic_dedup": _semantic_dedup_sql(),
         "crawl_to_corpus": _curate_sql(docs_rel=_EXTRACTED_DOCS_REL),
         "c4_span_dedup": _C4_SPAN_DEDUP_SQL,
         "cosine_neardup": _cosine_neardup_sql(),
         "lsh_ann": _lsh_ann_sql(),
         "ivf_ann": _ivf_ann_sql(),
-        "token_count": _TOKEN_COUNT_SQL,
+        "bpe_token_count": _bpe_token_count_sql(),
         "quality_score": _QUALITY_SQL,
         "repetition_score": _REPETITION_SQL,
         "pii_scrub": _pii_scrub_sql(),
@@ -2879,6 +3040,9 @@ def oracle_sql() -> dict[str, str]:
 def extra_oracle_sql() -> dict[str, str]:
     """Oracles for ``extra_queries()`` — consumed by the local mimic."""
     return {
+        "token_count": _TOKEN_COUNT_SQL,
+        "bpe_merges": _bpe_merges_sql(),
+        "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
         "winnowing": _winnowing_sql(),
         "multisignal_clusters": _multisignal_clusters_sql(),
         "extract_documents_keyed": _EXTRACT_DOCUMENTS_SQL,

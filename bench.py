@@ -52,6 +52,9 @@ HEADLINE = [
     "c4_span_dedup",
     "dup_substring_spans",
     "dsir_select",
+    # round-7 additions (headline 27 -> 29)
+    "bpe_token_count",
+    "semantic_dedup",
 ]
 
 

@@ -1,0 +1,275 @@
+"""Byte-pair-encoding tokenization, trained and applied distributed
+(Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+Words with Subword Units" — public knowledge; no reference
+counterpart: fundus has no tokenizer, but token budgets drive this
+repo's ``pack_by_budget`` and ``domain_mix``, so the counts they pack
+against should come from real learned merges, not the regex
+approximation in ``textstats.token_count``).
+
+Scale shape — the part that survives 100 TB:
+
+* Everything iterative runs over the WORD-FREQUENCY relation, never
+  the corpus. One map-side-combinable ``groupBy(word).count()``
+  collapses 100 TB of text to a vocabulary (10^5-10^7 rows); every
+  BPE training iteration is then one pair-count aggregation + one
+  literal string replace over that small relation.
+* The corpus is touched exactly twice, both JVM-side: once for the
+  word-frequency agg, once for the final explode -> join(word ->
+  n_tokens) -> per-doc sum. The word->count map is broadcast under
+  the usual row guard, shuffle-join fallback above it.
+* Merge application is a chain of LITERAL ``replace`` calls inside
+  one whole-stage-codegen projection — no UDF, no Python on any
+  hot path. (Production vocabularies of 32k merges chunk the chain:
+  apply ~256 merges per projection with a localCheckpoint between
+  chunks, keeping each codegen unit and the lineage bounded; the
+  driver-scale queries use tens of merges in one projection.)
+* The only driver-side state is the merge table itself — ``n_merges``
+  rows, the persistable model — same bounded-metadata contract as the
+  job manifests in ``plans/job.py``.
+
+Symbol-string encoding (the engine-parity trick): a word's symbol
+sequence is one string with every symbol wrapped in ``\\x1f``
+separators — ``␟s1␟␟s2␟...␟sN␟`` — so applying merge ``(a, b) -> ab``
+is a literal ``replace('␟a␟␟b␟' -> '␟ab␟')``. Left-to-right
+non-overlapping replace (Java and DuckDB agree) reproduces the BPE
+merge step exactly: chained occurrences (``a a a a`` -> ``aa aa``)
+work because each symbol carries its own separators, and a pattern
+can never match a symbol's proper prefix/suffix because both of its
+flanks are anchored. The end-of-word marker ``\\x17`` is a real
+symbol, so merges learn word-final subwords, as in the paper.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: symbol separator inside the spaced encoding (U+001F unit separator)
+SEP = "\x1f"
+#: end-of-word marker symbol (U+0017 ETB), appended to every word
+EOW = "\x17"
+
+#: re-checkpoint the word relation every N merge iterations so the
+#: replace-chain lineage stays bounded during training
+_CHECKPOINT_EVERY = 16
+
+
+def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace pre-tokenization -> (word, cnt). Words containing
+    the two control characters the encoding reserves are excluded
+    (they cannot be represented; real text never contains them)."""
+    return (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .where(F.length("word") > 0)
+        .where(~F.col("word").contains(SEP) & ~F.col("word").contains(EOW))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _spaced(word_col) -> F.Column:
+    """word -> the wrapped symbol string over (chars + EOW)."""
+    syms = F.concat(F.split(word_col, ""), F.array(F.lit(EOW)))
+    return F.concat(F.lit(SEP), F.array_join(syms, SEP + SEP), F.lit(SEP))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """One map-side-combinable agg: adjacent-symbol pair -> weighted
+    count over the word-frequency relation."""
+    syms = F.split(F.btrim(F.col("s"), F.lit(SEP)), SEP + SEP)
+    # guard the fully-merged single-symbol word: sequence(1, 0) DESCENDS
+    # in Spark, so an unguarded transform would index past the array
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"), F.element_at(syms, i + 1).alias("r")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        words.select(F.col("cnt"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _merge_pattern(l: str, r: str) -> Tuple[str, str]:
+    return SEP + l + SEP + SEP + r + SEP, SEP + l + r + SEP
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 24,
+    text_col: str = "text",
+    local_vocab_max_rows: int = 1_000_000,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the model
+    as a DataFrame ``(rank, left, right, pair_count)`` ordered by rank
+    — write it to the lake to reuse across jobs.
+
+    The ONLY state training needs is the word-frequency table, so the
+    corpus-scale work is the single distributed agg that builds it.
+    When that table fits on the driver (``local_vocab_max_rows`` —
+    1M (word, cnt) rows is tens of MB; the bound plays the same role
+    as the broadcast guards elsewhere) the merge iterations run
+    locally, which is how BPE training is done in practice
+    (subword-nmt operates on exactly this table): identical results,
+    none of the per-iteration job-launch overhead. Above the bound —
+    a web-scale tail vocabulary — the same algorithm runs distributed:
+    per iteration one map-side-combinable pair-count agg, one
+    deterministic arg-max (ties broken by ``(left, right)`` so reruns
+    and engines agree), one literal-replace projection. Both paths are
+    exact and pinned equal by test.
+
+    Stops early only when no adjacent pair remains (every word fully
+    merged); a best pair of count 1 is still applied, keeping the
+    unrolled SQL oracle's fixed iteration count exactly equivalent."""
+    spark = df.sparkSession
+    words = (
+        _word_freq(df, text_col)
+        .withColumn("s", _spaced(F.col("word")))
+        .localCheckpoint(eager=True)
+    )
+    if words.count() <= local_vocab_max_rows:
+        merges = _train_local(
+            [(row["word"], int(row["cnt"])) for row in words.select("word", "cnt").collect()],
+            n_merges,
+        )
+    else:
+        merges = _train_distributed(words, n_merges)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+def _train_local(
+    word_freq: List[Tuple[str, int]], n_merges: int
+) -> List[Tuple[int, str, str, int]]:
+    """Driver-local merge iterations over the collected word-frequency
+    table — same algorithm, arg-max and merge step as the distributed
+    path (left-to-right non-overlapping, identical tie-break)."""
+    from collections import Counter
+
+    vocab = {w: (tuple(w) + (EOW,), c) for w, c in word_freq}
+    merges: List[Tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for syms, cnt in vocab.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += cnt
+        if not pc:
+            break
+        mx = max(pc.values())
+        l, r = min(k for k, v in pc.items() if v == mx)
+        merges.append((rank, l, r, mx))
+        for w, (syms, cnt) in vocab.items():
+            if (l, r) not in zip(syms, syms[1:]):
+                continue
+            ns: List[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            vocab[w] = (tuple(ns), cnt)
+    return merges
+
+
+def _train_distributed(
+    words: DataFrame, n_merges: int
+) -> List[Tuple[int, str, str, int]]:
+    merges: List[Tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
+        merges.append((rank, l, r, cnt))
+        pat, rep = _merge_pattern(l, r)
+        words = words.withColumn("s", F.replace(F.col("s"), F.lit(pat), F.lit(rep)))
+        if (rank + 1) % _CHECKPOINT_EVERY == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_apply_to_vocab(
+    vocab: DataFrame,
+    merge_list: Sequence[Tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply an ordered merge list to a vocabulary relation: adds
+    ``n_tokens`` (per-word BPE token count). The whole merge chain is
+    ONE nested-replace projection (codegen; chunk at ~256 merges for
+    production vocabularies — see module docstring)."""
+    s = _spaced(F.col(word_col))
+    for l, r in merge_list:
+        pat, rep = _merge_pattern(l, r)
+        s = F.replace(s, F.lit(pat), F.lit(rep))
+    # every symbol carries exactly two separators -> n = sep_count / 2
+    n_tok = (
+        (F.length(s) - F.length(F.replace(s, F.lit(SEP), F.lit("")))) / 2
+    ).cast("long")
+    return vocab.withColumn("n_tokens", n_tok)
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: Optional[DataFrame] = None,
+    n_merges: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_max_rows: int = 10_000_000,
+) -> DataFrame:
+    """Per-document BPE token count: ``(doc_id, n_words, n_tokens)``.
+
+    Trains on ``df`` itself when ``merges`` is None (the self-contained
+    shape the driver gate runs); pass a stored model to tokenize new
+    corpora with frozen merges — out-of-vocabulary words segment
+    through the same merge chain, exactly like a standalone encoder,
+    because the chain is applied to THIS corpus's distinct words, not
+    looked up in a training-time table.
+
+    Corpus-side plan: explode words -> join the vocab's (word,
+    n_tokens) map (broadcast under ``broadcast_max_rows``, shuffle
+    join above — vocabularies usually fit, web-scale tail vocabularies
+    may not) -> one map-side-combinable per-doc sum. No UDF anywhere.
+    """
+    if merges is None:
+        merges = bpe_train(df, n_merges=n_merges, text_col=text_col)
+    # the model is by construction n_merges rows — bounded driver-side
+    # metadata, same contract as the job manifest reads in plans/job.py
+    merge_list = [
+        (row["left"], row["right"])
+        for row in merges.orderBy("rank").collect()
+    ]
+    vocab = _word_freq(df, text_col).localCheckpoint(eager=True)
+    counted = bpe_apply_to_vocab(vocab, merge_list).select("word", "n_tokens")
+    side = (
+        F.broadcast(counted)
+        if vocab.count() <= broadcast_max_rows
+        else counted
+    )
+    doc_words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
+    ).where(F.length("word") > 0)
+    return (
+        doc_words.join(side, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

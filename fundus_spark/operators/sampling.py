@@ -25,7 +25,7 @@ training-data-pipeline extension layer.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -256,6 +256,7 @@ def domain_mix(
     salt: str = "mix",
     mode: str = "md5",
     max_epochs: int = 16,
+    token_col: Optional[str] = None,
 ) -> DataFrame:
     """Token-budget data mixture (the LLaMA/SlimPajama recipe): build a
     training mix where domain ``d`` contributes ``proportions[d] *
@@ -270,8 +271,10 @@ def domain_mix(
     ``(salt, epoch, id)`` — so the decision for every (row, epoch)
     depends only on (salt, id, epoch, the domain totals), reruns and
     engines agree, and growing a domain only re-rates that domain.
-    Token accounting is whitespace tokens (the packing operator's
-    convention).
+    Token accounting defaults to whitespace tokens (the packing
+    operator's convention); pass ``token_col`` naming a precomputed
+    per-row count — e.g. ``bpe_token_count``'s ``n_tokens`` joined on
+    — to budget the mixture in real tokenizer units.
 
     Scale shape: one map-side-combinable per-domain token agg, folded
     back via a broadcast (a mixture has dozens of domains, never
@@ -297,10 +300,14 @@ def domain_mix(
     if max_epochs < 1:
         raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
     rates = {d: float(p) for d, p in proportions.items()}
+    row_tokens = (
+        F.col(token_col) if token_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
     totals = (
         df.where(F.col(domain_col).isin(*rates.keys()))
         .groupBy(domain_col)
-        .agg(F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("double").alias("_domain_tokens"))
+        .agg(F.sum(row_tokens).cast("double").alias("_domain_tokens"))
         .localCheckpoint(eager=True)
     )
     # Fail fast on absurd replication rates BEFORE any row explodes.

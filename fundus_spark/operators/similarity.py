@@ -423,3 +423,104 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    cell_cap: Optional[int] = 4096,
+    round_decimals: int = 6,
+    broadcast_max_rows: int = 10_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public): cluster embeddings with the coarse
+    quantizer, then prune near-duplicate NEIGHBORS within each cluster
+    only — the clustering is what bounds the otherwise O(n^2) pairwise
+    cosine to sum-over-cells |cell|^2, the paper's core trick.
+
+    Pruning policy: a vector is pruned iff some SAME-CELL neighbor
+    with cosine >= ``threshold`` has a smaller id — one deterministic
+    relational pass, no iteration. (The paper keeps a random/low-
+    centroid-sim member per epsilon-ball; min-id is the deterministic
+    analogue. It is deliberately NOT transitive-closure dedup — chains
+    below threshold stay; :func:`operators.dedup.dedup_survivors`
+    covers the connected-components semantics for pair graphs.)
+
+    Scale shape: centroid assignment is one narrow projection (the
+    codebook is literals, recomputable on every executor — at real
+    scale a persisted k-means fit); the pair join shuffles on the
+    SMALL cell id with the per-cell quadratic bounded by ``cell_cap``
+    (inverted lists truncated deterministically by id; beyond-cap
+    members pass through unpruned — the flood defense biases toward
+    keeping, never toward dropping). The pruned-id relation joins back
+    broadcast under ``broadcast_max_rows``, shuffle fallback above.
+    Cosines are rounded to ``round_decimals`` BEFORE the threshold
+    compare so boundary ties are engine-deterministic (same contract
+    as ``quantized_topk``).
+
+    Output: ``(vec_id, cell, kept, pruned_by)`` for EVERY input vector
+    — ``pruned_by`` is the smallest similar smaller-id neighbor, NULL
+    for survivors, so the decision is auditable without a second pass.
+    """
+    cents = ivf_centroids(dim, n_centroids, seed)
+    scores = F.array(
+        *[
+            F.struct(
+                _dot(F.col("vec"), F.array(*[F.lit(w) for w in c])).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    assigned = base.withColumn("cell", F.reverse(F.sort_array(scores))[0]["i"])
+    members = assigned.select("vid", "vec", _norm(F.col("vec")).alias("nrm"), "cell")
+    if cell_cap is not None:
+        wcell = Window.partitionBy("cell").orderBy(F.asc("vid"))
+        members = (
+            members.withColumn("_rn", F.row_number().over(wcell))
+            .where(F.col("_rn") <= cell_cap)
+            .drop("_rn")
+        )
+    a = members.select(
+        F.col("vid").alias("a_id"), F.col("vec").alias("avec"), F.col("nrm").alias("anrm"), "cell"
+    )
+    b = members.select(
+        F.col("vid").alias("b_id"), F.col("vec").alias("bvec"), F.col("nrm").alias("bnrm"), "cell"
+    )
+    pruned = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.round(
+                _dot(F.col("avec"), F.col("bvec")) / (F.col("anrm") * F.col("bnrm")),
+                round_decimals,
+            )
+            >= threshold
+        )
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("pruned_by"))
+        # eager checkpoint: the guard count and the join-back read ONE
+        # materialization of the pair scan, not two evaluations
+        .localCheckpoint(eager=True)
+    )
+    pruned_side = (
+        F.broadcast(pruned)
+        if pruned.count() <= broadcast_max_rows
+        else pruned
+    )
+    return (
+        assigned.join(pruned_side, assigned["vid"] == pruned_side["b_id"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.col("pruned_by").isNull().alias("kept"),
+            "pruned_by",
+        )
+    )

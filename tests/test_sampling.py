@@ -380,3 +380,78 @@ def test_domain_mix_default_bound_allows_normal_mixtures(spark):
     # rate 3.0 — a realistic upsample, well under the default bound of 16
     out = domain_mix(df, {"d": 1.0}, total_tokens=3_000)
     assert out.groupBy().agg(F.max("epoch").alias("m")).collect()[0].m == 2
+
+
+def _unit(vals):
+    import math
+
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def test_semantic_dedup_prunes_planted_neardups_within_cell(spark):
+    """Three planted groups of near-identical vectors plus isolated
+    vectors: each group keeps exactly its min id; isolated vectors all
+    survive; pruned_by names the smallest similar smaller-id
+    neighbor."""
+    import math
+
+    from fundus_spark.operators import semantic_dedup
+
+    dim = 16
+    rows = []
+    for g in range(3):
+        base = [math.sin(7 * g + j) for j in range(dim)]
+        for m in range(4):
+            jit = [b + (1e-4 * ((g + m + j) % 3)) for j, b in enumerate(base)]
+            rows.append((100 * g + m, _unit(jit)))
+    for i in range(5):
+        lone = [math.cos(100 + 13 * i + j) * ((-1) ** (i + j)) for j in range(dim)]
+        rows.append((1000 + i, _unit(lone)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(df, threshold=0.95, n_centroids=8, dim=dim).collect()}
+    assert len(out) == len(rows)  # every vector reported
+    for g in range(3):
+        ids = [100 * g + m for m in range(4)]
+        kept = [i for i in ids if out[i].kept]
+        # min id survives; the rest are pruned by it (same cell: the
+        # vectors are near-identical so they share an argmax centroid)
+        assert kept == [ids[0]]
+        for i in ids[1:]:
+            assert out[i].pruned_by == ids[0]
+    for i in range(5):
+        assert out[1000 + i].kept and out[1000 + i].pruned_by is None
+
+
+def test_semantic_dedup_cell_cap_biases_toward_keeping(spark):
+    """Members beyond cell_cap are never compared — a flood can cost
+    recall (kept near-dups) but can never prune a vector that a full
+    run would keep."""
+    import math
+
+    from fundus_spark.operators import semantic_dedup
+
+    dim = 8
+    base = _unit([math.sin(j + 1) for j in range(dim)])
+    rows = [(i, [b + 1e-5 * ((i + j) % 2) for j, b in enumerate(base)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {r.vec_id: r.kept for r in semantic_dedup(df, threshold=0.9, n_centroids=4, dim=dim).collect()}
+    capped = {r.vec_id: r.kept for r in semantic_dedup(df, threshold=0.9, n_centroids=4, dim=dim, cell_cap=10).collect()}
+    assert sum(full.values()) == 1  # one survivor in the flood
+    # cap: ids beyond the first 10 are uncompared -> kept
+    assert sum(capped.values()) == 1 + 30
+    for vid, kept in full.items():
+        if kept:
+            assert capped[vid]  # never prunes what the full run keeps
+
+
+def test_semantic_dedup_plan_joins_on_cell_never_cartesian(spark):
+    from fundus_spark.operators import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = semantic_dedup(df, threshold=0.9, n_centroids=4, dim=8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
