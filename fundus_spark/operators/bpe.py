@@ -208,20 +208,37 @@ def bpe_apply_to_vocab(
     vocab: DataFrame,
     merge_list: Sequence[Tuple[str, str]],
     word_col: str = "word",
+    chunk_size: int = 256,
 ) -> DataFrame:
     """Apply an ordered merge list to a vocabulary relation: adds
-    ``n_tokens`` (per-word BPE token count). The whole merge chain is
-    ONE nested-replace projection (codegen; chunk at ~256 merges for
-    production vocabularies — see module docstring)."""
+    ``n_tokens`` (per-word BPE token count). The merge chain is nested
+    literal-replace projections (codegen), materialized every
+    ``chunk_size`` merges: a production 32k-merge vocabulary as ONE
+    expression would blow the codegen method-size limit and the
+    constant pool, while per-merge materialization pays 32k tiny jobs
+    — ~256 replaces per projection with a localCheckpoint between
+    chunks keeps each codegen unit and the lineage bounded (the
+    vocabulary relation is small; the checkpoints are cheap)."""
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
     s = _spaced(F.col(word_col))
-    for l, r in merge_list:
-        pat, rep = _merge_pattern(l, r)
-        s = F.replace(s, F.lit(pat), F.lit(rep))
+    out = vocab
+    col_ready = False
+    for start in range(0, len(merge_list), chunk_size):
+        expr = F.col("_bpe_s") if col_ready else s
+        for l, r in merge_list[start : start + chunk_size]:
+            pat, rep = _merge_pattern(l, r)
+            expr = F.replace(expr, F.lit(pat), F.lit(rep))
+        out = out.withColumn("_bpe_s", expr)
+        col_ready = True
+        if start + chunk_size < len(merge_list):
+            out = out.localCheckpoint(eager=True)
+    final = F.col("_bpe_s") if col_ready else s
     # every symbol carries exactly two separators -> n = sep_count / 2
     n_tok = (
-        (F.length(s) - F.length(F.replace(s, F.lit(SEP), F.lit("")))) / 2
+        (F.length(final) - F.length(F.replace(final, F.lit(SEP), F.lit("")))) / 2
     ).cast("long")
-    return vocab.withColumn("n_tokens", n_tok)
+    return out.withColumn("n_tokens", n_tok).drop("_bpe_s")
 
 
 def bpe_token_count(

@@ -164,3 +164,17 @@ def test_bpe_local_and_distributed_training_paths_agree(spark):
     local = [tuple(r) for r in bpe_train(df, n_merges=16).orderBy("rank").collect()]
     dist = [tuple(r) for r in bpe_train(df, n_merges=16, local_vocab_max_rows=0).orderBy("rank").collect()]
     assert local == dist and len(local) == 16
+
+
+def test_bpe_chunked_apply_equals_single_projection(spark):
+    """chunk_size materialization boundaries must not change results —
+    the production path for 32k-merge vocabularies."""
+    from fundus_spark.operators.bpe import _word_freq, bpe_apply_to_vocab, bpe_train
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    model = bpe_train(df, n_merges=15)
+    merge_list = [(r["left"], r["right"]) for r in model.orderBy("rank").collect()]
+    vocab = _word_freq(df, "text")
+    one = {r.word: r.n_tokens for r in bpe_apply_to_vocab(vocab, merge_list, chunk_size=256).collect()}
+    chunked = {r.word: r.n_tokens for r in bpe_apply_to_vocab(vocab, merge_list, chunk_size=4).collect()}
+    assert one == chunked and len(one) > 10

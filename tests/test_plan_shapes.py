@@ -218,3 +218,27 @@ def test_domain_mix_fact_side_never_shuffles(spark, entry):
     # both exchanges in the plan belong to the totals aggregation
     # (partial -> final); the fact scan feeds the broadcast join direct
     assert plan.count("Exchange") <= 2
+
+
+def test_bpe_token_count_corpus_side_shape(spark, entry):
+    """bpe_token_count (round 7): the corpus-scale plan is explode ->
+    broadcast join of the vocab token map -> partial agg; no Python
+    eval anywhere (the merge chain is a codegen replace projection over
+    the vocab relation) and no sort-merge join at any size the guard
+    admits."""
+    df = entry.queries()["bpe_token_count"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_shape_joins_on_cell(spark, entry):
+    """semantic_dedup (round 7): cell assignment is a narrow
+    projection; the pairwise cosine joins on the small cell key (never
+    cartesian); the pruned-id relation folds back broadcast; no UDF."""
+    df = entry.queries()["semantic_dedup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
