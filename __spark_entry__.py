@@ -1495,6 +1495,84 @@ FROM assigned s LEFT JOIN pruned p ON s.vec_id = p.b_id
 """
 
 
+def _q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means fit (the clustering stage SemDeDup
+    runs for real): 8 cells, 3 iterations over the 500-vector fixture.
+    The centroid update sums FIXED-POINT BIGINT components (exact,
+    order-independent), so the float centroids are bit-identical to
+    the oracle's unrolled-iteration replay — a clustering FIT gated on
+    value equality, not just assignments."""
+    from fundus_spark.operators import kmeans_fit
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return kmeans_fit(emb, k=8, n_iter=3, dim=64)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 3, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of kmeans_fit: literal init codebook, then per
+    unrolled iteration argmax-dot assignment + exact integer sums +
+    the single s/(n*10^6) division; empty cells carry the previous
+    centroid with n_members = 0. MATERIALIZED per stage (each CTE is
+    referenced twice — inlining would blow up exponentially)."""
+    from fundus_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, k, seed)
+    cent_rows = ",\n".join(
+        f"({i}, [{', '.join(repr(w) for w in c)}]::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    parts = [
+        f"""
+cents0(i, w) AS (VALUES {cent_rows}),
+v AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings
+)"""
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f"""
+asg{it} AS MATERIALIZED (
+    SELECT vec_id, qv, i AS cell FROM (
+        SELECT vec_id, qv, i,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i ASC) AS rnk
+        FROM (
+            SELECT vec_id, qv, i,
+                   list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE) / 1000000.0), w) AS s
+            FROM v CROSS JOIN cents{it-1}
+        )
+    ) WHERE rnk = 1
+),
+upd{it} AS (
+    SELECT cell,
+           list(comp / (n * 1000000.0) ORDER BY pos) AS w,
+           any_value(n) AS n_members
+    FROM (
+        SELECT cell, pos, sum(val) AS comp, count(*) AS n
+        FROM (
+            SELECT cell, i AS pos, qv[i] AS val
+            FROM asg{it}, unnest(range(1, {dim} + 1)) AS t(i)
+        )
+        GROUP BY cell, pos
+    )
+    GROUP BY cell
+),
+cents{it}(i, w) AS MATERIALIZED (
+    SELECT c.i, coalesce(u.w, c.w) AS w
+    FROM cents{it-1} c LEFT JOIN upd{it} u ON c.i = u.cell
+)"""
+        )
+    body = ",".join(parts)
+    return f"""WITH {body}
+SELECT c.i AS cell, c.w AS centroid,
+       CAST(coalesce(u.n_members, 0) AS BIGINT) AS n_members
+FROM cents{n_iter} c LEFT JOIN upd{n_iter} u ON c.i = u.cell
+"""
+
+
 def _ivf_ann_sql(k: int = 3, n_centroids: int = 64, n_probe: int = 3, dim: int = 64, seed: int = 7, cap: int = 128) -> str:
     """DuckDB twin of ivf_topk: literal deterministic centroids, argmax
     cell assignment, n_probe best cells per query, truncated inverted
@@ -2896,6 +2974,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 xxhash banding math stays gated here
                                 and in minhash_xxhash); ceded its slot
                                 to semantic_dedup in round 7
+    * kmeans_centroids        — distributed Lloyd k-means FIT (round
+                                7): fixed-point integer centroid sums
+                                make the float model bit-exact vs the
+                                unrolled-iteration oracle; backs
+                                semantic_dedup's clustering stage
     * extract_documents_keyed — extract_documents + id-recovery join
     * events_json             — events_daily over JSON-extracted props
     * minhash_signatures      — md5-portability twin of minhash_xxhash
@@ -2961,6 +3044,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "bpe_merges": _q_bpe_merges,
         "curate_corpus_xxhash": _q_curate_xxhash,
+        "kmeans_centroids": _q_kmeans_centroids,
         "winnowing": _q_winnowing,
         "multisignal_clusters": _q_multisignal_clusters,
         "warc_extract": _q_warc_extract,
@@ -3043,6 +3127,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "token_count": _TOKEN_COUNT_SQL,
         "bpe_merges": _bpe_merges_sql(),
         "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
+        "kmeans_centroids": _kmeans_sql(),
         "winnowing": _winnowing_sql(),
         "multisignal_clusters": _multisignal_clusters_sql(),
         "extract_documents_keyed": _EXTRACT_DOCUMENTS_SQL,

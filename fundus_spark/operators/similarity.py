@@ -436,6 +436,7 @@ def semantic_dedup(
     cell_cap: Optional[int] = 4096,
     round_decimals: int = 6,
     broadcast_max_rows: int = 10_000_000,
+    centroids: Optional[List[List[float]]] = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -467,8 +468,18 @@ def semantic_dedup(
     Output: ``(vec_id, cell, kept, pruned_by)`` for EVERY input vector
     — ``pruned_by`` is the smallest similar smaller-id neighbor, NULL
     for survivors, so the decision is auditable without a second pass.
+
+    ``centroids`` overrides the hash-seeded codebook with a FITTED
+    one — pass the collected ``centroid`` column of
+    :func:`clustering.kmeans_fit` (the paper's actual k-means-then-
+    prune composition); ``n_centroids``/``dim``/``seed`` are ignored
+    when it is given.
     """
-    cents = ivf_centroids(dim, n_centroids, seed)
+    cents = (
+        [list(c) for c in centroids]
+        if centroids is not None
+        else ivf_centroids(dim, n_centroids, seed)
+    )
     scores = F.array(
         *[
             F.struct(
