@@ -2887,6 +2887,102 @@ FROM s GROUP BY doc_id, island
 """
 
 
+def _q_remove_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2021, second half): cut
+    non-first occurrences of duplicated substrings; the corpus-wide
+    first occurrence (min (doc_id, pos) struct) keeps its text."""
+    from fundus_spark.operators import remove_dup_substrings
+
+    return remove_dup_substrings(
+        _read(spark, sf_dir, "documents"), k=8, window=4, max_chars=512
+    )
+
+
+_REMOVE_DUP_SQL = r"""
+WITH base AS (
+    SELECT doc_id, substr(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 512) AS t
+    FROM documents
+),
+g AS (SELECT doc_id, t, greatest(length(t) - 7, 0) AS n FROM base),
+hashes AS (
+    SELECT doc_id, n,
+           list_transform(range(1, greatest(n, 1) + 1),
+                          i -> CAST('0x' || substr(md5(substr(t, i::INT, 8)), 1, 8) AS BIGINT)) AS hs
+    FROM g
+),
+sel AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(n - 3, 1) + 1),
+               j -> {'fp': list_min(hs[j::INT : (j + least(4, n) - 1)::INT]),
+                     'pos': list_position(hs[j::INT : (j + least(4, n) - 1)::INT],
+                                          list_min(hs[j::INT : (j + least(4, n) - 1)::INT])) + j - 1}) AS sels
+    FROM hashes
+),
+fps AS (
+    SELECT DISTINCT doc_id, u.fp AS fp, CAST(u.pos AS BIGINT) AS pos
+    FROM (SELECT doc_id, unnest(sels) AS u FROM sel)
+    WHERE u.fp IS NOT NULL
+),
+-- independent formulation of Spark's min(struct(doc_id, pos)) agg
+ranked AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY fp) AS n_occ
+    FROM fps
+),
+removals AS (SELECT doc_id, pos FROM ranked WHERE n_occ > 1 AND rn > 1),
+brks AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk
+    FROM removals
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM brks
+),
+spans AS (
+    SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+    FROM isl GROUP BY doc_id, island
+),
+segs AS (
+    SELECT doc_id,
+           CAST(coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS BIGINT) AS seg_start,
+           CAST(s - 1 AS BIGINT) AS seg_end
+    FROM spans
+),
+stats AS (SELECT doc_id, count(*) AS n_spans, max(e) AS last_e FROM spans GROUP BY doc_id),
+tails AS (
+    SELECT b.doc_id,
+           CAST(st.last_e + 1 AS BIGINT) AS seg_start,
+           CAST(length(b.t) AS BIGINT) AS seg_end
+    FROM base b JOIN stats st USING (doc_id)
+),
+allsegs AS (
+    SELECT * FROM segs WHERE seg_end >= seg_start
+    UNION ALL
+    SELECT * FROM tails WHERE seg_end >= seg_start
+),
+kept AS (
+    SELECT a.doc_id,
+           string_agg(substr(b.t, a.seg_start::INT, (a.seg_end - a.seg_start + 1)::INT),
+                      '' ORDER BY a.seg_start) AS kept_text
+    FROM allsegs a JOIN base b USING (doc_id)
+    GROUP BY a.doc_id
+)
+SELECT b.doc_id,
+       CAST(length(b.t) AS BIGINT) AS n_chars,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans_removed,
+       CAST(length(b.t) - length(coalesce(k.kept_text, b.t)) AS BIGINT) AS n_chars_removed,
+       coalesce(k.kept_text, b.t) AS kept_text
+FROM base b
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2979,6 +3075,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 make the float model bit-exact vs the
                                 unrolled-iteration oracle; backs
                                 semantic_dedup's clustering stage
+    * remove_dup_substrings   — ExactSubstr REMOVAL (round 7): the
+                                keep-first cut on top of
+                                dup_substring_spans' localization
+                                (canonically gated); same winnowing
+                                machinery plus a between-spans
+                                segment rebuild
     * extract_documents_keyed — extract_documents + id-recovery join
     * events_json             — events_daily over JSON-extracted props
     * minhash_signatures      — md5-portability twin of minhash_xxhash
@@ -3045,6 +3147,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "curate_corpus_xxhash": _q_curate_xxhash,
         "kmeans_centroids": _q_kmeans_centroids,
+        "remove_dup_substrings": _q_remove_dup_substrings,
         "winnowing": _q_winnowing,
         "multisignal_clusters": _q_multisignal_clusters,
         "warc_extract": _q_warc_extract,
@@ -3128,6 +3231,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
         "kmeans_centroids": _kmeans_sql(),
+        "remove_dup_substrings": _REMOVE_DUP_SQL,
         "winnowing": _winnowing_sql(),
         "multisignal_clusters": _multisignal_clusters_sql(),
         "extract_documents_keyed": _EXTRACT_DOCUMENTS_SQL,

@@ -814,3 +814,134 @@ def dup_substring_spans(
             "n_grams",
         )
     )
+
+
+def remove_dup_substrings(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    max_chars: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the second half of Lee et al. 2021, on top
+    of :func:`dup_substring_spans`' localization): cut, from each
+    document, the character spans covered by duplicated substrings —
+    keeping the corpus-wide FIRST occurrence of each duplicated
+    fingerprint (ordered by ``(doc_id, position)``; intra-document
+    repeats keep their first position too), exactly the
+    keep-one-copy contract C4's sentence-level span dedup applies at
+    sentence granularity.
+
+    Same near-linear shape as the localizer: per-fingerprint
+    first-occurrence is a map-side-combinable ``min(struct(doc_id,
+    pos))`` (never a window over the hot fingerprint), non-first
+    positions merge per doc into gap-``max(k, window)`` islands, and
+    the kept text is rebuilt from the BETWEEN-span segments with one
+    doc-partitioned window pass (bounded by ``max_chars``). Spans are
+    fingerprint-granular, like the localizer: up to k+window-2 chars
+    of a duplicated region's fringes may survive.
+
+    Output: ``(doc_id, n_chars, n_spans_removed, n_chars_removed,
+    kept_text)`` over the whitespace-normalized, ``max_chars``-clipped
+    text — EVERY input doc is returned (docs with nothing to remove
+    pass through intact).
+    """
+    from pyspark.sql.window import Window
+
+    from .textstats import winnowing_fingerprints
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), 1, max_chars
+        ).alias("t"),
+    )
+    fps = winnowing_fingerprints(
+        df, k=k, window=window, max_chars=max_chars, text_col=text_col,
+        emit_positions=True,
+    )
+    if id_col != "doc_id":
+        fps = fps.withColumnRenamed(id_col, "doc_id")
+    firsts = fps.groupBy("fp").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("first_occ"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    removals = (
+        fps.join(firsts.where(F.col("n_occ") > 1), "fp")
+        .where(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    gap = max(k, window)
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        removals.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(by_pos) > gap, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + F.lit(k - 1)).alias("e"))
+    )
+    # between-span segments: each span emits the gap before it; one
+    # final segment per doc runs from the last span's end to len(t).
+    # Window is per doc and bounded by max_chars/k rows.
+    by_start = Window.partitionBy("doc_id").orderBy("s")
+    segs = spans.withColumn("prev_e", F.lag("e").over(by_start)).select(
+        "doc_id",
+        (F.coalesce(F.col("prev_e"), F.lit(0)) + 1).cast("long").alias("seg_start"),
+        (F.col("s") - 1).cast("long").alias("seg_end"),
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_removed"),
+        F.max("e").alias("last_e"),
+    )
+    doc_side = base.join(stats, "doc_id", "left")
+    tail_seg = doc_side.where(F.col("n_spans_removed").isNotNull()).select(
+        "doc_id",
+        (F.col("last_e") + 1).cast("long").alias("seg_start"),
+        F.length("t").cast("long").alias("seg_end"),
+    )
+    all_segs = segs.unionByName(tail_seg).where(F.col("seg_end") >= F.col("seg_start"))
+    kept = (
+        all_segs.join(base, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("seg_start"),
+                                F.substring(
+                                    F.col("t"),
+                                    F.col("seg_start").cast("int"),
+                                    (F.col("seg_end") - F.col("seg_start") + 1).cast("int"),
+                                ).alias("piece"),
+                            )
+                        )
+                    ),
+                    lambda st: st["piece"],
+                ),
+            ).alias("kept_text")
+        )
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .join(stats.select("doc_id", "n_spans_removed"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length("t").cast("long").alias("n_chars"),
+            F.coalesce("n_spans_removed", F.lit(0)).cast("long").alias("n_spans_removed"),
+            F.coalesce(F.col("kept_text"), F.col("t")).alias("kept_text"),
+        )
+        .withColumn(
+            "n_chars_removed",
+            (F.col("n_chars") - F.length("kept_text")).cast("long"),
+        )
+        .select("doc_id", "n_chars", "n_spans_removed", "n_chars_removed", "kept_text")
+    )

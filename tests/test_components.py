@@ -465,3 +465,61 @@ def test_decontaminate_shuffle_fallback_equals_broadcast(spark):
     sh = {r.doc_id for r in decontaminate(docs, bench, broadcast_max_rows=0, **kw).collect()}
     assert bc == sh
     assert bc and bc != {r.doc_id for r in docs.collect()}  # something was flagged
+
+
+def test_remove_dup_substrings_keeps_first_occurrence(spark):
+    """ExactSubstr removal (round 7): the corpus-wide first occurrence
+    of a duplicated substring keeps its text; every later copy (cross-
+    or intra-document) is cut, within fingerprint granularity (up to
+    k+window-2 fringe chars survive)."""
+    from fundus_spark.operators import remove_dup_substrings
+
+    shared = "a long exactly duplicated run of characters here"
+    rows = [
+        (1, "prefix one " + shared + " suffix one"),
+        (2, "other start " + shared + " other end"),
+        (3, "totally unique content with nothing shared at all xyzzy"),
+        (4, "intra repeat block repeat block repeat block intra tail wording"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_dup_substrings(df, k=8, window=4).collect()}
+    assert len(out) == 4  # every doc returned
+    # first occurrence intact
+    assert out[1].n_spans_removed == 0 and shared in out[1].kept_text
+    # later copy cut (fringes may survive)
+    assert out[2].n_spans_removed == 1 and shared not in out[2].kept_text
+    assert out[2].n_chars_removed >= len(shared) - (8 + 4 - 2)
+    assert out[2].kept_text.startswith("other start") and out[2].kept_text.endswith("other end")
+    # untouched doc passes through byte-identical (normalized text)
+    assert out[3].n_chars_removed == 0 and out[3].kept_text == rows[2][1]
+    # intra-doc repeat keeps its first copy
+    assert out[4].n_spans_removed >= 1
+    assert "repeat block" in out[4].kept_text
+    assert out[4].kept_text.count("repeat block") < 3
+    # length accounting is consistent
+    for r in out.values():
+        assert r.n_chars == r.n_chars_removed + len(r.kept_text)
+
+
+def test_remove_dup_substrings_adjacent_spans_merge(spark):
+    """Two duplicated regions separated by less than the island gap
+    merge into one removed span — and the rebuild still stitches the
+    remaining segments in order."""
+    from fundus_spark.operators import remove_dup_substrings
+
+    blk = "duplicated block of text number "
+    rows = [
+        (1, "aa " + blk + "one and " + blk + "two zz"),
+        (2, "bb " + blk + "one and " + blk + "two yy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_dup_substrings(df, k=8, window=4).collect()}
+    # doc 1 keeps its FIRST copy; its own second copy is an intra-doc
+    # duplicate and is cut
+    assert out[1].n_spans_removed == 1
+    assert out[1].kept_text.count(blk) == 1
+    assert out[1].kept_text.startswith("aa " + blk + "one")
+    # doc 2's copies are both non-first -> both cut
+    assert out[2].n_spans_removed >= 1
+    assert blk not in out[2].kept_text
+    assert out[2].kept_text.startswith("bb")
