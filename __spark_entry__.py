@@ -2887,6 +2887,63 @@ FROM s GROUP BY doc_id, island
 """
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText/RefinedWeb boilerplate-line removal over synthesized
+    5-line pages: per-class nav chrome (doc_id%5) and a newsletter
+    plant (doc_id%7==2) recur corpus-wide and are dropped from EVERY
+    doc; header/body/closing lines embed doc_id (unique, kept); the
+    blank line is never counted or removed."""
+    from fundus_spark.operators import line_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("doc "), did.cast("string"), F.lit(" header line")),
+        F.concat(F.lit("shared navigation chrome number "), (did % 5).cast("string")),
+        F.lit(""),
+        F.concat(F.lit("body text "), F.substring("text", 1, 30), F.lit(" "), did.cast("string")),
+        F.when(did % 7 == 2, F.lit("subscribe to our newsletter today"))
+        .otherwise(F.concat(F.lit("closing line for doc "), did.cast("string"))),
+    )
+    return line_dedup(docs.select("doc_id", page.alias("page")), min_occurrences=2)
+
+
+_LINE_DEDUP_SQL = r"""
+WITH pages AS (
+    SELECT doc_id,
+           'doc ' || doc_id || ' header line' || chr(10) ||
+           'shared navigation chrome number ' || (doc_id % 5) || chr(10) ||
+           chr(10) ||
+           'body text ' || substr(text, 1, 30) || ' ' || doc_id || chr(10) ||
+           CASE WHEN doc_id % 7 = 2 THEN 'subscribe to our newsletter today'
+                ELSE 'closing line for doc ' || doc_id END AS page
+    FROM documents
+),
+docs AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pages),
+exploded AS (
+    SELECT doc_id, i AS pos, lines[i] AS line
+    FROM docs, unnest(range(1, len(lines) + 1)) AS t(i)
+),
+freq AS (
+    SELECT md5(trim(line)) AS lkey
+    FROM exploded
+    WHERE length(trim(line)) >= 1
+    GROUP BY 1 HAVING count(*) >= 2
+),
+marked AS (
+    SELECT e.doc_id, e.pos, e.line,
+           (f.lkey IS NOT NULL AND length(trim(e.line)) >= 1) AS rem
+    FROM exploded e LEFT JOIN freq f ON md5(trim(e.line)) = f.lkey
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rem THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rem), '') AS kept_text
+FROM marked GROUP BY doc_id
+"""
+
+
 def _q_remove_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr removal (Lee et al. 2021, second half): cut
     non-first occurrences of duplicated substrings; the corpus-wide
@@ -3081,6 +3138,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 (canonically gated); same winnowing
                                 machinery plus a between-spans
                                 segment rebuild
+    * line_dedup              — MassiveText/RefinedWeb boilerplate-
+                                line removal (round 7): corpus-
+                                frequency counted on md5 line keys,
+                                guarded broadcast join-back, every
+                                occurrence dropped (template chrome
+                                keeps no copy)
     * extract_documents_keyed — extract_documents + id-recovery join
     * events_json             — events_daily over JSON-extracted props
     * minhash_signatures      — md5-portability twin of minhash_xxhash
@@ -3148,6 +3211,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus_xxhash": _q_curate_xxhash,
         "kmeans_centroids": _q_kmeans_centroids,
         "remove_dup_substrings": _q_remove_dup_substrings,
+        "line_dedup": _q_line_dedup,
         "winnowing": _q_winnowing,
         "multisignal_clusters": _q_multisignal_clusters,
         "warc_extract": _q_warc_extract,
@@ -3232,6 +3296,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
         "kmeans_centroids": _kmeans_sql(),
         "remove_dup_substrings": _REMOVE_DUP_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
         "winnowing": _winnowing_sql(),
         "multisignal_clusters": _multisignal_clusters_sql(),
         "extract_documents_keyed": _EXTRACT_DOCUMENTS_SQL,

@@ -945,3 +945,82 @@ def remove_dup_substrings(
         )
         .select("doc_id", "n_chars", "n_spans_removed", "n_chars_removed", "kept_text")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_occurrences: int = 2,
+    text_col: str = "page",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
+    broadcast_max_rows: int = 10_000_000,
+) -> DataFrame:
+    """Corpus-frequency line deduplication (the MassiveText/RefinedWeb
+    boilerplate-line removal: a line that recurs across the corpus —
+    nav text, cookie banners, share buttons — is template boilerplate,
+    not content): drop EVERY occurrence of any normalized line whose
+    corpus-wide occurrence count is >= ``min_occurrences``. Unlike the
+    keep-first span/sentence dedups, no copy survives — a
+    corpus-frequent line is junk in every document it appears in
+    (C4-style span dedup keeps one copy because its target is
+    legitimately-authored text that got mirrored; this one's target is
+    template chrome).
+
+    Scale shape: one map-side-combinable count over the exploded line
+    relation (lines are md5-keyed so the shuffle carries 16-byte keys,
+    not line text), the frequent-line set joined back BROADCAST under
+    ``broadcast_max_rows`` (shuffle join above — the set is bounded by
+    template diversity, not corpus size), and the rebuild is a narrow
+    higher-order filter per doc. Line identity is whitespace-trimmed;
+    blank/short lines (< ``min_line_chars``) are never counted or
+    removed.
+
+    Output: ``(doc_id, n_lines, n_removed, kept_text)`` for every
+    input doc.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    docs = df.select(F.col(id_col).alias("doc_id"), lines.alias("lines"))
+    exploded = docs.select(
+        "doc_id", F.explode("lines").alias("line")
+    ).select(F.md5(F.trim(F.col("line"))).alias("lkey"), F.trim(F.col("line")).alias("lt"))
+    frequent = (
+        exploded.where(F.length("lt") >= min_line_chars)
+        .groupBy("lkey")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= min_occurrences)
+        .select("lkey")
+        .localCheckpoint(eager=True)
+    )
+    freq_side = (
+        F.broadcast(frequent) if frequent.count() <= broadcast_max_rows else frequent
+    )
+    # removal decision per distinct line key, folded back as a column:
+    # collect the per-doc removable flags via a join on the exploded
+    # relation, then rebuild with a positional filter
+    marked = (
+        docs.select("doc_id", F.posexplode("lines").alias("pos", "line"))
+        .withColumn("lkey", F.md5(F.trim(F.col("line"))))
+        .withColumn("_long_enough", F.length(F.trim(F.col("line"))) >= min_line_chars)
+        .join(freq_side.withColumn("_hit", F.lit(True)), "lkey", "left")
+        .withColumn("remove", F.coalesce(F.col("_hit"), F.lit(False)) & F.col("_long_enough"))
+    )
+    rebuilt = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("remove").cast("long")).cast("long").alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("remove")))
+                        ),
+                        lambda st: ~st["remove"],
+                    ),
+                    lambda st: st["line"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    return rebuilt

@@ -523,3 +523,26 @@ def test_remove_dup_substrings_adjacent_spans_merge(spark):
     assert out[2].n_spans_removed >= 1
     assert blk not in out[2].kept_text
     assert out[2].kept_text.startswith("bb")
+
+
+def test_line_dedup_drops_every_copy_of_frequent_lines(spark):
+    """Corpus-frequency line removal (round 7): template chrome keeps
+    NO copy (unlike keep-first span dedup); unique lines and blanks
+    pass through; n_lines/n_removed account exactly."""
+    from fundus_spark.operators import line_dedup
+
+    rows = [
+        (1, "unique opener one\nCookie notice: accept all\nreal content alpha\nShare on FaceSpace"),
+        (2, "unique opener two\nCookie notice: accept all\nreal content beta\nShare on FaceSpace"),
+        (3, "standalone page\nwith only singular lines\n\n\nand blanks kept"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, page string")
+    out = {r.doc_id: r for r in line_dedup(df, min_occurrences=2).collect()}
+    assert out[1].kept_text == "unique opener one\nreal content alpha"
+    assert out[2].kept_text == "unique opener two\nreal content beta"
+    assert out[1].n_removed == out[2].n_removed == 2
+    # blanks are never counted as frequent even though they repeat
+    assert out[3].n_removed == 0 and out[3].kept_text == rows[2][1]
+    # threshold respected: nothing frequent at min_occurrences=3
+    out3 = {r.doc_id: r for r in line_dedup(df, min_occurrences=3).collect()}
+    assert all(r.n_removed == 0 for r in out3.values())
