@@ -74,6 +74,9 @@ DEDUP_FAMILY = [
     "c4_span_dedup",
     "dup_substring_spans",
     "dsir_select",
+    # round-7 additions: both read only documents/embeddings
+    "bpe_token_count",
+    "semantic_dedup",
 ]
 
 

@@ -178,3 +178,27 @@ def test_bpe_chunked_apply_equals_single_projection(spark):
     one = {r.word: r.n_tokens for r in bpe_apply_to_vocab(vocab, merge_list, chunk_size=256).collect()}
     chunked = {r.word: r.n_tokens for r in bpe_apply_to_vocab(vocab, merge_list, chunk_size=4).collect()}
     assert one == chunked and len(one) > 10
+
+
+def test_pack_by_budget_accepts_bpe_counts(spark):
+    """The packing operator budgets in whatever token column it is
+    given — wiring bpe_token_count's n_tokens through end-to-end."""
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators import bpe_token_count, pack_by_budget
+
+    rows = [(i, "shard%d" % (i % 2), " ".join("w%d" % ((i * 7 + j) % 40) for j in range(20))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    counts = bpe_token_count(df, n_merges=8).select("doc_id", "n_tokens")
+    with_tokens = df.join(counts, "doc_id")
+    packed = pack_by_budget(with_tokens, budget=256, token_col="n_tokens", part_col="source", order_col="doc_id")
+    out = sorted(packed.collect(), key=lambda r: (r.source, r.doc_id))
+    assert len(out) == 50
+    # concat-and-chunk contract: pack_offset is the running sum of the
+    # BPE counts in order, pack_bin = floor(offset / budget)
+    running = {}
+    for r in out:
+        expect = running.get(r.source, 0)
+        assert r.pack_offset == expect
+        assert r.pack_bin == expect // 256
+        running[r.source] = expect + r.n_tokens
