@@ -110,6 +110,7 @@ def curate_corpus(
     hash_mode: str = "md5",
     lsh_bucket_cap: Optional[int] = 1024,
     broadcast_max_rows: int = 10_000_000,
+    line_dedup_min_occ: Optional[int] = None,
 ) -> DataFrame:
     """Returns the training-ready corpus: quality-gated, exact- and
     near-dup-deduplicated, decontaminated against ``benchmark`` (if
@@ -140,7 +141,26 @@ def curate_corpus(
     minima — demoting at most one prior survivor per merge. An
     append-only incremental run that must never demote survivors
     should freeze prior cluster labels and assign new docs to them
-    (union-find against the frozen labels) instead of re-clustering."""
+    (union-find against the frozen labels) instead of re-clustering.
+
+    ``line_dedup_min_occ`` (round 7, default off) prepends the
+    MassiveText/RefinedWeb boilerplate-line removal: lines recurring
+    corpus-wide >= that many times are stripped from every document
+    BEFORE the quality gate and dedup stages, so template chrome
+    neither inflates near-dup similarity nor survives into packed
+    training text. Default ``None`` keeps the chain byte-identical to
+    prior releases (and to the driver oracle)."""
+    if line_dedup_min_occ is not None:
+        from ..operators import line_dedup
+
+        cleaned = line_dedup(
+            docs, min_occurrences=line_dedup_min_occ,
+            text_col=text_col, id_col=id_col,
+            broadcast_max_rows=broadcast_max_rows,
+        ).select(F.col("doc_id").alias(id_col), F.col("kept_text"))
+        docs = docs.drop(text_col).join(cleaned, id_col).withColumnRenamed(
+            "kept_text", text_col
+        )
     gated = docs.where(F.length(F.trim(F.col(text_col))) >= min_chars)
     rep = repetition_score(gated, text_col=text_col, id_col=id_col, n=2).where(
         F.col("dup_gram_frac") <= max_dup_gram_frac

@@ -51,7 +51,12 @@ def _body(ctx: ParseContext) -> Optional[Dict[str, Any]]:
         potential_credits = summary[potential_end + 2 : len(summary)]
         if potential_credits.split(" ", 1)[0] == "Von":
             if all(author in potential_credits for author in authors_list):
-                article_body["summary"] = [summary[: potential_end + 1]] + list(article_body["summary"][1:])
+                # the reference REPLACES the whole summary tuple with the
+                # single trimmed element (rbb24.py: `summary._data =
+                # (summary[:pe+1],)`), discarding any additional summary
+                # paragraphs — mirror that, don't preserve the tail
+                # (round-7 audit batch 13 finding)
+                article_body["summary"] = [summary[: potential_end + 1]]
     # trailing broadcast note "Sendung: ..." (reference rbb24.py:66-72)
     if article_body["sections"]:
         paragraphs = article_body["sections"][-1]["paragraphs"]

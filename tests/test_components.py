@@ -546,3 +546,30 @@ def test_line_dedup_drops_every_copy_of_frequent_lines(spark):
     # threshold respected: nothing frequent at min_occurrences=3
     out3 = {r.doc_id: r for r in line_dedup(df, min_occurrences=3).collect()}
     assert all(r.n_removed == 0 for r in out3.values())
+
+
+def test_curate_corpus_optional_line_dedup_stage(spark):
+    """Round-7 composition: line_dedup_min_occ strips corpus-recurrent
+    boilerplate BEFORE the gate/dedup stages; default None keeps the
+    chain byte-identical to before."""
+    from pyspark.sql import functions as F
+
+    from fundus_spark.plans import curate_corpus
+
+    chrome = "Subscribe now and accept all cookies please"
+    rows = [
+        (i, "s%d" % (i % 2),
+         chrome + "\n" + " ".join("unique%d_%d word" % (i, j) for j in range(15)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    base = curate_corpus(df, pack_budget=500)
+    cleaned = curate_corpus(df, pack_budget=500, line_dedup_min_occ=2)
+    assert base.count() == cleaned.count() == 12
+    # the chrome line survives the default chain but not the cleaned one
+    assert all(chrome in r.text for r in base.collect())
+    assert all(chrome not in r.text for r in cleaned.collect())
+    # default path unchanged: same packed output as before the feature
+    again = curate_corpus(df, pack_budget=500)
+    key = lambda r: (r.doc_id, r.split, r.pack_offset, r.pack_bin)  # noqa: E731
+    assert sorted(map(key, base.collect())) == sorted(map(key, again.collect()))
