@@ -2067,6 +2067,140 @@ WHERE epoch < FLOOR(r)
 """
 
 
+# --- trained quality classifier (round 7) --------------------------------
+#: hashed-BoW dimensionality, GD iterations, learning rate (exactly
+#: representable so the cross-engine update chain stays bit-identical),
+#: feature-hash salt, and the 50% md5 train sample (salt 'qct')
+_QC_FEATURES = 128
+_QC_ITER = 32
+_QC_LR = 0.0625
+_QC_SALT = "qcls"
+_QC_TRAIN_SALT = "qct"
+_QC_TRAIN_THR = 2**31  # hash_bucket < 2^31 of 2^32 -> 50% sample
+#: the planted label: does the doc contain the token 'spark'
+_QC_LABEL_TOKEN = "spark"
+
+
+def _qc_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "y",
+        F.array_contains(
+            F.split(F.trim(F.col("text")), r"\s+"), _QC_LABEL_TOKEN
+        ).cast("int"),
+    )
+
+
+def _qc_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fundus_spark.operators import quality_classifier_fit
+    from fundus_spark.operators.sampling import hash_bucket
+
+    labeled = _qc_labeled(spark, sf_dir)
+    train = labeled.where(
+        hash_bucket(F.col("doc_id"), _QC_TRAIN_SALT) < F.lit(_QC_TRAIN_THR)
+    )
+    return quality_classifier_fit(
+        train, label_col="y", n_features=_QC_FEATURES, n_iter=_QC_ITER,
+        lr=_QC_LR, salt=_QC_SALT,
+    )
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained linear quality filter (the GPT-3/LLaMA classifier
+    family): fit on a deterministic 50% hash-sample against a planted
+    token label, score EVERY doc. Training is engine-exact fixed-point
+    full-batch GD (see operators/classifier.py) so the DuckDB oracle
+    replays the identical model from an unrolled-CTE loop; scoring is
+    a narrow literal-weights projection — no join, no shuffle
+    proportional to the corpus."""
+    from fundus_spark.operators import quality_classifier_score
+
+    model = _qc_model(spark, sf_dir)
+    return quality_classifier_score(
+        _qc_labeled(spark, sf_dir), model, salt=_QC_SALT
+    )
+
+
+def _q_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned model table itself — gated so a training divergence
+    pins the exact first differing weight (same rationale as
+    bpe_merges / kmeans_centroids)."""
+    return _qc_model(spark, sf_dir).select("j", "w_q")
+
+
+def _qc_sql_prefix() -> str:
+    """Shared CTE chain: features, train subset, exact integer
+    sufficient statistics (Gram = XᵀX, moment = Xᵀy), then the GD
+    loop unrolled over the TINY gram relation — one corpus pass, like
+    the Spark side. Every CTE is MATERIALIZED — w{t} is referenced
+    twice per iteration, so un-materialized inlining would
+    re-evaluate the whole chain 2^n_iter times (same lesson as the
+    BPE oracle)."""
+    bucket = "CAST('0x' || substr(md5({g}), 1, 8) AS BIGINT)"
+    iters = []
+    for t in range(_QC_ITER):
+        iters.append(f"""
+a{t} AS MATERIALIZED (
+    SELECT g.ja AS j, SUM(g.v * w.w_q) AS gw
+    FROM gram g JOIN w{t} w ON w.j = g.jb GROUP BY g.ja
+),
+w{t + 1} AS MATERIALIZED (
+    SELECT w.j,
+           CAST(floor((CAST(w.w_q AS DOUBLE) / 10000.0
+                       - {_QC_LR} * (CAST(COALESCE(a.gw, 0) - 100000000 * COALESCE(m.v, 0) AS DOUBLE)
+                                     / (1000000000000.0 * (SELECT n FROM ntrain)))) * 10000.0 + 0.5) AS BIGINT) AS w_q
+    FROM w{t} w LEFT JOIN a{t} a ON a.j = w.j LEFT JOIN mom m ON m.j = w.j
+),""")
+    tok_bucket = bucket.format(g=f"'{_QC_SALT}' || tok")
+    train_bucket = bucket.format(g=f"'{_QC_TRAIN_SALT}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH lab AS MATERIALIZED (
+    SELECT doc_id, text,
+           CAST(list_contains(string_split_regex(trim(text), '\\s+'), '{_QC_LABEL_TOKEN}') AS BIGINT) AS y
+    FROM documents
+),
+tok AS MATERIALIZED (
+    SELECT doc_id, y, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM lab
+),
+af AS MATERIALIZED (
+    -- binary presence features: one row per distinct (doc, bucket),
+    -- x_q = X_SCALE, plus the bias feature j = n_features
+    SELECT DISTINCT doc_id, y, {tok_bucket} % {_QC_FEATURES} AS j, CAST(10000 AS BIGINT) AS x_q
+    FROM tok
+    UNION ALL
+    SELECT doc_id, y, {_QC_FEATURES} AS j, 10000 AS x_q FROM lab
+),
+tf AS MATERIALIZED (
+    SELECT * FROM af WHERE {train_bucket} < {_QC_TRAIN_THR}
+),
+ntrain AS MATERIALIZED (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+gram AS MATERIALIZED (
+    SELECT a.j AS ja, b.j AS jb, SUM(a.x_q * b.x_q) AS v
+    FROM tf a JOIN tf b USING (doc_id) GROUP BY a.j, b.j
+),
+mom AS MATERIALIZED (SELECT j, SUM(y * x_q) AS v FROM tf GROUP BY j),
+w0 AS MATERIALIZED (SELECT CAST(r AS BIGINT) AS j, CAST(0 AS BIGINT) AS w_q FROM range(0, {_QC_FEATURES + 1}) t(r)),
+{''.join(iters)}
+final AS MATERIALIZED (SELECT j, w_q FROM w{_QC_ITER})
+"""
+
+
+def _quality_classifier_sql() -> str:
+    return _qc_sql_prefix() + """
+SELECT f.doc_id,
+       CAST(SUM(w.w_q * f.x_q) AS DOUBLE) / 100000000.0 AS score,
+       SUM(w.w_q * f.x_q) * 2 >= 100000000 AS predicted
+FROM af f JOIN final w ON w.j = f.j
+GROUP BY f.doc_id
+"""
+
+
+def _classifier_weights_sql() -> str:
+    return _qc_sql_prefix() + """
+SELECT CAST(j AS INTEGER) AS j, w_q FROM final
+"""
+
+
 #: sources whose documents play the DSIR "target" corpus; the rest of
 #: the documents table is the raw pool being selected from
 _DSIR_TARGET_SOURCES = ("src0", "src1")
@@ -3064,7 +3198,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "requires_filter": _q_requires,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
-        "shipping_priority": _q_shipping_priority,
         "event_sessions": _q_event_sessions,
         "exact_dedup": _q_exact_dedup,
         "gopher_quality": _q_gopher_quality,
@@ -3092,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_substring_spans": _q_dup_substring_spans,
         "dsir_select": _q_dsir_select,
         "domain_mix": _q_domain_mix,
+        "quality_classifier": _q_quality_classifier,
         "media_decode": _q_media_decode,
         "media_resize": _q_media_resize,
         "media_frame_sample": _q_media_frames,
@@ -3204,10 +3338,27 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 domain_mix in round 7 (whose epoch
                                 replication / fractional-keep logic had
                                 no driver row of its own)
+    * shipping_priority       — TPC-H Q3 demo (dim-filter -> two joins
+                                -> agg -> top-10): the join machinery
+                                is canonically gated by
+                                revenue_by_nation and the agg+top-k by
+                                grouped_topk / pricing_summary — all
+                                built-in Catalyst operators with no
+                                custom logic of our own; ceded its
+                                slot to quality_classifier in round 7
+                                (a genuinely new trained operator)
+    * classifier_weights      — the learned linear-classifier model
+                                table (round 7): same unrolled-GD
+                                oracle as quality_classifier, gated so
+                                a training divergence pins the exact
+                                first differing weight (same rationale
+                                as bpe_merges / kmeans_centroids)
     """
     return {
         "token_count": _q_token_count,
         "bpe_merges": _q_bpe_merges,
+        "shipping_priority": _q_shipping_priority,
+        "classifier_weights": _q_classifier_weights,
         "curate_corpus_xxhash": _q_curate_xxhash,
         "kmeans_centroids": _q_kmeans_centroids,
         "remove_dup_substrings": _q_remove_dup_substrings,
@@ -3246,7 +3397,6 @@ def oracle_sql() -> dict[str, str]:
         "requires_filter": _REQUIRES_SQL,
         "pricing_summary": _PRICING_SUMMARY_SQL,
         "revenue_by_nation": _REVENUE_BY_NATION_SQL,
-        "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "gopher_quality": _GOPHER_QUALITY_SQL,
@@ -3274,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_substring_spans": _DUP_SUBSTRING_SQL,
         "dsir_select": _dsir_sql(),
         "domain_mix": _domain_mix_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         "media_decode": _MEDIA_DECODE_SQL,
         "media_resize": _MEDIA_RESIZE_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
@@ -3293,6 +3444,8 @@ def extra_oracle_sql() -> dict[str, str]:
     return {
         "token_count": _TOKEN_COUNT_SQL,
         "bpe_merges": _bpe_merges_sql(),
+        "shipping_priority": _SHIPPING_PRIORITY_SQL,
+        "classifier_weights": _classifier_weights_sql(),
         "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
         "kmeans_centroids": _kmeans_sql(),
         "remove_dup_substrings": _REMOVE_DUP_SQL,

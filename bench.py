@@ -52,9 +52,10 @@ HEADLINE = [
     "c4_span_dedup",
     "dup_substring_spans",
     "dsir_select",
-    # round-7 additions (headline 27 -> 29)
+    # round-7 additions (headline 27 -> 30)
     "bpe_token_count",
     "semantic_dedup",
+    "quality_classifier",
 ]
 
 
@@ -74,9 +75,10 @@ DEDUP_FAMILY = [
     "c4_span_dedup",
     "dup_substring_spans",
     "dsir_select",
-    # round-7 additions: both read only documents/embeddings
+    # round-7 additions: all read only documents/embeddings
     "bpe_token_count",
     "semantic_dedup",
+    "quality_classifier",
 ]
 
 

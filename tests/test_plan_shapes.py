@@ -57,7 +57,9 @@ def test_small_dims_broadcast(spark, entry):
 
 
 def test_filters_reach_the_scan(spark, entry):
-    qs = entry.queries()
+    # shipping_priority moved to extra_queries() in round 7 (slot
+    # ceded to quality_classifier); the pushdown pin stays here
+    qs = {**entry.queries(), **entry.extra_queries()}
     plan = _plan(qs["shipping_priority"](spark, SF_DIR))
     # all three scans carry their predicate
     assert "l_shipdate" in plan and "PushedFilters: [IsNotNull(l_shipdate)" in plan
