@@ -111,6 +111,10 @@ def curate_corpus(
     lsh_bucket_cap: Optional[int] = 1024,
     broadcast_max_rows: int = 10_000_000,
     line_dedup_min_occ: Optional[int] = None,
+    quality_model: Optional[DataFrame] = None,
+    quality_threshold: float = 0.5,
+    quality_salt: str = "qcls",
+    quality_feature_mode: str = "binary",
 ) -> DataFrame:
     """Returns the training-ready corpus: quality-gated, exact- and
     near-dup-deduplicated, decontaminated against ``benchmark`` (if
@@ -149,7 +153,18 @@ def curate_corpus(
     BEFORE the quality gate and dedup stages, so template chrome
     neither inflates near-dup similarity nor survives into packed
     training text. Default ``None`` keeps the chain byte-identical to
-    prior releases (and to the driver oracle)."""
+    prior releases (and to the driver oracle).
+
+    ``quality_model`` (round 7, default off) adds the TRAINED quality
+    filter (GPT-3/LLaMA classifier family) between the heuristic gate
+    and dedup: pass a fitted model from
+    :func:`operators.quality_classifier_fit` (or a quantized weight
+    sequence) and docs the model scores below ``quality_threshold``
+    are dropped before any shingling — the cheapest place to shed
+    low-quality mass, since every downstream stage shrinks with it.
+    Use the same ``quality_salt``/``quality_feature_mode`` the model
+    was fitted with. Default ``None`` keeps the chain byte-identical
+    to prior releases."""
     if line_dedup_min_occ is not None:
         from ..operators import line_dedup
 
@@ -168,6 +183,16 @@ def curate_corpus(
     # repetition_score / contamination_flags emit their id as "doc_id";
     # alias back so a caller's id_col keeps working end to end
     gated = gated.join(rep.select(F.col("doc_id").alias(id_col)), id_col)
+
+    if quality_model is not None:
+        from ..operators import quality_classifier_score
+
+        kept = quality_classifier_score(
+            gated, quality_model, text_col=text_col, id_col=id_col,
+            salt=quality_salt, threshold=quality_threshold,
+            feature_mode=quality_feature_mode,
+        ).where(F.col("predicted")).select(F.col("doc_id").alias(id_col))
+        gated = gated.join(kept, id_col, "left_semi")
 
     keep_ids = exact_dedup(gated, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)

@@ -573,3 +573,42 @@ def test_curate_corpus_optional_line_dedup_stage(spark):
     again = curate_corpus(df, pack_budget=500)
     key = lambda r: (r.doc_id, r.split, r.pack_offset, r.pack_bin)  # noqa: E731
     assert sorted(map(key, base.collect())) == sorted(map(key, again.collect()))
+
+
+def test_curate_corpus_optional_trained_quality_stage(spark):
+    """Round-7 composition: quality_model gates the chain with the
+    trained classifier between the heuristic gate and dedup; a
+    bias-only keep-everything model leaves the output identical to
+    the default chain, a fitted model drops what it scores low."""
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators import quality_classifier_fit
+    from fundus_spark.operators.classifier import W_SCALE
+    from fundus_spark.plans import curate_corpus
+
+    rows = [
+        (i, "s%d" % (i % 2),
+         (" ".join("junkety%d_%d spam" % (i, j) for j in range(15))
+          if i % 3 == 0
+          else " ".join("prose%d_%d word" % (i, j) for j in range(15))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    base = curate_corpus(df, pack_budget=500)
+
+    # keep-everything model: bias weight 1.0, all features 0
+    keep_all = [0] * 16 + [W_SCALE]
+    same = curate_corpus(df, pack_budget=500, quality_model=keep_all, quality_salt="t")
+    key = lambda r: (r.doc_id, r.split, r.pack_offset, r.pack_bin)  # noqa: E731
+    assert sorted(map(key, base.collect())) == sorted(map(key, same.collect()))
+
+    # fitted model: learns the 'spam' token -> the i%3==0 docs drop
+    labeled = df.withColumn(
+        "y", (~F.array_contains(F.split(F.col("text"), " "), "spam")).cast("int")
+    )
+    model = quality_classifier_fit(
+        labeled, n_features=32, n_iter=32, lr=0.0625, salt="t"
+    )
+    gated = curate_corpus(df, pack_budget=500, quality_model=model, quality_salt="t")
+    kept_ids = {r.doc_id for r in gated.collect()}
+    assert kept_ids == {i for i in range(12) if i % 3 != 0}
