@@ -316,18 +316,66 @@ def quality_classifier_score(
     salt: str = "qcls",
     threshold: float = 0.5,
     feature_mode: str = "binary",
+    plan: str = "grouped",
 ) -> DataFrame:
     """Score every doc with a fitted model: ``(doc_id, score,
     predicted)`` where ``score = y_q / (W_SCALE * X_SCALE)`` is an
     exact rational and ``predicted`` is an INTEGER threshold compare
     (``2·y_q >= 2·threshold·W_SCALE·X_SCALE``), so no float-edge
-    ambiguity. In the default binary mode the plan is join-free: two
-    map-side-combinable aggregations (distinct buckets, integer dot
-    as one sum) and a literal-weights projection — nothing shuffled is
-    proportional to model size, and there are no iterations. Use the
-    same ``feature_mode``/``salt`` the model was fitted with."""
+    ambiguity. Use the same ``feature_mode``/``salt`` the model was
+    fitted with.
+
+    ``plan`` picks between two physically different, value-identical
+    formulations (pinned equal by test):
+
+    * ``grouped`` (default): explode buckets -> element_at on the
+      literal weight vector -> one map-side-combinable sum. Join-free
+      and fully whole-stage-codegen; shuffles ~active-features rows
+      per doc (post-combine).
+    * ``narrow`` : the whole score as ONE per-row projection —
+      distinct hashed buckets via array ops, integer fold over the
+      literal weights. ZERO shuffle, so it composes with Structured
+      Streaming in append mode (a groupBy aggregation would demand a
+      watermark/complete mode) and pipelines into any downstream
+      stage; the fold is an F.aggregate HOF (CodegenFallback,
+      interpreted per row — cheap multiply-adds over tens of
+      elements, unlike the md5-heavy winnowing fold that motivated
+      the round-6 relational rewrite). Binary feature mode only.
+    """
     wq = _model_weights(model)
     n_features = len(wq) - 1
+    wlit = F.array(*[F.lit(int(v)).cast("long") for v in wq])
+    thr_q2 = int(round(2 * threshold * W_SCALE * X_SCALE))
+    if plan not in ("grouped", "narrow"):
+        raise ValueError(f"unknown plan {plan!r}: expected 'grouped' or 'narrow'")
+    if plan == "narrow":
+        if feature_mode != "binary":
+            raise ValueError("plan='narrow' requires feature_mode='binary'")
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        js = F.array_distinct(
+            F.transform(
+                toks,
+                lambda t: F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 8), 16, 10
+                    ).cast("bigint"),
+                    F.lit(n_features),
+                ),
+            )
+        )
+        # binary features are a constant X_SCALE, so the dot product
+        # factors: y_q = X_SCALE * (bias_w + sum of present weights)
+        wsum = F.aggregate(
+            js,
+            F.lit(int(wq[n_features])).cast("long"),
+            lambda acc, j: acc + F.element_at(wlit, (j + 1).cast("int")),
+        )
+        yq = wsum * F.lit(X_SCALE)
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            (yq.cast("double") / F.lit(float(W_SCALE * X_SCALE))).alias("score"),
+            (yq * 2 >= F.lit(thr_q2)).alias("predicted"),
+        )
     feats = classifier_features(
         docs, text_col=text_col, id_col=id_col, label_col=None,
         n_features=n_features, salt=salt, feature_mode=feature_mode,
@@ -336,11 +384,8 @@ def quality_classifier_score(
     # projection and the integer dot is ONE map-side-combinable sum —
     # no array fold (an F.aggregate HOF lambda is CodegenFallback and
     # would run interpreted per row; the fold is reserved for the
-    # iterative training method, where it buys the absence of a
-    # per-iteration join), evaluated once instead of once per output
-    # column
-    wlit = F.array(*[F.lit(int(v)).cast("long") for v in wq])
-    thr_q2 = int(round(2 * threshold * W_SCALE * X_SCALE))
+    # iterative training method and the narrow streaming plan),
+    # evaluated once instead of once per output column
     scored = (
         feats.select(
             "doc_id",

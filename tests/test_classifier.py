@@ -178,3 +178,30 @@ def test_scoring_plan_is_join_free_in_binary_mode(spark):
     df = spark.createDataFrame([(1, "red blue")], "doc_id long, text string")
     plan = quality_classifier_score(df, [0] * 9, salt="t")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_narrow_and_grouped_scoring_agree(spark):
+    """The zero-shuffle per-row plan and the grouped codegen plan
+    compute the same integer dot product — values must be identical,
+    and the narrow plan must contain no Exchange at all."""
+    from fundus_spark.operators import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model = quality_classifier_fit(df, n_features=32, n_iter=8, salt="t")
+    g = {(r.doc_id, r.score, r.predicted)
+         for r in quality_classifier_score(df, model, salt="t").collect()}
+    n = {(r.doc_id, r.score, r.predicted)
+         for r in quality_classifier_score(df, model, salt="t", plan="narrow").collect()}
+    assert g == n and len(g) == len(rows)
+    plan = quality_classifier_score(
+        df, model, salt="t", plan="narrow"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        quality_classifier_score(df, model, salt="t", plan="narrow", feature_mode="tf")
+    with pytest.raises(ValueError):
+        quality_classifier_score(df, model, salt="t", plan="sorted")

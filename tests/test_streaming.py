@@ -571,3 +571,53 @@ def test_stream_store_compaction_reclaims_and_preserves_probes(spark, tmp_path):
     assert curate_batch_into_corpus(spark, b2, corpus, batch_id=2, **kw) == 1
     assert sorted(r.doc_id for r in read_corpus(spark, corpus).collect()) == [1, 2, 11]
     assert set(_stream_parts(store)["parts"]) == set(live) | {"batch-direct-2"}
+
+
+def test_stream_trained_quality_scoring_matches_batch(spark, tmp_path):
+    """quality_classifier_score(plan='narrow') is a pure per-row
+    projection (zero shuffle), so a fitted model scores a document
+    stream in append mode with no watermark — output must equal the
+    batch scoring row-for-row."""
+    from fundus_spark.operators import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    rows = [
+        (i, ("alpha beta spamword" if i % 4 == 0 else "alpha beta gamma delta") + f" unique{i}")
+        for i in range(40)
+    ]
+    input_path = str(tmp_path / "qc_in")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(input_path)
+
+    batch_df = spark.read.parquet(input_path)
+    labeled = batch_df.withColumn(
+        "y", (~batch_df.text.contains("spamword")).cast("int")
+    )
+    model = quality_classifier_fit(labeled, n_features=16, n_iter=8, salt="t")
+    weights = [r.w_q for r in model.orderBy("j").collect()]
+
+    stream_df = quality_classifier_score(
+        spark.readStream.schema("doc_id long, text string").parquet(input_path),
+        weights, salt="t", plan="narrow",
+    )
+    assert stream_df.isStreaming
+    out_path = str(tmp_path / "qc_out")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "qc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        (r.doc_id, r.score, r.predicted)
+        for r in quality_classifier_score(batch_df, weights, salt="t", plan="narrow").collect()
+    }
+    stream = {
+        (r.doc_id, r.score, r.predicted)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert batch == stream and len(batch) == 40
