@@ -262,6 +262,10 @@ def curate_increment(
     materialize_stages: bool = True,
     broadcast_max_rows: int = 10_000_000,
     lsh_bucket_cap: Optional[int] = 1024,
+    quality_model: Optional[DataFrame] = None,
+    quality_threshold: float = 0.5,
+    quality_salt: str = "qcls",
+    quality_feature_mode: str = "binary",
 ) -> DataFrame:
     """The daily-increment twin of :func:`curate_corpus`: curate a NEW
     batch against a FROZEN, already-curated corpus without touching it.
@@ -273,7 +277,10 @@ def curate_increment(
 
     Stages (each the scale-correct shape of its full-run counterpart):
 
-    1. quality gate (length + Gopher repetition) — narrow, new batch only;
+    1. quality gate (length + Gopher repetition, plus the trained
+       classifier when ``quality_model`` is passed — SAME model and
+       salt as the full runs, so the pure per-row keep decision agrees
+       with any past or future run) — narrow, new batch only;
     2. exact dedup — first-wins WITHIN the batch, then drop batch docs
        whose normalized-text fingerprint already exists in the frozen
        corpus (pass ``frozen_fps`` = the stored ``exact_dedup`` fp
@@ -309,6 +316,16 @@ def curate_increment(
         F.col("dup_gram_frac") <= max_dup_gram_frac
     )
     gated = gated.join(rep.select(F.col("doc_id").alias(id_col)), id_col)
+
+    if quality_model is not None:
+        from ..operators import quality_classifier_score
+
+        kept = quality_classifier_score(
+            gated, quality_model, text_col=text_col, id_col=id_col,
+            salt=quality_salt, threshold=quality_threshold,
+            feature_mode=quality_feature_mode,
+        ).where(F.col("predicted")).select(F.col("doc_id").alias(id_col))
+        gated = gated.join(kept, id_col, "left_semi")
 
     keep_ids = exact_dedup(gated, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)

@@ -153,3 +153,38 @@ def test_increment_shuffle_fallback_matches_broadcast_path(spark):
     # 100 is an exact dup of frozen 1 (dropped by the fp stage); the
     # 101/102 near-dup pair keeps only the min-id survivor
     assert {d for d, _, _ in got_s} == {101}
+
+
+def test_increment_trained_quality_stage_agrees_with_full_chain(spark):
+    """The increment applies the SAME fitted quality model as the full
+    chain: with an empty frozen corpus the two paths keep the same
+    survivors, and the classifier-rejected docs appear in neither."""
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators import quality_classifier_fit
+    from fundus_spark.plans import curate_increment
+
+    rows = [
+        (i, "s%d" % (i % 2),
+         (" ".join("junk%d_%d spamtok" % (i, j) for j in range(15))
+          if i % 3 == 0
+          else " ".join("prose%d_%d word" % (i, j) for j in range(15))))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    labeled = docs.withColumn(
+        "y", (~F.array_contains(F.split(F.col("text"), " "), "spamtok")).cast("int")
+    )
+    model = quality_classifier_fit(labeled, n_features=32, n_iter=32, lr=0.0625, salt="t")
+
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    inc = curate_increment(
+        docs, empty, jaccard_threshold=0.2, quality_model=model, quality_salt="t"
+    )
+    full = curate_corpus(
+        docs, jaccard_threshold=0.2, quality_model=model, quality_salt="t"
+    )
+    got = {(r.doc_id, r.split, r.n_tokens) for r in inc.collect()}
+    want = {(r.doc_id, r.split, r.n_tokens) for r in full.collect()}
+    assert got == want
+    assert {r[0] for r in got} == {i for i in range(12) if i % 3 != 0}
