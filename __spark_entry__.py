@@ -2201,6 +2201,81 @@ SELECT CAST(j AS INTEGER) AS j, w_q FROM final
 """
 
 
+# --- mojibake repair (round 7) -------------------------------------------
+#: multi-script suffix appended before corruption so the fixture
+#: exercises 2-, 3- and 4-byte sequences plus CP1252 punctuation
+_MOJI_SUFFIX = " café — don’t 🎉"
+_MOJI_CP_CHARS = "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ"
+_MOJI_CP_BYTES = "".join(
+    chr(b)
+    for b in (
+        0x80, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x8B,
+        0x8C, 0x8E, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99,
+        0x9A, 0x9B, 0x9C, 0x9E, 0x9F,
+    )
+)
+_MOJI_UTF8_RE = (
+    "(?:[\\x{00}-\\x{7f}]"
+    "|[\\x{c2}-\\x{df}][\\x{80}-\\x{bf}]"
+    "|\\x{e0}[\\x{a0}-\\x{bf}][\\x{80}-\\x{bf}]"
+    "|[\\x{e1}-\\x{ec}][\\x{80}-\\x{bf}]{2}"
+    "|\\x{ed}[\\x{80}-\\x{9f}][\\x{80}-\\x{bf}]"
+    "|[\\x{ee}-\\x{ef}][\\x{80}-\\x{bf}]{2}"
+    "|\\x{f0}[\\x{90}-\\x{bf}][\\x{80}-\\x{bf}]{2}"
+    "|[\\x{f1}-\\x{f3}][\\x{80}-\\x{bf}]{3}"
+    "|\\x{f4}[\\x{80}-\\x{8f}][\\x{80}-\\x{bf}]{3})*"
+)
+
+
+def _q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-core mojibake repair over a deterministically corrupted
+    corpus: every doc gains a multi-script suffix, is re-read through
+    Latin-1 (make_mojibake — the corruption crawls actually contain),
+    then repaired. The oracle rebuilds both the corruption (utf8
+    bytes -> chr per byte) and the repair (translate fold + strict
+    UTF-8 validator + code-point -> hex -> blob -> utf8 decode) in
+    raw SQL, so the whole transform is value-gated end to end."""
+    from fundus_spark.operators import fix_mojibake, make_mojibake
+
+    docs = _read(spark, sf_dir, "documents")
+    corrupted = docs.withColumn(
+        "text", make_mojibake(F.concat(F.col("text"), F.lit(_MOJI_SUFFIX)))
+    )
+    return fix_mojibake(corrupted)
+
+
+def _fix_mojibake_sql() -> str:
+    return f"""
+WITH src AS (
+    SELECT doc_id, text || '{_MOJI_SUFFIX}' AS orig FROM documents
+),
+mo AS (
+    SELECT doc_id,
+           array_to_string(list_transform(range(1, octet_length(encode(orig)) + 1),
+               i -> chr(CAST('0x' || substr(hex(encode(orig)), 2*i - 1, 2) AS INT))), '') AS text
+    FROM src
+),
+fold AS (
+    SELECT doc_id, text,
+           translate(text, '{_MOJI_CP_CHARS}', '{_MOJI_CP_BYTES}') AS t1
+    FROM mo
+),
+gated AS (
+    SELECT doc_id, text, t1,
+           regexp_full_match(t1, '{_MOJI_UTF8_RE}')
+               AND regexp_matches(t1, '[\\x{{c2}}-\\x{{f4}}]') AS g
+    FROM fold
+)
+SELECT doc_id,
+       CASE WHEN g THEN decode(from_hex(array_to_string(
+                list_transform(range(1, length(t1) + 1),
+                    i -> format('{{:02x}}', unicode(t1[i]))), '')))
+            ELSE text END AS fixed_text,
+       coalesce(g, false) AS was_fixed
+FROM gated
+"""
+
+
 #: sources whose documents play the DSIR "target" corpus; the rest of
 #: the documents table is the raw pool being selected from
 _DSIR_TARGET_SOURCES = ("src0", "src1")
@@ -3353,12 +3428,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 a training divergence pins the exact
                                 first differing weight (same rationale
                                 as bpe_merges / kmeans_centroids)
+    * fix_mojibake            — ftfy-core Latin-1/CP1252-viewed-UTF-8
+                                repair (round 7) over a
+                                deterministically corrupted corpus;
+                                corruption AND repair both rebuilt in
+                                raw SQL, value-gated end to end
     """
     return {
         "token_count": _q_token_count,
         "bpe_merges": _q_bpe_merges,
         "shipping_priority": _q_shipping_priority,
         "classifier_weights": _q_classifier_weights,
+        "fix_mojibake": _q_fix_mojibake,
         "curate_corpus_xxhash": _q_curate_xxhash,
         "kmeans_centroids": _q_kmeans_centroids,
         "remove_dup_substrings": _q_remove_dup_substrings,
@@ -3446,6 +3527,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "classifier_weights": _classifier_weights_sql(),
+        "fix_mojibake": _fix_mojibake_sql(),
         "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
         "kmeans_centroids": _kmeans_sql(),
         "remove_dup_substrings": _REMOVE_DUP_SQL,
