@@ -115,6 +115,7 @@ def curate_corpus(
     quality_threshold: float = 0.5,
     quality_salt: str = "qcls",
     quality_feature_mode: str = "binary",
+    repair_mojibake: bool = False,
 ) -> DataFrame:
     """Returns the training-ready corpus: quality-gated, exact- and
     near-dup-deduplicated, decontaminated against ``benchmark`` (if
@@ -164,7 +165,23 @@ def curate_corpus(
     low-quality mass, since every downstream stage shrinks with it.
     Use the same ``quality_salt``/``quality_feature_mode`` the model
     was fitted with. Default ``None`` keeps the chain byte-identical
-    to prior releases."""
+    to prior releases.
+
+    ``repair_mojibake`` (round 7, default off) prepends
+    :func:`operators.fix_mojibake` before EVERYTHING — including the
+    line-dedup stage — so a mis-decoded copy of a clean page repairs
+    to the same bytes and actually deduplicates (corrupted and clean
+    twins otherwise share no shingles). A zero-shuffle projection;
+    default ``False`` keeps the chain byte-identical."""
+    if repair_mojibake:
+        from ..operators import fix_mojibake
+
+        repaired = fix_mojibake(docs, text_col=text_col, id_col=id_col).select(
+            F.col("doc_id").alias(id_col), "fixed_text"
+        )
+        docs = docs.drop(text_col).join(repaired, id_col).withColumnRenamed(
+            "fixed_text", text_col
+        )
     if line_dedup_min_occ is not None:
         from ..operators import line_dedup
 

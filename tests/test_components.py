@@ -612,3 +612,35 @@ def test_curate_corpus_optional_trained_quality_stage(spark):
     gated = curate_corpus(df, pack_budget=500, quality_model=model, quality_salt="t")
     kept_ids = {r.doc_id for r in gated.collect()}
     assert kept_ids == {i for i in range(12) if i % 3 != 0}
+
+
+def test_curate_corpus_optional_mojibake_repair_stage(spark):
+    """Round-7 composition: repair_mojibake lets a mis-decoded copy of
+    a clean doc exact-dedup against it; default off keeps the chain
+    byte-identical."""
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators import make_mojibake
+    from fundus_spark.plans import curate_corpus
+
+    base_rows = [
+        (i, "s0", "prose naïve café %d " % i + " ".join("w%d_%d" % (i, j) for j in range(12)))
+        for i in range(6)
+    ]
+    clean = spark.createDataFrame(base_rows, "doc_id long, source string, text string")
+    # corrupted twins of the same six docs, higher ids
+    twins = clean.select(
+        (F.col("doc_id") + 100).alias("doc_id"), "source", make_mojibake(F.col("text")).alias("text")
+    )
+    df = clean.unionByName(twins)
+
+    default = curate_corpus(df, pack_budget=500)
+    # without repair the corrupted twins share no bytes -> all 12 survive
+    assert default.count() == 12
+    repaired = curate_corpus(df, pack_budget=500, repair_mojibake=True)
+    # with repair the twins exact-dedup (first-wins: low ids survive)
+    assert {r.doc_id for r in repaired.collect()} == {i for i in range(6)}
+    # default path unchanged
+    again = curate_corpus(df, pack_budget=500)
+    key = lambda r: (r.doc_id, r.split, r.pack_offset, r.pack_bin)  # noqa: E731
+    assert sorted(map(key, default.collect())) == sorted(map(key, again.collect()))
