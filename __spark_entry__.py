@@ -2160,7 +2160,10 @@ WITH lab AS MATERIALIZED (
     FROM documents
 ),
 tok AS MATERIALIZED (
-    SELECT doc_id, y, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM lab
+    -- zero-length tokens dropped (empty docs must featurize bias-only)
+    SELECT * FROM (
+        SELECT doc_id, y, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM lab
+    ) WHERE length(tok) > 0
 ),
 af AS MATERIALIZED (
     -- binary presence features: one row per distinct (doc, bucket),

@@ -118,10 +118,15 @@ def classifier_features(
     cols = [F.col(id_col).alias("doc_id")]
     if label_col is not None:
         cols.append(F.col(label_col).cast("long").alias("y"))
+    # drop zero-length tokens: split(trim(''), '\s+') yields [''] in
+    # both engines, and a phantom ''-token would train/score the
+    # bucket md5(salt)%n_features on every empty doc (review finding —
+    # an empty doc must score bias-only, not inherit whatever real
+    # token collides with hash(''))
     toks = docs.select(
         *cols,
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    )
+    ).where(F.length("tok") > 0)
     j = F.pmod(
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("tok"))), 1, 8), 16, 10).cast(
             "bigint"
@@ -286,6 +291,15 @@ def quality_classifier_fit(
         docs, text_col=text_col, id_col=id_col, label_col=label_col,
         n_features=n_features, salt=salt, feature_mode=feature_mode,
     ).localCheckpoint(eager=True)
+    # a label that CASTS to null (e.g. a 'true'/'false' string column,
+    # or nulls from an outer join) would silently train as y=0 in the
+    # gram path — its docs enter XᵀX and n but vanish from Xᵀy (review
+    # finding). Fail fast; the scan is over the checkpointed relation.
+    if feats.where(F.col("y").isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"quality_classifier_fit: {label_col!r} contains values that "
+            "cast to NULL — labels must be 0/1 (castable to long)"
+        )
     fit = _fit_gram if method == "gram" else _fit_iterative
     wq, _n = fit(feats, n_features, n_iter, lr)
     spark = docs.sparkSession
@@ -351,17 +365,27 @@ def quality_classifier_score(
     if plan == "narrow":
         if feature_mode != "binary":
             raise ValueError("plan='narrow' requires feature_mode='binary'")
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
-        js = F.array_distinct(
-            F.transform(
-                toks,
-                lambda t: F.pmod(
-                    F.conv(
-                        F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 8), 16, 10
-                    ).cast("bigint"),
-                    F.lit(n_features),
-                ),
-            )
+        # filter drops the phantom '' token of empty docs, coalesce
+        # keeps null-text docs scoring bias-only exactly like the
+        # grouped plan, whose bias row is built from docs independent
+        # of text (review finding: F.aggregate over a NULL array is
+        # NULL, which silently turned null-text docs into null scores)
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+        )
+        js = F.coalesce(
+            F.array_distinct(
+                F.transform(
+                    toks,
+                    lambda t: F.pmod(
+                        F.conv(
+                            F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 8), 16, 10
+                        ).cast("bigint"),
+                        F.lit(n_features),
+                    ),
+                )
+            ),
+            F.array().cast("array<bigint>"),
         )
         # binary features are a constant X_SCALE, so the dot product
         # factors: y_q = X_SCALE * (bias_w + sum of present weights)

@@ -59,7 +59,14 @@ _UTF8_BODY = (
     "|[\\x{f1}-\\x{f3}][\\x{80}-\\x{bf}]{3}"
     "|\\x{f4}[\\x{80}-\\x{8f}][\\x{80}-\\x{bf}]{3})*"
 )
-_UTF8_FULL = "^" + _UTF8_BODY + "$"
+# \A/\z anchors, NOT ^/$: Java's $ matches BEFORE a final line
+# terminator (\n, \r, U+0085, U+2028, U+2029), so a ^...$ gate lets
+# strings with a trailing raw NEL/line-separator — or a dangling 0x85
+# continuation byte from truncated mojibake — through to a decode that
+# would throw MALFORMED_CHARACTER_CODING (review finding, reproduced).
+# \z is the true end-of-input in Java regex; the DuckDB oracle's
+# regexp_full_match is anchor-free full-match and has no such quirk.
+_UTF8_FULL = "\\A" + _UTF8_BODY + "\\z"
 _HAS_LEAD = "[\\x{c2}-\\x{f4}]"
 
 
@@ -75,6 +82,14 @@ def mojibake_gate(col: Column) -> Column:
     return t.rlike(_UTF8_FULL) & t.rlike(_HAS_LEAD)
 
 
+def fix_mojibake_col(col: Column) -> Column:
+    """The repair as a single column expression: the gated fix of
+    ``col``, the original byte-identical otherwise. This is what the
+    curate chain inlines — a pure projection needs no join-back."""
+    repaired = F.decode(F.encode(_folded(col), "ISO-8859-1"), "UTF-8")
+    return F.when(mojibake_gate(col), repaired).otherwise(col)
+
+
 def fix_mojibake(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -84,10 +99,9 @@ def fix_mojibake(
     of any shingling so repaired duplicates actually deduplicate."""
     col = F.col(text_col)
     gate = mojibake_gate(col)
-    repaired = F.decode(F.encode(_folded(col), "ISO-8859-1"), "UTF-8")
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.when(gate, repaired).otherwise(col).alias("fixed_text"),
+        fix_mojibake_col(col).alias("fixed_text"),
         F.coalesce(gate, F.lit(False)).alias("was_fixed"),
     )
 

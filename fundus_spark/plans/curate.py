@@ -174,14 +174,13 @@ def curate_corpus(
     twins otherwise share no shingles). A zero-shuffle projection;
     default ``False`` keeps the chain byte-identical."""
     if repair_mojibake:
-        from ..operators import fix_mojibake
+        # a pure per-row projection — unlike line_dedup there is no
+        # corpus-wide aggregation, so no join-back is needed (review
+        # finding: the first cut joined the full corpus to itself just
+        # to re-attach untouched columns)
+        from ..operators.textclean import fix_mojibake_col
 
-        repaired = fix_mojibake(docs, text_col=text_col, id_col=id_col).select(
-            F.col("doc_id").alias(id_col), "fixed_text"
-        )
-        docs = docs.drop(text_col).join(repaired, id_col).withColumnRenamed(
-            "fixed_text", text_col
-        )
+        docs = docs.withColumn(text_col, fix_mojibake_col(F.col(text_col)))
     if line_dedup_min_occ is not None:
         from ..operators import line_dedup
 

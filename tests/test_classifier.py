@@ -180,6 +180,58 @@ def test_scoring_plan_is_join_free_in_binary_mode(spark):
     assert "Join" not in plan
 
 
+def test_null_text_scores_bias_only_in_both_plans(spark):
+    """Review finding: F.aggregate over a NULL token array returned
+    NULL scores in the narrow plan while grouped scored the bias —
+    both plans must now agree: null/empty text scores bias-only."""
+    from fundus_spark.operators import quality_classifier_score
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "red")],
+        "doc_id long, text string",
+    )
+    wq = [0] * 8 + [W_SCALE]  # bias-only model, weight 1.0
+    for plan in ("grouped", "narrow"):
+        got = {r.doc_id: r for r in
+               quality_classifier_score(df, wq, salt="t", plan=plan).collect()}
+        assert set(got) == {1, 2, 3, 4}, plan
+        for d in (1, 2, 3, 4):
+            assert got[d].score == pytest.approx(1.0), (plan, d)
+            assert bool(got[d].predicted), (plan, d)
+
+
+def test_empty_doc_never_trains_the_empty_token_bucket(spark):
+    """Review finding: split(trim(''), '\\s+') yields [''] and the
+    phantom token trained/scored bucket md5(salt)%D. Empty docs must
+    featurize as bias-only."""
+    from fundus_spark.operators import classifier_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "red")], "doc_id long, text string"
+    )
+    rows = classifier_features(df, n_features=8, salt="t").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.j)
+    assert by_doc[1] == {8} and by_doc[2] == {8}  # bias only
+    assert len(by_doc[3]) == 2  # one real token + bias
+
+
+def test_fit_rejects_null_labels(spark):
+    """Review finding: null labels (e.g. from an outer join) entered
+    the Gram matrix and n_docs but vanished from the moment vector —
+    silently trained as y=0. Must fail fast instead. (Non-numeric
+    label STRINGS already fail at the cast under ANSI mode.)"""
+    from fundus_spark.operators import quality_classifier_fit
+
+    df = spark.createDataFrame(
+        [(1, "red", None), (2, "blue", 1)],
+        "doc_id long, text string, y int",
+    )
+    with pytest.raises(ValueError, match="cast to NULL"):
+        quality_classifier_fit(df, n_features=8, n_iter=1)
+
+
 def test_narrow_and_grouped_scoring_agree(spark):
     """The zero-shuffle per-row plan and the grouped codegen plan
     compute the same integer dot product — values must be identical,

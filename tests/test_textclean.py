@@ -104,6 +104,28 @@ def test_generator_roundtrip_property(spark):
         assert fixed[i] == want, (i, fixed[i], want)
 
 
+def test_trailing_line_terminators_never_reach_the_decoder(spark):
+    """Review finding: Java's $ matches BEFORE a final line terminator,
+    so ^...$ anchoring let invalid byte sequences (dangling 0x85
+    continuation, trailing U+2028/U+2029) through the gate and the
+    decode threw MALFORMED_CHARACTER_CODING. With \\A...\\z these must
+    all pass through untouched instead of crashing."""
+    texts = [
+        _moji("don’t", "cp1252") + "…",    # folded … -> dangling 0x85 tail
+        _moji("café") + "",          # trailing NEL
+        _moji("café") + " ",          # line separator, > U+00FF
+        _moji("café") + " ",          # paragraph separator
+        _moji("café") + "\n",              # trailing newline
+    ]
+    out = _fix(spark, texts)
+    # none may crash; the \n case is still VALID utf8-as-latin1 (0x0a
+    # is ASCII) so it repairs — the others must be left untouched
+    assert out[4].fixed_text == "café\n" and bool(out[4].was_fixed)
+    for i in (0, 1, 2, 3):
+        assert out[i].fixed_text == texts[i], i
+        assert not bool(out[i].was_fixed), i
+
+
 def test_plan_is_zero_shuffle(spark):
     from fundus_spark.operators import fix_mojibake
 
