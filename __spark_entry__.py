@@ -3099,6 +3099,62 @@ FROM s GROUP BY doc_id, island
 """
 
 
+def _q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT (non-winnowed) variant of dup_substring_spans:
+    window=1 selects EVERY k-gram position, which is precisely the
+    ExactSubstr duplicate-localization semantics of Lee et al. 2021 —
+    every duplicated >= k-char substring is found with exact
+    boundaries (no k+window-2 winnowing slack). Same operator, same
+    relational machinery; winnowing (window>1) is the scale knob that
+    trades boundary slack for a ~window× smaller fingerprint
+    relation. Gated here so the exact semantics have their own row."""
+    from fundus_spark.operators import dup_substring_spans
+
+    return dup_substring_spans(
+        _read(spark, sf_dir, "documents"), k=8, window=1, max_chars=512
+    )
+
+
+_EXACT_SUBSTRING_SQL = r"""
+WITH base AS (
+    SELECT doc_id, substr(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 512) AS t
+    FROM documents
+),
+g AS (SELECT doc_id, t, greatest(length(t) - 7, 0) AS n FROM base),
+hashes AS (
+    SELECT doc_id, n,
+           list_transform(range(1, greatest(n, 1) + 1),
+                          i -> CAST('0x' || substr(md5(substr(t, i::INT, 8)), 1, 8) AS BIGINT)) AS hs
+    FROM g
+),
+-- window=1: every k-gram position is selected
+fps AS (
+    SELECT DISTINCT doc_id, hs[i::INT] AS fp, CAST(i AS BIGINT) AS pos
+    FROM hashes, unnest(range(1, n + 1)) AS u(i)
+),
+dupfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1),
+d AS (SELECT doc_id, pos FROM fps JOIN dupfp USING (fp)),
+b AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk
+    FROM d
+),
+s AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM b
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + 7 AS span_end,
+       max(pos) + 7 - min(pos) + 1 AS span_len,
+       count(*) AS n_grams
+FROM s GROUP BY doc_id, island
+"""
+
+
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MassiveText/RefinedWeb boilerplate-line removal over synthesized
     5-line pages: per-class nav chrome (doc_id%5) and a newsletter
@@ -3436,6 +3492,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 deterministically corrupted corpus;
                                 corruption AND repair both rebuilt in
                                 raw SQL, value-gated end to end
+    * exact_substring_spans   — dup_substring_spans at window=1
+                                (round 7): every k-gram position
+                                selected = the EXACT ExactSubstr
+                                localization of Lee et al. 2021, no
+                                winnowing slack; gates the operator's
+                                exact regime next to the canonical
+                                winnowed row
     """
     return {
         "token_count": _q_token_count,
@@ -3443,6 +3506,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,
         "classifier_weights": _q_classifier_weights,
         "fix_mojibake": _q_fix_mojibake,
+        "exact_substring_spans": _q_exact_substring_spans,
         "curate_corpus_xxhash": _q_curate_xxhash,
         "kmeans_centroids": _q_kmeans_centroids,
         "remove_dup_substrings": _q_remove_dup_substrings,
@@ -3531,6 +3595,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "classifier_weights": _classifier_weights_sql(),
         "fix_mojibake": _fix_mojibake_sql(),
+        "exact_substring_spans": _EXACT_SUBSTRING_SQL,
         "curate_corpus_xxhash": _curate_sql(hash_mode="xxhash64"),
         "kmeans_centroids": _kmeans_sql(),
         "remove_dup_substrings": _REMOVE_DUP_SQL,
