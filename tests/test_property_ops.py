@@ -164,3 +164,63 @@ def test_winnowing_positions_match_bruteforce(spark, texts):
     # reference normalizes the raw text; operator clips AFTER
     # normalizing to 64 chars — inputs are <= 40 chars so no clip
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 7: mojibake round-trip and classifier-fit parity on random inputs
+# ---------------------------------------------------------------------------
+
+# valid unicode scalar values only (no surrogates), across ASCII,
+# Latin-1, BMP and astral planes so 1/2/3/4-byte UTF-8 all appear
+_uni_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.characters(min_codepoint=0xA0, max_codepoint=0xFF),
+        st.characters(min_codepoint=0x100, max_codepoint=0x2FFF),
+        st.characters(min_codepoint=0x1F300, max_codepoint=0x1F64F),
+    ),
+    max_size=24,
+)
+
+
+@SPARK_SETTINGS
+@given(st.lists(_uni_text, min_size=1, max_size=8))
+def test_fix_mojibake_inverts_corruption_for_any_unicode(spark, texts):
+    """For ANY valid-unicode string, repairing its Latin-1-viewed
+    corruption returns the original: non-ASCII strings trip the gate
+    (their UTF-8 bytes are structurally valid by construction), pure
+    ASCII is a fixed point of both directions."""
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators import fix_mojibake, make_mojibake
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).withColumn("text", make_mojibake(F.col("text")))
+    got = {r.doc_id: r.fixed_text for r in fix_mojibake(df).collect()}
+    assert got == dict(enumerate(texts))
+
+
+_word = st.text(alphabet="abcdexyz", min_size=1, max_size=5)
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(st.tuples(st.lists(_word, max_size=6), st.booleans()), min_size=1, max_size=10),
+    st.integers(2, 4),
+)
+def test_classifier_fit_matches_reference_on_random_corpora(spark, docs, n_iter):
+    """Random corpora (including empty docs and degenerate all-one-
+    class labels): the distributed fit must equal the pure-Python
+    reference bit for bit — the adversarial-shape twin of the
+    fixed-corpus parity test."""
+    from tests.test_classifier import _py_fit
+
+    from fundus_spark.operators import quality_classifier_fit
+
+    rows = [(i, " ".join(ws), int(y)) for i, (ws, y) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model = quality_classifier_fit(df, n_features=8, n_iter=n_iter, lr=0.0625, salt="p")
+    got = {r.j: r.w_q for r in model.collect()}
+    want = _py_fit(rows, 8, n_iter, 0.0625, "p", "binary")
+    assert got == {j: w for j, w in enumerate(want)}
