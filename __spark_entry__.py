@@ -3309,6 +3309,321 @@ LEFT JOIN kept k USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# sketches: Bloom dedup, HyperLogLog, Count-Min (round 7)
+# ---------------------------------------------------------------------------
+
+#: Bloom gate parameters. 4096 bits / 5 hashes is sized so the sf0.01
+#: driver corpus (300 frozen docs -> ~31% fill, fpp ~0.3%) exercises the
+#: clear path, while the sf0.1 bench corpus (3000 frozen docs -> ~97%
+#: fill) deliberately SATURATES the filter: most probes flag and the
+#: exact confirm does the work, demonstrating the increment's safety
+#: contract (result pinned to the plain anti-join) even under a
+#: mis-sized filter.
+_BLOOM_NBITS = 4096
+_BLOOM_K = 5
+
+#: the repo-standard normalized-content key, as DuckDB SQL
+_NORM_KEY_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+
+def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup (Dolma "BFF" family): build the
+    filter from a frozen 60% slice of documents, probe a batch made of
+    the novel 40% plus re-keyed true duplicates of frozen content, and
+    confirm flagged docs exactly. Output gates the probe bit algebra
+    (``possibly_seen`` — false positives included) AND the exact novel
+    decision; re-keyed dups must probe true (no false negatives)."""
+    from fundus_spark.operators.bloom import (
+        bloom_build,
+        bloom_dedup_increment,
+        bloom_probe,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    frozen = docs.where(F.col("doc_id") % 5 < 3)
+    batch = docs.where(F.col("doc_id") % 5 >= 3).unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+    bloom = bloom_build(frozen, n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K)
+    probed = bloom_probe(batch, bloom, n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K)
+    novel = bloom_dedup_increment(
+        frozen, batch, n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K, bloom=bloom
+    )
+    return probed.join(
+        novel.withColumn("novel", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "possibly_seen",
+        F.coalesce(F.col("novel"), F.lit(False)).alias("novel"),
+    )
+
+
+def _bloom_dedup_sql() -> str:
+    nb, k = _BLOOM_NBITS, _BLOOM_K
+    return f"""
+WITH frozen AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 < 3),
+batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 >= 3
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+fh AS (
+    SELECT CAST('0x' || substr(md5({_NORM_KEY_SQL}), 1, 15) AS BIGINT) % {nb} AS h1,
+           CAST('0x' || substr(md5({_NORM_KEY_SQL}), 16, 15) AS BIGINT) % {nb} AS h2
+    FROM frozen
+),
+words AS (
+    SELECT pos // 32 AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+    FROM (SELECT (h1 + i * h2) % {nb} AS pos
+          FROM fh, LATERAL (SELECT unnest(generate_series(0, {k - 1})) AS i) t)
+    GROUP BY 1
+),
+bh AS (
+    SELECT doc_id,
+           md5({_NORM_KEY_SQL}) AS fp,
+           CAST('0x' || substr(md5({_NORM_KEY_SQL}), 1, 15) AS BIGINT) % {nb} AS h1,
+           CAST('0x' || substr(md5({_NORM_KEY_SQL}), 16, 15) AS BIGINT) % {nb} AS h2
+    FROM batch
+),
+probe AS (
+    SELECT p.doc_id, p.fp,
+           min(CASE WHEN ((coalesce(w.word, 0) >> CAST(p.pos % 32 AS INT)) & 1) = 1
+                    THEN 1 ELSE 0 END) AS all_set
+    FROM (SELECT doc_id, fp, (h1 + i * h2) % {nb} AS pos
+          FROM bh, LATERAL (SELECT unnest(generate_series(0, {k - 1})) AS i) t) p
+    LEFT JOIN words w ON w.word_idx = p.pos // 32
+    GROUP BY 1, 2
+),
+ffp AS (SELECT DISTINCT md5({_NORM_KEY_SQL}) AS fp FROM frozen)
+SELECT pr.doc_id,
+       pr.all_set = 1 AS possibly_seen,
+       (pr.all_set = 0) OR (f.fp IS NULL) AS novel
+FROM probe pr LEFT JOIN ffp f ON pr.fp = f.fp
+"""
+
+
+def _q_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter RELATION itself (word_idx, word) over the full
+    documents table — value-gating the build's bit_or words directly so
+    a position/packing bug can't hide behind a compensating probe."""
+    from fundus_spark.operators.bloom import bloom_build
+
+    return bloom_build(
+        _read(spark, sf_dir, "documents"), n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K
+    )
+
+
+def _bloom_words_sql() -> str:
+    nb, k = _BLOOM_NBITS, _BLOOM_K
+    return f"""
+WITH h AS (
+    SELECT CAST('0x' || substr(md5({_NORM_KEY_SQL}), 1, 15) AS BIGINT) % {nb} AS h1,
+           CAST('0x' || substr(md5({_NORM_KEY_SQL}), 16, 15) AS BIGINT) % {nb} AS h2
+    FROM documents
+)
+SELECT pos // 32 AS word_idx,
+       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+FROM (SELECT (h1 + i * h2) % {nb} AS pos
+      FROM h, LATERAL (SELECT unnest(generate_series(0, {k - 1})) AS i) t)
+GROUP BY 1
+"""
+
+
+def _q_hll_ngram_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct 3-gram cardinality per source (p=10), with
+    the exact count alongside so estimator accuracy is value-gated."""
+    from fundus_spark.operators.sketches import hll_ngram_distinct
+
+    return hll_ngram_distinct(
+        _read(spark, sf_dir, "documents"), text_col="text", group_col="source",
+        n=3, p=10,
+    )
+
+
+def _hll_ngram_sql(n: int = 3, p: int = 10) -> str:
+    from fundus_spark.operators.sketches import HLL_SCALE, hll_alpha
+
+    m = 1 << p
+    c_num = repr(hll_alpha(p) * m * m * float(1 << HLL_SCALE))
+    return f"""
+WITH grams AS (
+    SELECT source AS grp,
+           array_to_string(toks[i:i+{n - 1}], ' ') AS item
+    FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {n - 1}, 1))) AS i) t
+), hashed AS (
+    SELECT grp, item,
+           CAST('0x' || substr(md5(item), 1, 15) AS BIGINT) % {m} AS idx,
+           CAST('0x' || substr(md5(item), 16, 15) AS BIGINT) AS h2
+    FROM grams
+), regs AS (
+    SELECT grp, idx,
+           MAX(CASE WHEN h2 = 0 THEN {HLL_SCALE}
+                    ELSE {HLL_SCALE} - length(bin(h2)) END) AS rho
+    FROM hashed GROUP BY grp, idx
+), agg AS (
+    SELECT grp, COUNT(*) AS n_registers,
+           SUM(CAST(1 AS BIGINT) << CAST({HLL_SCALE} - rho AS INT)) AS s_present
+    FROM regs GROUP BY grp
+), est0 AS (
+    SELECT grp, n_registers, {m} - n_registers AS v_zero,
+           {c_num} / CAST(s_present + ({m} - n_registers) * CAST(1 AS HUGEINT)
+                          * (CAST(1 AS BIGINT) << {HLL_SCALE}) AS DOUBLE) AS e_raw
+    FROM agg
+), ex AS (
+    SELECT grp, COUNT(DISTINCT item) AS exact_distinct FROM grams GROUP BY grp
+)
+SELECT ex.grp AS source, exact_distinct,
+       CAST(n_registers AS BIGINT) AS n_registers,
+       CAST(v_zero AS BIGINT) AS v_zero,
+       ROUND(CASE WHEN e_raw <= 2.5 * {m} AND v_zero > 0
+                  THEN {m} * LN(CAST({m} AS DOUBLE) / v_zero)
+                  ELSE e_raw END, 4) AS est
+FROM est0 JOIN ex USING (grp)
+"""
+
+
+def _q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter tokens (d=4, w=512) with the exact count
+    alongside — the one-sided error (est >= exact, never under) is in
+    the gated values."""
+    from fundus_spark.operators.sketches import countmin_heavy_hitters
+
+    return countmin_heavy_hitters(
+        _read(spark, sf_dir, "documents"), text_col="text", d=4, w=512, min_est=100
+    )
+
+
+def _countmin_sql(d: int = 4, w: int = 512, min_est: int = 100) -> str:
+    def positions(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT item, {r} AS row, CAST('0x' || substr(md5('{r}:' || item), 1, 15) AS BIGINT) % {w} AS col FROM {src}"
+            for r in range(d)
+        )
+
+    return f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS item FROM documents
+), toks2 AS (SELECT item FROM toks WHERE item <> ''),
+sketch AS (
+    SELECT row, col, COUNT(*) AS cnt
+    FROM ({positions("toks2")}) GROUP BY row, col
+),
+exact AS (SELECT item, COUNT(*) AS exact FROM toks2 GROUP BY item),
+est AS (
+    SELECT item, MIN(coalesce(cnt, 0)) AS est
+    FROM ({positions("exact")}) qpos
+    LEFT JOIN sketch USING (row, col) GROUP BY item
+)
+SELECT item, est, exact FROM est JOIN exact USING (item) WHERE est >= {min_est}
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical-URL dedup (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL first-wins dedup over synthesized messy URLs.
+
+    Each document contributes TWO raw variants of one logical URL —
+    upper-cased scheme/host + userinfo + default port + tracking params
+    + fragment on one side; www. prefix / trailing slashes / different
+    param order + a click id on the other — so every normalization rule
+    must fire for the pair to collapse (n_variants = 2, kept_id = the
+    smaller id). Every 7th doc contributes non-URL text instead, which
+    must pass through untouched (n_variants = 1 each). The oracle
+    derives the expected canonical forms in CLOSED FORM (independent of
+    the regex pipeline), so Spark's normalization is gated against what
+    the rules are SUPPOSED to produce, not a replay of itself."""
+    from fundus_spark.operators.urlnorm import url_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/Articles/Item-"), F.col("doc_id"))
+    v = F.col("v")
+    raw = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("doc "), F.col("doc_id"), F.lit(" variant "), v),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.when(
+                v == 0,
+                F.concat(
+                    F.lit("HTTP://U:P@WWW."),
+                    F.upper(host),
+                    F.lit(":80"),
+                    path,
+                    F.lit("?utm_source=feed&b=2&a=1#frag"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("http://"), host, path, F.lit("///?a=1&b=2&gclid=CLICK")
+                )
+            ),
+        )
+        .otherwise(
+            F.when(
+                v == 0,
+                F.concat(
+                    F.lit("HTTPS://"),
+                    F.upper(host),
+                    F.lit(":443"),
+                    path,
+                    F.lit("?z=9&utm_campaign=x#sec"),
+                ),
+            ).otherwise(
+                F.concat(F.lit("https://www."), host, path, F.lit("/?z=9"))
+            )
+        )
+    )
+    rows = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
+    ).select((F.col("doc_id") * 2 + v).alias("rid"), raw.alias("url"))
+    return url_dedup(rows, "url", "rid").select(
+        "canonical_url",
+        F.col("kept_id").cast("long").alias("kept_id"),
+        "n_variants",
+    )
+
+
+#: closed-form expected canonicals — an independent derivation of what
+#: the normalization rules must produce for the synthesized variants.
+_URL_DEDUP_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/Articles/Item-' || doc_id AS path
+    FROM documents
+),
+expected AS (
+    SELECT CASE WHEN doc_id % 2 = 0
+                THEN 'http://' || host || path || '?a=1&b=2'
+                ELSE 'https://' || host || path || '?z=9' END AS canonical_url,
+           doc_id * 2 AS kept_id,
+           2 AS n_variants
+    FROM base WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT 'doc ' || doc_id || ' variant ' || v AS canonical_url,
+           doc_id * 2 + v AS kept_id,
+           1 AS n_variants
+    FROM base, (SELECT unnest([0, 1]) AS v) t WHERE doc_id % 7 = 0
+)
+SELECT canonical_url, kept_id, CAST(n_variants AS BIGINT) AS n_variants
+FROM expected
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3330,8 +3645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_wins_dedup": _q_first_wins_dedup,
         "regex_filter": _q_regex_filter,
         "requires_filter": _q_requires,
-        "pricing_summary": _q_pricing_summary,
-        "revenue_by_nation": _q_revenue_by_nation,
+        "bloom_dedup": _q_bloom_dedup,
+        "hll_ngram_distinct": _q_hll_ngram_distinct,
         "event_sessions": _q_event_sessions,
         "exact_dedup": _q_exact_dedup,
         "gopher_quality": _q_gopher_quality,
@@ -3350,7 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "ivf_ann": _q_ivf_ann,
         "bpe_token_count": _q_bpe_token_count,
-        "quality_score": _q_quality,
+        "countmin_heavy": _q_countmin_heavy,
         "repetition_score": _q_repetition,
         "pii_scrub": _q_pii_scrub,
         "bigram_logprob": _q_bigram_logprob,
@@ -3499,10 +3814,54 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 winnowing slack; gates the operator's
                                 exact regime next to the canonical
                                 winnowed row
+    * url_dedup               — URL canonicalization + canonical-key
+                                first-wins dedup (round 7): synthesized
+                                messy variant pairs must collapse via
+                                every normalization rule; the oracle is
+                                a CLOSED-FORM expected-canonical
+                                derivation, not a regex replay. Extra
+                                (not canonical) because the dedup agg
+                                shape is exact_dedup's min/count and
+                                the projection is zero-shuffle string
+                                algebra already canonically gated by
+                                pii_scrub/c4_page_filter
+    * bloom_words             — the Bloom filter RELATION itself
+                                (round 7): value-gates bloom_build's
+                                bit_or words over the full table so a
+                                position/packing bug can't hide behind
+                                a compensating probe in bloom_dedup
+                                (the canonical row)
+    * pricing_summary         — TPC-H Q1 demo: one built-in groupBy
+                                agg of arithmetic expressions, no
+                                custom logic of our own (same rationale
+                                as shipping_priority); agg machinery is
+                                canonically gated by grouped_topk /
+                                event_sessions and every dedup agg;
+                                ceded its slot to bloom_dedup in
+                                round 7 (genuinely new bit algebra +
+                                probe/confirm safety contract)
+    * revenue_by_nation       — TPC-H Q5 demo: built-in Catalyst
+                                multi-table joins + agg, no custom
+                                logic (join machinery is canonically
+                                exercised inside lsh_jaccard_verified,
+                                curate_corpus, contamination,
+                                dedup_survivors); ceded its slot to
+                                hll_ngram_distinct in round 7
+    * quality_score           — heuristic length/punct/stopword
+                                ratios, a strict subset of the rule
+                                families the canonical gopher_quality
+                                and c4_page_filter rows gate (same
+                                zero-shuffle projection shape); ceded
+                                its slot to countmin_heavy in round 7
     """
     return {
         "token_count": _q_token_count,
         "bpe_merges": _q_bpe_merges,
+        "bloom_words": _q_bloom_words,
+        "url_dedup": _q_url_dedup,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "quality_score": _q_quality,
         "shipping_priority": _q_shipping_priority,
         "classifier_weights": _q_classifier_weights,
         "fix_mojibake": _q_fix_mojibake,
@@ -3543,8 +3902,8 @@ def oracle_sql() -> dict[str, str]:
         "first_wins_dedup": _FIRST_WINS_SQL,
         "regex_filter": _REGEX_FILTER_SQL,
         "requires_filter": _REQUIRES_SQL,
-        "pricing_summary": _PRICING_SUMMARY_SQL,
-        "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+        "bloom_dedup": _bloom_dedup_sql(),
+        "hll_ngram_distinct": _hll_ngram_sql(),
         "event_sessions": _EVENT_SESSIONS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "gopher_quality": _GOPHER_QUALITY_SQL,
@@ -3563,7 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _lsh_ann_sql(),
         "ivf_ann": _ivf_ann_sql(),
         "bpe_token_count": _bpe_token_count_sql(),
-        "quality_score": _QUALITY_SQL,
+        "countmin_heavy": _countmin_sql(),
         "repetition_score": _REPETITION_SQL,
         "pii_scrub": _pii_scrub_sql(),
         "bigram_logprob": _BIGRAM_LOGPROB_SQL,
@@ -3592,6 +3951,11 @@ def extra_oracle_sql() -> dict[str, str]:
     return {
         "token_count": _TOKEN_COUNT_SQL,
         "bpe_merges": _bpe_merges_sql(),
+        "bloom_words": _bloom_words_sql(),
+        "url_dedup": _URL_DEDUP_SQL,
+        "pricing_summary": _PRICING_SUMMARY_SQL,
+        "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+        "quality_score": _QUALITY_SQL,
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "classifier_weights": _classifier_weights_sql(),
         "fix_mojibake": _fix_mojibake_sql(),

@@ -52,10 +52,13 @@ HEADLINE = [
     "c4_span_dedup",
     "dup_substring_spans",
     "dsir_select",
-    # round-7 additions (headline 27 -> 30)
+    # round-7 additions (headline 27 -> 33)
     "bpe_token_count",
     "semantic_dedup",
     "quality_classifier",
+    "bloom_dedup",
+    "hll_ngram_distinct",
+    "countmin_heavy",
 ]
 
 
@@ -79,6 +82,9 @@ DEDUP_FAMILY = [
     "bpe_token_count",
     "semantic_dedup",
     "quality_classifier",
+    "bloom_dedup",
+    "hll_ngram_distinct",
+    "countmin_heavy",
 ]
 
 
