@@ -3624,6 +3624,123 @@ FROM expected
 
 
 # ---------------------------------------------------------------------------
+# host blocklist filter + CCNet perplexity buckets (round 7)
+# ---------------------------------------------------------------------------
+
+#: literal blocklist for the driver row — includes a nested pair
+#: (spam-hub.net AND track.spam-hub.net) so longest-match-wins is gated
+_HOST_BLOCKLIST = ["ads-net.com", "spam-hub.net", "track.spam-hub.net"]
+
+
+def _q_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist filter (RefinedWeb stage 1) over
+    synthesized URLs: five host families per ``doc_id % 5`` exercise
+    subdomain suffix match, exact match, the label boundary
+    (``not-ads-net.com`` must stay clean), a clean family, and a messy
+    uppercase/userinfo/port host matching TWO nested blocklist entries
+    (the longer must win). The literal-blocklist zero-shuffle path is
+    gated here; the relation-join path is pinned equivalent in pytest
+    (`tests/test_hostfilter.py`). Oracle = CLOSED-FORM expected
+    decisions, independent of the suffix algebra."""
+    from fundus_spark.operators.urlnorm import host_col, host_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://sub.ads-net.com/p/"), did))
+        .when(m == 1, F.concat(F.lit("HTTPS://u:p@ADS-net.com:443/p/"), did))
+        .when(m == 2, F.concat(F.lit("https://not-ads-net.com/p/"), did))
+        .when(
+            m == 3,
+            F.concat(F.lit("https://news."), F.col("source"), F.lit(".org/p/"), did),
+        )
+        .otherwise(
+            F.concat(F.lit("http://DEEP.Track.SPAM-hub.net:80/p/"), did)
+        )
+    )
+    rows = docs.select("doc_id", "source", url.alias("url"))
+    out = host_filter(rows, _HOST_BLOCKLIST, mode="annotate")
+    return out.select(
+        "doc_id",
+        host_col(F.col("url")).alias("host"),
+        "matched_domain",
+        F.col("matched_domain").isNull().alias("kept"),
+    )
+
+
+_HOST_FILTER_SQL = """
+SELECT doc_id,
+       CASE doc_id % 5
+            WHEN 0 THEN 'sub.ads-net.com'
+            WHEN 1 THEN 'ads-net.com'
+            WHEN 2 THEN 'not-ads-net.com'
+            WHEN 3 THEN 'news.' || source || '.org'
+            ELSE 'deep.track.spam-hub.net' END AS host,
+       CASE doc_id % 5
+            WHEN 0 THEN 'ads-net.com'
+            WHEN 1 THEN 'ads-net.com'
+            WHEN 4 THEN 'track.spam-hub.net'
+            ELSE NULL END AS matched_domain,
+       doc_id % 5 IN (2, 3) AS kept
+FROM documents
+"""
+
+
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): train the
+    add-one bigram LM on a CLEAN target slice (``doc_id % 4 == 0``),
+    score every document under it (unseen bigrams/unigrams take the
+    smoothed floor via left joins), and ntile the corpus into
+    head/middle/tail. The exact-ntile regime is gated here; the
+    sampled-cutoff scale regime is pinned against it in pytest."""
+    from fundus_spark.operators.textstats import ccnet_perplexity_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 4 == 0)
+    return ccnet_perplexity_buckets(docs, target)
+
+
+_CCNET_BUCKETS_SQL = """
+WITH toks AS (
+    SELECT doc_id, i AS pos, toks[i] AS w
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t
+),
+t_toks AS (SELECT * FROM toks WHERE doc_id % 4 = 0),
+uni AS (SELECT w AS w1, COUNT(*) AS c1 FROM t_toks GROUP BY w),
+v AS (SELECT COUNT(*) AS vocab FROM uni),
+inst AS (
+    SELECT a.doc_id, a.w AS w1, b.w AS w2
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+t_inst AS (
+    SELECT a.doc_id, a.w AS w1, b.w AS w2
+    FROM t_toks a JOIN t_toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM t_inst GROUP BY w1, w2),
+scored AS (
+    SELECT inst.doc_id,
+           ROUND(AVG(LN((COALESCE(bi.c2, 0) + 1) / (COALESCE(uni.c1, 0) + v.vocab))), 4)
+               AS avg_logprob
+    FROM inst
+    LEFT JOIN bi USING (w1, w2)
+    LEFT JOIN uni ON uni.w1 = inst.w1
+    CROSS JOIN v
+    GROUP BY inst.doc_id
+),
+bucketed AS (
+    SELECT doc_id, avg_logprob,
+           CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS bucket
+    FROM scored
+)
+SELECT doc_id, avg_logprob, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+FROM bucketed
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3662,7 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_to_corpus": _q_crawl_to_corpus,
         "c4_span_dedup": _q_c4_span_dedup,
         "cosine_neardup": _q_cosine_neardup,
-        "lsh_ann": _q_lsh_ann,
+        "host_filter": _q_host_filter,
         "ivf_ann": _q_ivf_ann,
         "bpe_token_count": _q_bpe_token_count,
         "countmin_heavy": _q_countmin_heavy,
@@ -3676,7 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _q_domain_mix,
         "quality_classifier": _q_quality_classifier,
         "media_decode": _q_media_decode,
-        "media_resize": _q_media_resize,
+        "ccnet_buckets": _q_ccnet_buckets,
         "media_frame_sample": _q_media_frames,
         "robots_gate": _q_robots_gate,
         "c4_page_filter": _q_c4_page_filter,
@@ -3853,8 +3970,26 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 and c4_page_filter rows gate (same
                                 zero-shuffle projection shape); ceded
                                 its slot to countmin_heavy in round 7
+    * lsh_ann                 — banded-LSH ANN: the banding machinery
+                                is canonically gated by
+                                lsh_jaccard_verified (same band-join
+                                shape) and the cosine verify by
+                                cosine_neardup / ivf_ann /
+                                quantized_ann; ceded its slot to
+                                host_filter in round 7 (genuinely new
+                                suffix-match algebra + two-regime join)
+    * media_resize            — nearest-neighbor resize over the same
+                                from-scratch decode kernel media_decode
+                                gates canonically; the index arithmetic
+                                stays value-gated here and in the
+                                kernel units; ceded its slot to
+                                ccnet_buckets in round 7 (a genuinely
+                                new target-trained scoring + tiering
+                                operator)
     """
     return {
+        "lsh_ann": _q_lsh_ann,
+        "media_resize": _q_media_resize,
         "token_count": _q_token_count,
         "bpe_merges": _q_bpe_merges,
         "bloom_words": _q_bloom_words,
@@ -3919,7 +4054,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_to_corpus": _curate_sql(docs_rel=_EXTRACTED_DOCS_REL),
         "c4_span_dedup": _C4_SPAN_DEDUP_SQL,
         "cosine_neardup": _cosine_neardup_sql(),
-        "lsh_ann": _lsh_ann_sql(),
+        "host_filter": _HOST_FILTER_SQL,
         "ivf_ann": _ivf_ann_sql(),
         "bpe_token_count": _bpe_token_count_sql(),
         "countmin_heavy": _countmin_sql(),
@@ -3933,7 +4068,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": _domain_mix_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "media_decode": _MEDIA_DECODE_SQL,
-        "media_resize": _MEDIA_RESIZE_SQL,
+        "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "media_frame_sample": _MEDIA_FRAMES_SQL,
         "robots_gate": _ROBOTS_GATE_SQL,
         "c4_page_filter": _C4_PAGE_FILTER_SQL,
@@ -3949,6 +4084,8 @@ def oracle_sql() -> dict[str, str]:
 def extra_oracle_sql() -> dict[str, str]:
     """Oracles for ``extra_queries()`` — consumed by the local mimic."""
     return {
+        "lsh_ann": _lsh_ann_sql(),
+        "media_resize": _MEDIA_RESIZE_SQL,
         "token_count": _TOKEN_COUNT_SQL,
         "bpe_merges": _bpe_merges_sql(),
         "bloom_words": _bloom_words_sql(),

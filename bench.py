@@ -52,13 +52,15 @@ HEADLINE = [
     "c4_span_dedup",
     "dup_substring_spans",
     "dsir_select",
-    # round-7 additions (headline 27 -> 33)
+    # round-7 additions (headline 27 -> 35)
     "bpe_token_count",
     "semantic_dedup",
     "quality_classifier",
     "bloom_dedup",
     "hll_ngram_distinct",
     "countmin_heavy",
+    "host_filter",
+    "ccnet_buckets",
 ]
 
 
@@ -85,6 +87,8 @@ DEDUP_FAMILY = [
     "bloom_dedup",
     "hll_ngram_distinct",
     "countmin_heavy",
+    "host_filter",
+    "ccnet_buckets",
 ]
 
 

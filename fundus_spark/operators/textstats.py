@@ -301,6 +301,153 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text", id_col: str = "d
     return scored
 
 
+def ccnet_perplexity_buckets(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 3,
+    group_col: str | None = None,
+    cutoff_sample_mod: int | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.4):
+    score every raw document under a language model trained on a CLEAN
+    target corpus (CCNet uses Wikipedia + KenLM 5-gram; here the repo's
+    add-one-smoothed bigram LM — same estimator family as
+    :func:`bigram_logprob_score`, but trained on ``target``, not on the
+    corpus being scored), then split the corpus into ``n_buckets``
+    equal-frequency tiers — CCNet's head/middle/tail — so downstream
+    training mixes can sample by tier instead of hard-filtering.
+
+    Output: one row per raw doc with ≥ 2 tokens —
+    ``(doc_id[, group], avg_logprob, bucket, tier)``; bucket 1 is the
+    BEST tier (highest mean bigram log-probability = lowest
+    perplexity), ``tier`` is head/middle/tail when ``n_buckets=3``,
+    else ``b<k>``. Bigrams unseen in target get the smoothed floor
+    ``ln(1/(c1+V))`` (and ``c1=0`` for unseen unigrams), so
+    out-of-domain text scores low instead of crashing — the exact
+    add-one algebra, replayed verbatim by the DuckDB oracle.
+
+    Scale shape: training is two map-side-combinable count aggs over
+    the TARGET (bounded by target vocab, not corpus size); scoring is
+    two equi-joins on the bigram/unigram key (AQE broadcasts the model
+    relations when they fit, falls back to shuffle joins with skew
+    handling when they don't — stopword bigrams are the hot keys).
+    Bucketing, two regimes:
+
+    * exact (default): ``ntile(n_buckets)`` over the per-group total
+      order ``(avg_logprob DESC, doc_id)`` — scores are rounded to 4
+      places first so the order (and every tie-break) is engine-exact.
+      One window = one sort per group; this is also precisely what
+      CCNet's paper pipeline does per language.
+    * sampled (``cutoff_sample_mod=m``): at 100 TB a total sort per
+      group is the wrong plan, and CCNet itself computes cutoffs from
+      a sample. Docs whose ``md5(doc_id) % m == 0`` (the repo's
+      deterministic split_assign decision) form the sample; cutoffs =
+      the sample's per-tier minimum score, broadcast back (≤
+      groups×(n_buckets-1) rows), and every doc buckets by comparing
+      against them — ``1 + Σ(score < cutoff)``. No global sort, no
+      window over the corpus; tier populations are approximate exactly
+      as in the paper.
+    """
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.transform(
+        F.array(toks),
+        lambda ts: F.when(
+            F.size(ts) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 1),
+                lambda i: F.struct(
+                    F.element_at(ts, i).alias("w1"),
+                    F.element_at(ts, i + 1).alias("w2"),
+                ),
+            )
+        ),
+    )[0]
+    # -- model, from TARGET only ------------------------------------
+    t_uni = (
+        target.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    t_bi = (
+        target.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = t_uni.agg(F.count(F.lit(1)).alias("vocab"))
+    # -- score RAW under the target model ---------------------------
+    inst = raw.select(
+        F.col(id_col).alias("doc_id"), *gcols, F.explode(bigrams).alias("bg")
+    ).select("doc_id", *gcols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    scored = (
+        inst.join(t_bi, ["w1", "w2"], "left")
+        .join(t_uni, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", *gcols)
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob")
+        )
+    )
+    part = [F.col(c) for c in gcols] if gcols else [F.lit(1)]
+    order = [F.desc("avg_logprob"), F.asc("doc_id")]
+    if cutoff_sample_mod is None:
+        w = Window.partitionBy(*part).orderBy(*order)
+        bucketed = scored.withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
+    else:
+        sample = scored.where(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % cutoff_sample_mod
+            == 0
+        )
+        sw = Window.partitionBy(*part).orderBy(*order)
+        cutoffs = (
+            sample.withColumn("_tier", F.ntile(n_buckets).over(sw))
+            .where(F.col("_tier") < n_buckets)
+            .groupBy(*gcols, "_tier")
+            .agg(F.min("avg_logprob").alias("_lo"))
+        )
+        # LEFT join in both regimes: an empty sample (tiny group, large
+        # mod) must yield bucket=1 everywhere, never drop the corpus
+        join_keys = gcols if gcols else ["_g"]
+        lhs = scored if gcols else scored.withColumn("_g", F.lit(1))
+        rhs = cutoffs if gcols else cutoffs.withColumn("_g", F.lit(1))
+        joined = lhs.join(F.broadcast(rhs), join_keys, "left").drop("_g")
+        bucketed = joined.groupBy("doc_id", *gcols, "avg_logprob").agg(
+            (
+                1
+                + F.sum(
+                    F.when(F.col("avg_logprob") < F.col("_lo"), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+    tier = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        if n_buckets == 3
+        else F.concat(F.lit("b"), F.col("bucket"))
+    )
+    return bucketed.select("doc_id", *gcols, "avg_logprob", "bucket", tier.alias("tier"))
+
+
 def tfidf_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Top-``k`` keywords per document by tf-idf (term frequency x
     ``ln(N / doc_frequency)``), the classic topic-tagging signal.

@@ -136,6 +136,135 @@ def normalize_urls(
     )
 
 
+def host_col(url: Column) -> Column:
+    """Lowercased host of ``url`` (userinfo and port stripped, ``www.``
+    kept — blocklists decide their own folding). Non-``scheme://``
+    inputs yield the empty string."""
+    s = F.trim(url)
+    scheme = F.regexp_extract(s, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    rest = F.regexp_replace(
+        F.regexp_replace(s, r"#.*", ""), r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""
+    )
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(
+        F.regexp_replace(F.regexp_extract(authority, r"([^@]*)$", 1), r":\d+$", "")
+    )
+    return F.when(scheme == "", F.lit("")).otherwise(host)
+
+
+def host_suffixes_col(host: Column) -> Column:
+    """All dot-suffixes of ``host``, longest first:
+    ``a.b.com -> [a.b.com, b.com, com]``. Blocklist entries match any
+    suffix, so blocking ``bad.com`` also blocks ``x.bad.com`` — the
+    UT1/RefinedWeb domain-match semantics."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+        ),
+        lambda s: s != "",
+    )
+
+
+def host_filter(
+    df: DataFrame,
+    blocklist,
+    url_col: str = "url",
+    *,
+    mode: str = "block",
+    out_col: str = "matched_domain",
+    broadcast_max_rows: int = 10_000_000,
+) -> DataFrame:
+    """UT1-style domain blocklist filter — the first stage of web-scale
+    curation pipelines (RefinedWeb, Penedo et al. 2023 §3.1, filters
+    CommonCrawl against the UT1 adult/malware domain lists before any
+    content work; the reference's closest surface is its raw-string
+    ``URLFilter``, ``src/fundus/scraping/filter.py``, which cannot
+    express "this domain and every subdomain").
+
+    A URL is matched when ANY dot-suffix of its host equals a blocklist
+    entry (``bad.com`` blocks ``x.bad.com`` but NOT ``notbad.com`` —
+    label-boundary, never substring). ``out_col`` carries the LONGEST
+    (most specific) matching entry, NULL when clean.
+
+    ``mode``: ``"block"`` keeps clean rows only, ``"allow"`` keeps
+    matched rows only (allowlist crawls), ``"annotate"`` keeps all rows
+    with the evidence column — compose downstream.
+
+    Scale shape, two regimes:
+
+    * ``blocklist`` as a Python sequence (small curated lists): the
+      match is a literal ``filter(suffixes, s -> s IN (...))`` array
+      projection — ZERO shuffle, no join, whatever the corpus size.
+      Matching avoids regex alternation entirely (no engine-semantics
+      risk; the DuckDB oracle replays list algebra exactly).
+    * ``blocklist`` as a single-column DataFrame (UT1 is ~3M domains):
+      match DISTINCT hosts (≪ corpus rows), not corpus rows — explode
+      each distinct host's ≤ label-count suffixes, equi-join on the
+      suffix (broadcast under ``broadcast_max_rows``, shuffle join
+      above), fold with one map-side-combinable ``max(struct)`` agg
+      picking the longest match, and join the host→match relation
+      back (AQE picks broadcast vs shuffle by its measured size).
+      Never a cartesian, never a regex of 3M alternates, and row
+      multiplicity of ``df`` is untouched.
+    """
+    if mode not in ("block", "allow", "annotate"):
+        raise ValueError(f"mode must be block|allow|annotate, got {mode!r}")
+    host = host_col(F.col(url_col))
+    if isinstance(blocklist, DataFrame):
+        dom_col = blocklist.columns[0]
+        domains = blocklist.select(F.col(dom_col).alias("_blk_domain")).distinct()
+        # localCheckpoint so the guard count and the join share one
+        # materialization (the dedup.py:423 pattern)
+        domains = domains.localCheckpoint(eager=False)
+        side = (
+            F.broadcast(domains)
+            if domains.count() <= broadcast_max_rows
+            else domains
+        )
+        hosts = df.select(host.alias("_blk_host")).distinct()
+        matches = (
+            hosts.withColumn(
+                "_blk_suffix", F.explode(host_suffixes_col(F.col("_blk_host")))
+            )
+            .join(side, F.col("_blk_suffix") == F.col("_blk_domain"))
+            .groupBy("_blk_host")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.length("_blk_domain").alias("l"),
+                        F.col("_blk_domain").alias("d"),
+                    )
+                ).alias("_blk_best")
+            )
+            .select("_blk_host", F.col("_blk_best.d").alias(out_col))
+        )
+        annotated = (
+            df.withColumn("_blk_host", host)
+            .join(matches, "_blk_host", "left")
+            .drop("_blk_host")
+        )
+    else:
+        entries = sorted({str(d).lower() for d in blocklist})
+        suffixes = host_suffixes_col(host)
+        matched = (
+            F.filter(suffixes, lambda s: s.isin(*entries))
+            if entries
+            else F.array().cast("array<string>")
+        )
+        # suffixes are generated longest-first, so element 0 of the
+        # filtered array IS the most specific match; F.get is NULL-safe
+        # on the empty array under ANSI mode (element_at is not)
+        annotated = df.withColumn(out_col, F.get(matched, 0))
+    if mode == "annotate":
+        return annotated
+    if mode == "allow":
+        return annotated.where(F.col(out_col).isNotNull())
+    return annotated.where(F.col(out_col).isNull())
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",

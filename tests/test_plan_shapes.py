@@ -49,7 +49,9 @@ def test_extraction_stage_is_zero_shuffle(spark):
 
 
 def test_small_dims_broadcast(spark, entry):
-    qs = entry.queries()
+    # revenue_by_nation moved to extra_queries() in round 7 (slot
+    # ceded to hll_ngram_distinct) — the broadcast pin still applies
+    qs = {**entry.queries(), **entry.extra_queries()}
     plan = _plan(qs["revenue_by_nation"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     plan = _plan(qs["robots_gate"](spark, SF_DIR))
@@ -73,7 +75,7 @@ def test_scan_prunes_columns(spark, entry):
     """pricing_summary touches 7 of 16 lineitem columns; the scan's
     ReadSchema must not include untouched ones like l_comment-ish
     fields (column pruning)."""
-    qs = entry.queries()
+    qs = {**entry.queries(), **entry.extra_queries()}
     plan = _plan(qs["pricing_summary"](spark, SF_DIR))
     scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
     assert scan_lines
