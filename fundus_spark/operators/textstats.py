@@ -409,11 +409,12 @@ def ccnet_perplexity_buckets(
         w = Window.partitionBy(*part).orderBy(*order)
         bucketed = scored.withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
     else:
+        from fundus_spark.operators.sampling import hash_bucket
+
+        # the repo-standard deterministic sample decision (split_assign's
+        # md5 bucket), so the sampled universe is engine-reproducible
         sample = scored.where(
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast("bigint")
-            % cutoff_sample_mod
-            == 0
+            hash_bucket(F.col("doc_id"), salt="ccnet") % cutoff_sample_mod == 0
         )
         sw = Window.partitionBy(*part).orderBy(*order)
         cutoffs = (

@@ -149,6 +149,9 @@ def host_col(url: Column) -> Column:
     host = F.lower(
         F.regexp_replace(F.regexp_extract(authority, r"([^@]*)$", 1), r":\d+$", "")
     )
+    # fold the FQDN root dot ("ex.com." ≡ "ex.com") so suffix matching
+    # never sees a phantom empty label
+    host = F.regexp_replace(host, r"\.+$", "")
     return F.when(scheme == "", F.lit("")).otherwise(host)
 
 

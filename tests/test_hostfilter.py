@@ -21,6 +21,7 @@ URLS = [
     (6, "https://spam.net:443/z"),       # second entry
     (7, "https://bad.com.evil.io/a"),    # bad.com as a PREFIX, not suffix
     (8, "not a url"),                    # schemeless: empty host, clean
+    (9, "https://bad.com./a"),           # FQDN root dot folded: still bad.com
 ]
 BLOCK = ["bad.com", "spam.net", "deep.sub.bad.com"]
 
@@ -58,6 +59,7 @@ def test_literal_blocklist_annotate(urls_df):
         6: "spam.net",
         7: None,
         8: None,
+        9: "bad.com",
     }
 
 
@@ -67,7 +69,7 @@ def test_block_and_allow_modes(urls_df):
     allowed = sorted(
         r["doc_id"] for r in host_filter(urls_df, BLOCK, mode="allow").collect()
     )
-    assert allowed == [1, 2, 5, 6]
+    assert allowed == [1, 2, 5, 6, 9]
     with pytest.raises(ValueError):
         host_filter(urls_df, BLOCK, mode="bogus")
 
