@@ -116,6 +116,10 @@ def curate_corpus(
     quality_salt: str = "qcls",
     quality_feature_mode: str = "binary",
     repair_mojibake: bool = False,
+    ccnet_target: Optional[DataFrame] = None,
+    ccnet_drop_tiers: Sequence[str] = ("tail",),
+    ccnet_n_buckets: int = 3,
+    ccnet_sample_mod: Optional[int] = None,
 ) -> DataFrame:
     """Returns the training-ready corpus: quality-gated, exact- and
     near-dup-deduplicated, decontaminated against ``benchmark`` (if
@@ -155,6 +159,15 @@ def curate_corpus(
     neither inflates near-dup similarity nor survives into packed
     training text. Default ``None`` keeps the chain byte-identical to
     prior releases (and to the driver oracle).
+
+    ``ccnet_target`` (round 7, default off) adds CCNet perplexity
+    tiering (Wenzek et al. 2020) after exact dedup: an add-one bigram
+    LM trains on the passed clean corpus, every surviving doc is
+    scored under it, and docs in ``ccnet_drop_tiers`` (default: the
+    tail third) are dropped before the near-dup machinery. Pass
+    ``ccnet_sample_mod`` at scale for the sampled-cutoff regime (no
+    corpus-wide sort). Default ``None`` keeps the chain byte-identical
+    to prior releases.
 
     ``quality_model`` (round 7, default off) adds the TRAINED quality
     filter (GPT-3/LLaMA classifier family) between the heuristic gate
@@ -222,6 +235,30 @@ def curate_corpus(
         # production pipeline does by writing each stage to the lake
         # (swap localCheckpoint for a table write + re-read there)
         deduped = deduped.localCheckpoint(eager=True)
+
+    if ccnet_target is not None:
+        # CCNet perplexity tiering (Wenzek et al. 2020; default: drop
+        # the tail third) — placed AFTER exact dedup, matching the
+        # paper's dedup-then-LM order AND shrinking both the join-heavy
+        # LM scoring and the LSH machinery downstream. Docs without a
+        # single bigram (<2 tokens) cannot be scored and are dropped
+        # with the tail. Tiers are corpus-distribution-dependent by
+        # nature (like near-dup survivorship, unlike the pure per-row
+        # gates), so this stage lives only in the full-rerun chain;
+        # ``ccnet_sample_mod`` switches to the paper's sampled-cutoff
+        # regime (no corpus-wide sort) at scale.
+        from ..operators.textstats import ccnet_perplexity_buckets
+
+        tiers = ccnet_perplexity_buckets(
+            deduped, ccnet_target, text_col=text_col, id_col=id_col,
+            n_buckets=ccnet_n_buckets, cutoff_sample_mod=ccnet_sample_mod,
+        )
+        kept_tiers = tiers.where(~F.col("tier").isin(*ccnet_drop_tiers)).select(
+            F.col("doc_id").alias(id_col)
+        )
+        deduped = deduped.join(kept_tiers, id_col, "left_semi")
+        if materialize_stages:
+            deduped = deduped.localCheckpoint(eager=True)
 
     # the distinct shingle relation feeds BOTH the banding and the
     # verify phase; compute it once (Catalyst does not reuse the

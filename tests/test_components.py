@@ -614,6 +614,45 @@ def test_curate_corpus_optional_trained_quality_stage(spark):
     assert kept_ids == {i for i in range(12) if i % 3 != 0}
 
 
+def test_curate_corpus_optional_ccnet_stage(spark):
+    """Round-7 composition: ccnet_target tiers the corpus after exact
+    dedup and drops the tail third; the kept set must equal the
+    standalone ccnet_perplexity_buckets decision over the same
+    post-dedup relation, and the default path stays byte-identical."""
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators.textstats import ccnet_perplexity_buckets
+    from fundus_spark.plans import curate_corpus
+
+    rows = [
+        (i, "s%d" % (i % 2),
+         (" ".join("the quick brown fox %d_%d jumps" % (i, j) for j in range(6))
+          if i % 3 != 0
+          else " ".join("zx%d_%d qq vv" % (i, j) for j in range(10))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = df.where(F.col("doc_id") % 3 == 1)  # clean prose slice
+
+    base = curate_corpus(df, pack_budget=500)
+    key = lambda r: (r.doc_id, r.split, r.pack_offset, r.pack_bin)  # noqa: E731
+    again = curate_corpus(df, pack_budget=500)  # default path unchanged
+    assert sorted(map(key, base.collect())) == sorted(map(key, again.collect()))
+
+    tiered = curate_corpus(df, pack_budget=500, ccnet_target=target)
+    kept_ids = {r.doc_id for r in tiered.collect()}
+    base_ids = {r.doc_id for r in base.collect()}
+    expected = {
+        r["doc_id"]
+        for r in ccnet_perplexity_buckets(
+            df.where(F.col("doc_id").isin(*base_ids)), target
+        ).collect()
+        if r["tier"] != "tail"
+    }
+    assert kept_ids == expected
+    assert kept_ids < base_ids  # the tail third actually dropped
+
+
 def test_curate_corpus_optional_mojibake_repair_stage(spark):
     """Round-7 composition: repair_mojibake lets a mis-decoded copy of
     a clean doc exact-dedup against it; default off keeps the chain
