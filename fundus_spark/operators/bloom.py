@@ -103,7 +103,11 @@ def bloom_build(
     )
     return (
         pos.select(
-            (F.col("pos") / F.lit(WORD_BITS)).cast("long").alias("word_idx"),
+            # integer DIV, not float /: a double round-trip misplaces
+            # word_idx once positions exceed 2^53 (the n_bits guard
+            # allows ~2^59), and the DuckDB oracle's `pos // 32` is
+            # exact integer math
+            F.expr(f"pos DIV {WORD_BITS}").alias("word_idx"),
             # shiftleft's bit-count arg must be a column here, so expr()
             # (the python F.shiftleft only accepts an int literal)
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {WORD_BITS} AS INT))").alias("w"),
@@ -153,7 +157,8 @@ def bloom_probe(
         F.explode(bloom_positions(_normalized_key(text_col), n_bits, n_hashes)).alias("pos"),
     ).select(
         "doc_id",
-        (F.col("pos") / F.lit(WORD_BITS)).cast("long").alias("word_idx"),
+        # integer DIV — see bloom_build
+        F.expr(f"pos DIV {WORD_BITS}").alias("word_idx"),
         (F.col("pos") % WORD_BITS).cast("int").alias("bit"),
     )
     # materialize the (bounded, <= n_bits/32-row) filter once so the
