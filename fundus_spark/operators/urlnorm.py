@@ -218,7 +218,13 @@ def host_filter(
     host = host_col(F.col(url_col))
     if isinstance(blocklist, DataFrame):
         dom_col = blocklist.columns[0]
-        domains = blocklist.select(F.col(dom_col).alias("_blk_domain")).distinct()
+        # normalize entries the way hosts are normalized: lowercase and
+        # fold edge dots (UT1-style lists often carry ".domain.tld")
+        domains = blocklist.select(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(dom_col)), r"\.+$", ""), r"^\.+", ""
+            ).alias("_blk_domain")
+        ).distinct()
         # localCheckpoint so the guard count and the join share one
         # materialization (the dedup.py:423 pattern)
         domains = domains.localCheckpoint(eager=False)
@@ -250,7 +256,7 @@ def host_filter(
             .drop("_blk_host")
         )
     else:
-        entries = sorted({str(d).lower() for d in blocklist})
+        entries = sorted({str(d).lower().strip(".") for d in blocklist})
         suffixes = host_suffixes_col(host)
         matched = (
             F.filter(suffixes, lambda s: s.isin(*entries))

@@ -74,6 +74,27 @@ def test_block_and_allow_modes(urls_df):
         host_filter(urls_df, BLOCK, mode="bogus")
 
 
+def test_blocklist_entry_edge_dots_normalized(spark, urls_df):
+    """UT1-style entries written as '.bad.com.' must match like
+    'bad.com' — in both the literal and the relation regime."""
+    dotted = [".bad.com.", "spam.net", ".deep.sub.bad.com"]
+    want = {
+        (r["doc_id"], r["matched_domain"])
+        for r in host_filter(urls_df, BLOCK, mode="annotate").collect()
+    }
+    lit = {
+        (r["doc_id"], r["matched_domain"])
+        for r in host_filter(urls_df, dotted, mode="annotate").collect()
+    }
+    blk = spark.createDataFrame([(d,) for d in dotted], ["domain"])
+    rel = {
+        (r["doc_id"], r["matched_domain"])
+        for r in host_filter(urls_df, blk, mode="annotate").collect()
+    }
+    assert lit == want
+    assert rel == want
+
+
 def test_dataframe_blocklist_matches_literal(spark, urls_df):
     blk = spark.createDataFrame([(d,) for d in BLOCK], ["domain"])
     lit = {
