@@ -301,6 +301,68 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text", id_col: str = "d
     return scored
 
 
+def _ccnet_scored(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    gcols: list,
+) -> DataFrame:
+    """Per-doc mean bigram log-probability of ``raw`` under the add-one
+    bigram LM trained on ``target`` — the shared scoring core of
+    :func:`ccnet_perplexity_buckets` / :func:`ccnet_cutoffs`. Scores
+    depend only on (doc, target), never on other raw docs."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.transform(
+        F.array(toks),
+        lambda ts: F.when(
+            F.size(ts) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 1),
+                lambda i: F.struct(
+                    F.element_at(ts, i).alias("w1"),
+                    F.element_at(ts, i + 1).alias("w2"),
+                ),
+            )
+        ),
+    )[0]
+    # -- model, from TARGET only ------------------------------------
+    t_uni = (
+        target.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    t_bi = (
+        target.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = t_uni.agg(F.count(F.lit(1)).alias("vocab"))
+    # -- score RAW under the target model ---------------------------
+    inst = raw.select(
+        F.col(id_col).alias("doc_id"), *gcols, F.explode(bigrams).alias("bg")
+    ).select("doc_id", *gcols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    return (
+        inst.join(t_bi, ["w1", "w2"], "left")
+        .join(t_uni, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", *gcols)
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob")
+        )
+    )
+
+
 def ccnet_perplexity_buckets(
     raw: DataFrame,
     target: DataFrame,
@@ -310,6 +372,7 @@ def ccnet_perplexity_buckets(
     n_buckets: int = 3,
     group_col: str | None = None,
     cutoff_sample_mod: int | None = None,
+    cutoffs: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.4):
     score every raw document under a language model trained on a CLEAN
@@ -350,95 +413,29 @@ def ccnet_perplexity_buckets(
       against them — ``1 + Σ(score < cutoff)``. No global sort, no
       window over the corpus; tier populations are approximate exactly
       as in the paper.
+    * frozen (``cutoffs=`` a persisted :func:`ccnet_cutoffs` relation):
+      the append-path regime — tiering becomes a PURE per-row decision
+      given (target model, cutoffs), so batch docs tier identically
+      whether curated today or replayed next year; the frozen-state
+      philosophy of ``plans/frozen_store`` applied to quality tiers.
     """
     from pyspark.sql import Window
 
     gcols = [group_col] if group_col else []
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    bigrams = F.transform(
-        F.array(toks),
-        lambda ts: F.when(
-            F.size(ts) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(ts) - 1),
-                lambda i: F.struct(
-                    F.element_at(ts, i).alias("w1"),
-                    F.element_at(ts, i + 1).alias("w2"),
-                ),
-            )
-        ),
-    )[0]
-    # -- model, from TARGET only ------------------------------------
-    t_uni = (
-        target.select(F.explode(toks).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
-    t_bi = (
-        target.select(F.explode(bigrams).alias("bg"))
-        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
-    vocab = t_uni.agg(F.count(F.lit(1)).alias("vocab"))
-    # -- score RAW under the target model ---------------------------
-    inst = raw.select(
-        F.col(id_col).alias("doc_id"), *gcols, F.explode(bigrams).alias("bg")
-    ).select("doc_id", *gcols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    scored = (
-        inst.join(t_bi, ["w1", "w2"], "left")
-        .join(t_uni, ["w1"], "left")
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id", *gcols)
-        .agg(
-            F.round(
-                F.avg(
-                    F.log(
-                        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
-                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab"))
-                    )
-                ),
-                4,
-            ).alias("avg_logprob")
+    scored = _ccnet_scored(raw, target, text_col, id_col, gcols)
+    if cutoffs is not None:
+        bucketed = _ccnet_bucket_by_cutoffs(scored, cutoffs, gcols)
+    elif cutoff_sample_mod is None:
+        part = [F.col(c) for c in gcols] if gcols else [F.lit(1)]
+        w = Window.partitionBy(*part).orderBy(
+            F.desc("avg_logprob"), F.asc("doc_id")
         )
-    )
-    part = [F.col(c) for c in gcols] if gcols else [F.lit(1)]
-    order = [F.desc("avg_logprob"), F.asc("doc_id")]
-    if cutoff_sample_mod is None:
-        w = Window.partitionBy(*part).orderBy(*order)
         bucketed = scored.withColumn("bucket", F.ntile(n_buckets).over(w).cast("long"))
     else:
-        from fundus_spark.operators.sampling import hash_bucket
-
-        # the repo-standard deterministic sample decision (split_assign's
-        # md5 bucket), so the sampled universe is engine-reproducible
-        sample = scored.where(
-            hash_bucket(F.col("doc_id"), salt="ccnet") % cutoff_sample_mod == 0
+        cut = _ccnet_cutoffs_from_scored(
+            scored, gcols, n_buckets=n_buckets, sample_mod=cutoff_sample_mod
         )
-        sw = Window.partitionBy(*part).orderBy(*order)
-        cutoffs = (
-            sample.withColumn("_tier", F.ntile(n_buckets).over(sw))
-            .where(F.col("_tier") < n_buckets)
-            .groupBy(*gcols, "_tier")
-            .agg(F.min("avg_logprob").alias("_lo"))
-        )
-        # LEFT join in both regimes: an empty sample (tiny group, large
-        # mod) must yield bucket=1 everywhere, never drop the corpus
-        join_keys = gcols if gcols else ["_g"]
-        lhs = scored if gcols else scored.withColumn("_g", F.lit(1))
-        rhs = cutoffs if gcols else cutoffs.withColumn("_g", F.lit(1))
-        joined = lhs.join(F.broadcast(rhs), join_keys, "left").drop("_g")
-        bucketed = joined.groupBy("doc_id", *gcols, "avg_logprob").agg(
-            (
-                1
-                + F.sum(
-                    F.when(F.col("avg_logprob") < F.col("_lo"), 1).otherwise(0)
-                )
-            )
-            .cast("long")
-            .alias("bucket")
-        )
+        bucketed = _ccnet_bucket_by_cutoffs(scored, cut, gcols)
     tier = (
         F.when(F.col("bucket") == 1, F.lit("head"))
         .when(F.col("bucket") == 2, F.lit("middle"))
@@ -447,6 +444,90 @@ def ccnet_perplexity_buckets(
         else F.concat(F.lit("b"), F.col("bucket"))
     )
     return bucketed.select("doc_id", *gcols, "avg_logprob", "bucket", tier.alias("tier"))
+
+
+def _ccnet_cutoffs_from_scored(
+    scored: DataFrame,
+    gcols: list,
+    *,
+    n_buckets: int,
+    sample_mod: int | None,
+) -> DataFrame:
+    """Tier cutoffs ``(group…, tier, lo)`` from a scored relation:
+    tier ``t``'s ``lo`` is the minimum score a doc may have and still
+    land in tier ``t`` (tiers 1..n_buckets-1; everything below the last
+    ``lo`` is the bottom tier). ``sample_mod`` draws the deterministic
+    md5 sample (the repo-standard split_assign decision) before the
+    per-group ntile — with it, the sort is over the sample only."""
+    from pyspark.sql import Window
+
+    from fundus_spark.operators.sampling import hash_bucket
+
+    sample = scored
+    if sample_mod is not None:
+        sample = scored.where(
+            hash_bucket(F.col("doc_id"), salt="ccnet") % sample_mod == 0
+        )
+    part = [F.col(c) for c in gcols] if gcols else [F.lit(1)]
+    sw = Window.partitionBy(*part).orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    return (
+        sample.withColumn("tier", F.ntile(n_buckets).over(sw))
+        .where(F.col("tier") < n_buckets)
+        .groupBy(*gcols, "tier")
+        .agg(F.min("avg_logprob").alias("lo"))
+    )
+
+
+def _ccnet_bucket_by_cutoffs(
+    scored: DataFrame, cutoffs: DataFrame, gcols: list
+) -> DataFrame:
+    """Bucket every scored doc by frozen cutoffs: ``1 + Σ(score < lo)``.
+    LEFT join so empty cutoffs (tiny group, large sample mod) yield
+    bucket=1 everywhere, never drop the corpus."""
+    join_keys = gcols if gcols else ["_g"]
+    lhs = scored if gcols else scored.withColumn("_g", F.lit(1))
+    rhs = cutoffs if gcols else cutoffs.withColumn("_g", F.lit(1))
+    joined = lhs.join(F.broadcast(rhs), join_keys, "left").drop("_g")
+    return joined.groupBy("doc_id", *gcols, "avg_logprob").agg(
+        (1 + F.sum(F.when(F.col("avg_logprob") < F.col("lo"), 1).otherwise(0)))
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+def ccnet_cutoffs(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 3,
+    group_col: str | None = None,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """The persistable CCNet cutoff artifact ``(group…, tier, lo)`` —
+    the freeze-contract companion to :func:`ccnet_perplexity_buckets`:
+    compute tier boundaries ONCE over a reference corpus (optionally
+    from a deterministic md5 sample — with ``sample_mod`` only the
+    sample is ever scored, so the artifact costs O(corpus/mod) LM
+    joins and no corpus-wide sort), persist them next to the target
+    model, and tier every future batch per-row by passing
+    ``cutoffs=`` — the same frozen-state philosophy as
+    ``plans/frozen_store``: append-time decisions never shift because
+    the corpus grew."""
+    gcols = [group_col] if group_col else []
+    base = corpus
+    if sample_mod is not None:
+        from fundus_spark.operators.sampling import hash_bucket
+
+        # sample BEFORE scoring: per-doc scores depend only on the
+        # target model, so filtering first is exactly equivalent and
+        # skips the LM joins for every unsampled doc
+        base = corpus.where(
+            hash_bucket(F.col(id_col), salt="ccnet") % sample_mod == 0
+        )
+    scored = _ccnet_scored(base, target, text_col, id_col, gcols)
+    return _ccnet_cutoffs_from_scored(scored, gcols, n_buckets=n_buckets, sample_mod=None)
 
 
 def tfidf_topk(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:

@@ -319,6 +319,10 @@ def curate_increment(
     quality_threshold: float = 0.5,
     quality_salt: str = "qcls",
     quality_feature_mode: str = "binary",
+    ccnet_target: Optional[DataFrame] = None,
+    ccnet_cutoffs: Optional[DataFrame] = None,
+    ccnet_drop_tiers: Sequence[str] = ("tail",),
+    ccnet_n_buckets: int = 3,
 ) -> DataFrame:
     """The daily-increment twin of :func:`curate_corpus`: curate a NEW
     batch against a FROZEN, already-curated corpus without touching it.
@@ -379,6 +383,31 @@ def curate_increment(
             feature_mode=quality_feature_mode,
         ).where(F.col("predicted")).select(F.col("doc_id").alias(id_col))
         gated = gated.join(kept, id_col, "left_semi")
+
+    if ccnet_target is not None or ccnet_cutoffs is not None:
+        # CCNet tiering on the APPEND path is only append-safe with
+        # FROZEN cutoffs: tier boundaries computed from the batch would
+        # shift with every batch, violating the increment's pure
+        # per-row contract. Require both artifacts (the persisted
+        # target corpus/model input and the ccnet_cutoffs relation) and
+        # the decision is a pure function of (row, target, cutoffs) —
+        # identical today or replayed next year.
+        if ccnet_target is None or ccnet_cutoffs is None:
+            raise ValueError(
+                "increment-path CCNet tiering needs BOTH ccnet_target and "
+                "ccnet_cutoffs (a persisted operators.ccnet_cutoffs relation); "
+                "batch-derived cutoffs would shift across appends"
+            )
+        from ..operators.textstats import ccnet_perplexity_buckets
+
+        tiers = ccnet_perplexity_buckets(
+            gated, ccnet_target, text_col=text_col, id_col=id_col,
+            n_buckets=ccnet_n_buckets, cutoffs=ccnet_cutoffs,
+        )
+        kept_tiers = tiers.where(~F.col("tier").isin(*ccnet_drop_tiers)).select(
+            F.col("doc_id").alias(id_col)
+        )
+        gated = gated.join(kept_tiers, id_col, "left_semi")
 
     keep_ids = exact_dedup(gated, text_col=text_col, id_col=id_col).select(
         F.col("keep_id").alias(id_col)

@@ -207,6 +207,53 @@ def test_ccnet_sampled_cutoffs_regime(spark):
     assert {r["doc_id"]: r["bucket"] for r in sampled} == exact
 
 
+def test_ccnet_frozen_cutoffs_regime(spark):
+    """ccnet_cutoffs + cutoffs= must reproduce the sampled regime
+    exactly (same sample decision, same boundary algebra), and frozen
+    cutoffs must tier a NEW batch without shifting — the append-path
+    pure-per-row contract."""
+    from fundus_spark.operators.textstats import ccnet_cutoffs
+
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    target = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    sampled = {
+        (r["doc_id"], r["bucket"])
+        for r in ccnet_perplexity_buckets(
+            raw, target, cutoff_sample_mod=1
+        ).collect()
+    }
+    cuts = ccnet_cutoffs(raw, target, sample_mod=1)
+    frozen = {
+        (r["doc_id"], r["bucket"])
+        for r in ccnet_perplexity_buckets(raw, target, cutoffs=cuts).collect()
+    }
+    assert frozen == sampled
+    # a new batch tiers per-row under the SAME frozen cutoffs: growing
+    # the batch cannot flip any existing doc's tier
+    batch2 = raw.union(
+        spark.createDataFrame([(100, "the cat sat on the mat")], ["doc_id", "text"])
+    )
+    again = {
+        (r["doc_id"], r["bucket"])
+        for r in ccnet_perplexity_buckets(batch2, target, cutoffs=cuts).collect()
+        if r["doc_id"] != 100
+    }
+    assert again == frozen
+
+
+def test_curate_increment_ccnet_requires_both_artifacts(spark):
+    from pyspark.sql import functions as F
+
+    from fundus_spark.plans import curate_increment
+
+    df = spark.createDataFrame(
+        [(i, "s", " ".join("w%d_%d tok" % (i, j) for j in range(12))) for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(ValueError, match="BOTH ccnet_target and"):
+        curate_increment(df, df.limit(0), ccnet_target=df).count()
+
+
 def test_ccnet_grouped(spark):
     raw = spark.createDataFrame(
         [(i, s, t) for (i, t) in RAW for s in ("a", "b")],
