@@ -224,3 +224,104 @@ def test_classifier_fit_matches_reference_on_random_corpora(spark, docs, n_iter)
     got = {r.j: r.w_q for r in model.collect()}
     want = _py_fit(rows, 8, n_iter, 0.0625, "p", "binary")
     assert got == {j: w for j, w in enumerate(want)}
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization properties (round 7)
+# ---------------------------------------------------------------------------
+
+_url_host = st.lists(
+    st.text(alphabet="abCdE19-", min_size=1, max_size=4), min_size=1, max_size=3
+).map(lambda ls: ".".join(ls))
+_url_path = st.lists(
+    st.text(alphabet="AbC2/._~-", max_size=5), max_size=3
+).map(lambda ls: ("/" + "/".join(ls)) if ls else "")
+_url_query = st.lists(
+    st.sampled_from(
+        ["a=1", "b=2", "utm_source=x", "fbclid=Y", "ref=hn", "refresh=1", "z", ""]
+    ),
+    max_size=4,
+).map(lambda ps: ("?" + "&".join(ps)) if ps else "")
+_url_strategy = st.builds(
+    lambda scheme, user, host, port, path, query, frag: (
+        f"{scheme}://{user}{host}{port}{path}{query}{frag}"
+    ),
+    st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    st.sampled_from(["", "u@", "u:p@"]),
+    _url_host,
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    _url_path,
+    _url_query,
+    st.sampled_from(["", "#f", "#sec-2"]),
+)
+
+
+@SPARK_SETTINGS
+@given(st.lists(_url_strategy, min_size=1, max_size=8))
+def test_normalize_url_is_idempotent(spark, urls):
+    """normalize(normalize(u)) == normalize(u) for arbitrary messy URLs
+    — the fixed-point property that makes the canonical form a safe
+    dedup key (re-canonicalizing stored keys is a no-op)."""
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators.urlnorm import normalize_url_col
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        normalize_url_col(F.col("url")).alias("c1"),
+    ).select("c1", normalize_url_col(F.col("c1")).alias("c2"))
+    for r in out.collect():
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+def _py_suffixes(host: str):
+    parts = host.split(".") if host else []
+    return [".".join(parts[i:]) for i in range(len(parts)) if ".".join(parts[i:])]
+
+
+@SPARK_SETTINGS
+@given(st.lists(_url_host, min_size=1, max_size=8))
+def test_host_suffixes_matches_python_reference(spark, hosts):
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators.urlnorm import host_suffixes_col
+
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    got = {
+        r["h"]: list(r["s"])
+        for r in df.select("h", host_suffixes_col(F.col("h")).alias("s")).collect()
+    }
+    for h in hosts:
+        assert got[h] == _py_suffixes(h), h
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(_url_strategy, min_size=1, max_size=8),
+    st.lists(_url_host, max_size=4),
+)
+def test_host_filter_matches_python_reference(spark, urls, blocklist):
+    """Literal-regime host_filter vs a pure-Python longest-suffix-match
+    reference over arbitrary hosts/blocklists (label boundaries,
+    never substring containment)."""
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators.urlnorm import host_col, host_filter
+
+    df = spark.createDataFrame(list(enumerate(urls)), "doc_id long, url string")
+    hosts = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", host_col(F.col("url")).alias("h")).collect()
+    }
+    entries = {b.lower().strip(".") for b in blocklist if b.strip(".")}
+
+    def ref_match(host):
+        cands = [s for s in _py_suffixes(host) if s in entries]
+        return max(cands, key=len) if cands else None
+
+    got = {
+        r["doc_id"]: r["matched_domain"]
+        for r in host_filter(df, sorted(entries) or ["x.invalid"], mode="annotate").collect()
+    }
+    for i in got:
+        assert got[i] == ref_match(hosts[i]), (hosts[i], got[i])
