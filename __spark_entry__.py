@@ -3740,6 +3740,66 @@ FROM bucketed
 """
 
 
+def _q_ccnet_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistable CCNet cutoff artifact (tier, lo) — the
+    model-table twin of ccnet_buckets (same rationale as bpe_merges /
+    classifier_weights / bloom_words: gate the ARTIFACT so a boundary
+    divergence pins the exact differing tier, not a downstream
+    symptom). sample_mod=2 exercises the sample-before-score path the
+    append contract relies on (only the deterministic md5 sample is
+    ever scored)."""
+    from fundus_spark.operators.textstats import ccnet_cutoffs
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 4 == 0)
+    return ccnet_cutoffs(docs, target, sample_mod=2).select(
+        F.col("tier").cast("long").alias("tier"), "lo"
+    )
+
+
+_CCNET_CUTOFFS_SQL = """
+WITH toks AS (
+    SELECT doc_id, i AS pos, toks[i] AS w
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t
+),
+t_toks AS (SELECT * FROM toks WHERE doc_id % 4 = 0),
+uni AS (SELECT w AS w1, COUNT(*) AS c1 FROM t_toks GROUP BY w),
+v AS (SELECT COUNT(*) AS vocab FROM uni),
+-- sample BEFORE scoring: hash_bucket('ccnet', id) % 2 = 0 (the repo md5 idiom)
+s_toks AS (
+    SELECT * FROM toks
+    WHERE CAST('0x' || substr(md5('ccnet' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+),
+inst AS (
+    SELECT a.doc_id, a.w AS w1, b.w AS w2
+    FROM s_toks a JOIN s_toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+t_inst AS (
+    SELECT a.doc_id, a.w AS w1, b.w AS w2
+    FROM t_toks a JOIN t_toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM t_inst GROUP BY w1, w2),
+scored AS (
+    SELECT inst.doc_id,
+           ROUND(AVG(LN((COALESCE(bi.c2, 0) + 1) / (COALESCE(uni.c1, 0) + v.vocab))), 4)
+               AS avg_logprob
+    FROM inst
+    LEFT JOIN bi USING (w1, w2)
+    LEFT JOIN uni ON uni.w1 = inst.w1
+    CROSS JOIN v
+    GROUP BY inst.doc_id
+),
+tiered AS (
+    SELECT avg_logprob,
+           ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS tier
+    FROM scored
+)
+SELECT CAST(tier AS BIGINT) AS tier, MIN(avg_logprob) AS lo
+FROM tiered WHERE tier < 3 GROUP BY tier
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3978,6 +4038,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 quantized_ann; ceded its slot to
                                 host_filter in round 7 (genuinely new
                                 suffix-match algebra + two-regime join)
+    * ccnet_cutoffs           — the persistable CCNet tier-boundary
+                                artifact (round 7): sample-before-score
+                                path + ntile boundaries value-gated so
+                                a divergence pins the exact differing
+                                tier (the bpe_merges /
+                                classifier_weights model-table pattern);
+                                the canonical ccnet_buckets row gates
+                                the full-corpus tiering
     * media_resize            — nearest-neighbor resize over the same
                                 from-scratch decode kernel media_decode
                                 gates canonically; the index arithmetic
@@ -3990,6 +4058,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lsh_ann": _q_lsh_ann,
         "media_resize": _q_media_resize,
+        "ccnet_cutoffs": _q_ccnet_cutoffs,
         "token_count": _q_token_count,
         "bpe_merges": _q_bpe_merges,
         "bloom_words": _q_bloom_words,
@@ -4086,6 +4155,7 @@ def extra_oracle_sql() -> dict[str, str]:
     return {
         "lsh_ann": _lsh_ann_sql(),
         "media_resize": _MEDIA_RESIZE_SQL,
+        "ccnet_cutoffs": _CCNET_CUTOFFS_SQL,
         "token_count": _TOKEN_COUNT_SQL,
         "bpe_merges": _bpe_merges_sql(),
         "bloom_words": _bloom_words_sql(),
