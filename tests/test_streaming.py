@@ -151,6 +151,54 @@ def test_stream_first_wins_dedup(spark, tmp_path):
     assert keys == [("a", 0), ("a", 1), ("b", 0)]
 
 
+def test_stream_canonical_url_dedup(spark, tmp_path):
+    """Canonical-URL dedup composes with the stream unchanged:
+    normalize_urls is a pure per-row projection, so two messy variants
+    of one logical URL arriving in DIFFERENT micro-batches collapse to
+    one row via stream_first_wins_dedup on the canonical key — the
+    streaming twin of url_dedup (the reference's seen-URL set dedups
+    raw strings and would keep both variants)."""
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators.urlnorm import normalize_urls
+    from fundus_spark.streaming import stream_first_wins_dedup
+
+    in_path = str(tmp_path / "in")
+    rows1 = [("HTTP://U@WWW.Ex.COM:80/a?utm_source=f&b=2", 0)]
+    rows2 = [("http://ex.com/a///?b=2&gclid=X", 1), ("https://other.org/z", 2)]
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(
+            [(u, k) for u, k in rows], "url string, k int"
+        ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:0%d" % i))).coalesce(
+            1
+        ).write.mode("append").parquet(in_path)
+
+    stream = (
+        spark.readStream.schema("url string, k int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+    deduped = stream_first_wins_dedup(
+        normalize_urls(stream), keys=("canonical_url",)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["canonical_url"], r["k"]) for r in spark.read.parquet(out).collect())
+    # the (k=1) variant canonicalizes identically to (k=0) and is dropped
+    assert got == [
+        ("http://ex.com/a?b=2", 0),
+        ("https://other.org/z", 2),
+    ]
+
+
 def test_stream_narrow_curation_ops_match_batch(spark, tmp_path):
     """The narrow curation operators (PII scrub, split assignment,
     deterministic sampling) are pure per-row maps, so the SAME operator
