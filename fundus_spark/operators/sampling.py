@@ -246,6 +246,47 @@ def dsir_select(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def temperature_proportions(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    *,
+    alpha: float = 0.3,
+    token_col: Optional[str] = None,
+) -> Dict[str, float]:
+    """Temperature-based mixture proportions (the mT5/XLM-R recipe,
+    Xue et al. 2021 §3.3 / Conneau et al. 2020 §3.1): domain ``d``
+    gets ``p_d ∝ (share_d)^alpha`` where ``share_d`` is its observed
+    token share — ``alpha < 1`` flattens the mixture (up-samples
+    low-resource domains), ``alpha = 1`` reproduces natural
+    proportions, ``alpha = 0`` is uniform. Feed the result straight to
+    :func:`domain_mix` as ``proportions``.
+
+    The per-domain token agg is the same map-side-combinable shape as
+    domain_mix's own; the collect is bounded by the domain count (a
+    mixture has dozens of domains, never millions — the bounded
+    driver-side-manifest contract of ``plans/job``). Exponentiation
+    happens driver-side in one pass, so the returned dict is exact,
+    reproducible, and engine-independent; proportions sum to 1.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    toks = (
+        F.col(token_col)
+        if token_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    rows = (
+        df.groupBy(F.col(domain_col).alias("_d"))
+        .agg(F.sum(toks.cast("long")).alias("_t"))
+        .collect()
+    )
+    total = sum(r["_t"] for r in rows) or 1
+    weighted = {r["_d"]: (r["_t"] / total) ** alpha for r in rows}
+    z = sum(weighted.values()) or 1.0
+    return {d: w / z for d, w in sorted(weighted.items())}
+
+
 def domain_mix(
     df: DataFrame,
     proportions: Dict[str, float],

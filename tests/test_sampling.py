@@ -455,3 +455,33 @@ def test_semantic_dedup_plan_joins_on_cell_never_cartesian(spark):
     plan = semantic_dedup(df, threshold=0.9, n_centroids=4, dim=8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_proportions(spark):
+    """mT5-style temperature flattening: alpha=1 reproduces natural
+    shares, alpha=0 is uniform, alpha in between up-weights the small
+    domain; and the dict feeds domain_mix directly."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fundus_spark.operators import domain_mix, temperature_proportions
+
+    rows = [(i, "big" if i < 9 else "small", "w " * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    nat = temperature_proportions(df, alpha=1.0)
+    assert math.isclose(nat["big"], 0.9) and math.isclose(nat["small"], 0.1)
+    uni = temperature_proportions(df, alpha=0.0)
+    assert math.isclose(uni["big"], 0.5) and math.isclose(uni["small"], 0.5)
+    mid = temperature_proportions(df, alpha=0.3)
+    assert 0.1 < mid["small"] < 0.5 and math.isclose(sum(mid.values()), 1.0)
+    # precomputed token column agrees with the whitespace default
+    df2 = df.withColumn("n_tok", F.size(F.split(F.trim("text"), r"\s+")))
+    assert temperature_proportions(df2, alpha=0.3, token_col="n_tok") == mid
+
+    mixed = domain_mix(df, mid, total_tokens=200)
+    assert mixed.where("source = 'small'").count() >= 1
+    with pytest.raises(ValueError):
+        temperature_proportions(df, alpha=-0.1)
