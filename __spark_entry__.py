@@ -3487,6 +3487,46 @@ FROM est0 JOIN ex USING (grp)
 """
 
 
+def _q_hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL merge law, driver-gated: build INDEPENDENT register
+    sketches on two disjoint doc shards (doc_id parity), hll_merge
+    them, and estimate — the oracle replays the SINGLE-PASS whole-corpus
+    sketch, so the row is green iff union-of-shard-sketches ≡
+    sketch-of-union register-for-register (the property that makes
+    per-shard/per-day sketches mergeable without re-reading raw data
+    at 100 TB). Same output contract as hll_ngram_distinct."""
+    from fundus_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n, p = 3, 10
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = docs.select(
+        "doc_id",
+        F.col("source").alias("grp"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ).alias("item"),
+    )
+    shard_a = grams.where(F.col("doc_id") % 2 == 0)
+    shard_b = grams.where(F.col("doc_id") % 2 == 1)
+    regs = hll_merge(
+        hll_registers(shard_a, "item", ["grp"], p),
+        hll_registers(shard_b, "item", ["grp"], p),
+    )
+    ests = hll_estimate(regs, ["grp"], p)
+    exact = grams.groupBy("grp").agg(F.count_distinct("item").alias("exact_distinct"))
+    return exact.join(ests, "grp").select(
+        F.col("grp").alias("source"), "exact_distinct", "n_registers", "v_zero", "est"
+    )
+
+
 def _q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter tokens (d=4, w=512) with the exact count
     alongside — the one-sided error (est >= exact, never under) is in
@@ -4046,6 +4086,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 classifier_weights model-table pattern);
                                 the canonical ccnet_buckets row gates
                                 the full-corpus tiering
+    * hll_merge_shards        — the HLL merge LAW driver-gated (round
+                                7): two disjoint doc shards sketched
+                                independently, hll_merge'd, estimated —
+                                green iff ≡ the oracle's single-pass
+                                whole-corpus sketch (what makes
+                                per-shard/per-day sketches mergeable
+                                at 100 TB without re-reading raw data)
     * media_resize            — nearest-neighbor resize over the same
                                 from-scratch decode kernel media_decode
                                 gates canonically; the index arithmetic
@@ -4059,6 +4106,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "media_resize": _q_media_resize,
         "ccnet_cutoffs": _q_ccnet_cutoffs,
+        "hll_merge_shards": _q_hll_merge_shards,
         "token_count": _q_token_count,
         "bpe_merges": _q_bpe_merges,
         "bloom_words": _q_bloom_words,
@@ -4156,6 +4204,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "lsh_ann": _lsh_ann_sql(),
         "media_resize": _MEDIA_RESIZE_SQL,
         "ccnet_cutoffs": _CCNET_CUTOFFS_SQL,
+        "hll_merge_shards": _hll_ngram_sql(),
         "token_count": _TOKEN_COUNT_SQL,
         "bpe_merges": _bpe_merges_sql(),
         "bloom_words": _bloom_words_sql(),
