@@ -3416,6 +3416,21 @@ def _q_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom merge law, driver-gated (the hll_merge_shards twin):
+    filters built independently on two disjoint doc_id-parity shards,
+    bloom_merge'd (one more bit_or), must equal the oracle's
+    single-pass whole-corpus filter word-for-word — per-shard/per-day
+    filters merge into the corpus filter without re-reading raw data."""
+    from fundus_spark.operators.bloom import bloom_build, bloom_merge
+
+    docs = _read(spark, sf_dir, "documents")
+    return bloom_merge(
+        bloom_build(docs.where(F.col("doc_id") % 2 == 0), n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K),
+        bloom_build(docs.where(F.col("doc_id") % 2 == 1), n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K),
+    )
+
+
 def _bloom_words_sql() -> str:
     nb, k = _BLOOM_NBITS, _BLOOM_K
     return f"""
@@ -4093,6 +4108,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 whole-corpus sketch (what makes
                                 per-shard/per-day sketches mergeable
                                 at 100 TB without re-reading raw data)
+    * bloom_merge_shards      — the Bloom merge law driver-gated
+                                (hll_merge_shards twin): two disjoint
+                                shards' filters bit_or-merged must
+                                equal the single-pass whole-corpus
+                                filter word-for-word
     * media_resize            — nearest-neighbor resize over the same
                                 from-scratch decode kernel media_decode
                                 gates canonically; the index arithmetic
@@ -4107,6 +4127,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "ccnet_cutoffs": _q_ccnet_cutoffs,
         "hll_merge_shards": _q_hll_merge_shards,
+        "bloom_merge_shards": _q_bloom_merge_shards,
         "token_count": _q_token_count,
         "bpe_merges": _q_bpe_merges,
         "bloom_words": _q_bloom_words,
@@ -4205,6 +4226,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "media_resize": _MEDIA_RESIZE_SQL,
         "ccnet_cutoffs": _CCNET_CUTOFFS_SQL,
         "hll_merge_shards": _hll_ngram_sql(),
+        "bloom_merge_shards": _bloom_words_sql(),
         "token_count": _TOKEN_COUNT_SQL,
         "bpe_merges": _bpe_merges_sql(),
         "bloom_words": _bloom_words_sql(),
