@@ -3346,10 +3346,18 @@ def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("doc_id") + F.lit(1_000_000)
         )
     )
-    bloom = bloom_build(frozen, n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K)
-    probed = bloom_probe(batch, bloom, n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K)
+    # build + materialize the (bounded) filter ONCE for both consumers,
+    # and probe ONCE, reusing the result inside the increment — the
+    # demo previously rebuilt the filter and re-ran the probe pipeline
+    # per consumer (round-7 advice)
+    bloom = bloom_build(frozen, n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K).localCheckpoint(
+        eager=True
+    )
+    probed = bloom_probe(batch, bloom, n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K).localCheckpoint(
+        eager=True
+    )
     novel = bloom_dedup_increment(
-        frozen, batch, n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K, bloom=bloom
+        frozen, batch, n_bits=_BLOOM_NBITS, n_hashes=_BLOOM_K, bloom=bloom, probed=probed
     )
     return probed.join(
         novel.withColumn("novel", F.lit(True)), "doc_id", "left"

@@ -163,8 +163,15 @@ def bloom_probe(
     )
     # materialize the (bounded, <= n_bits/32-row) filter once so the
     # guard count and the join read the same relation instead of
-    # recomputing the build twice (the decontaminate lesson)
-    bloom = bloom.localCheckpoint(eager=True)
+    # recomputing the build twice (the decontaminate lesson) — but only
+    # when re-evaluation is actually expensive: an already-checkpointed
+    # or parquet-backed filter (the production artifact, and any caller
+    # sharing one filter across probe calls) is used as-is instead of
+    # being copied once per probe
+    from .adaptive import is_cheap_rescan
+
+    if not is_cheap_rescan(bloom):
+        bloom = bloom.localCheckpoint(eager=True)
     bloom_side = F.broadcast(bloom) if bloom.count() <= broadcast_max_rows else bloom
     hit = pos.join(bloom_side, "word_idx", "left").select(
         "doc_id",
@@ -189,6 +196,7 @@ def bloom_dedup_increment(
     n_hashes: int = 5,
     bloom: DataFrame | None = None,
     broadcast_max_rows: int = 10_000_000,
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact novel-document selection with a Bloom pre-filter: the
     batch docs the filter clears are novel with NO exact work; only the
@@ -204,12 +212,19 @@ def bloom_dedup_increment(
 
     Pass a pre-built ``bloom`` (the persisted artifact) to skip the
     build — the production path; building here is the convenience path.
+    Pass ``probed`` (a :func:`bloom_probe` result over the SAME batch
+    and filter) to reuse an existing probe instead of re-running the
+    position-explode pipeline — the shape for callers that want both
+    the probe bits and the exact novel set.
     """
     if bloom is None:
         bloom = bloom_build(frozen, text_col, n_bits, n_hashes)
-    probed = bloom_probe(
-        batch, bloom, text_col, id_col, n_bits, n_hashes, broadcast_max_rows
-    )
+    if probed is None:
+        probed = bloom_probe(
+            batch, bloom, text_col, id_col, n_bits, n_hashes, broadcast_max_rows
+        )
+    else:
+        probed = probed.select("doc_id", "possibly_seen")
     batch_fp = batch.select(
         F.col(id_col).alias("doc_id"), F.md5(_normalized_key(text_col)).alias("fp")
     ).join(probed, "doc_id")

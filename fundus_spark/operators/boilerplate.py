@@ -55,10 +55,15 @@ def _strip_batches(batches):
 
 def boilerplate_strip(docs: DataFrame, html_col: str = "html", id_col: str = "doc_id") -> DataFrame:
     """``docs``: (doc_id long, html string) -> content text + block
-    counts. Narrow map — no shuffle."""
-    return docs.select(F.col(id_col).alias("doc_id"), F.col(html_col).alias("html")).mapInArrow(
-        _strip_batches, schema=MAIN_TEXT_SCHEMA
+    counts. Narrow map — no shuffle (small under-partitioned inputs are
+    lifted to full parallelism first, see operators.adaptive)."""
+    from .adaptive import adaptive_repartition
+
+    base = adaptive_repartition(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(html_col).alias("html")),
+        cols=("doc_id",),
     )
+    return base.mapInArrow(_strip_batches, schema=MAIN_TEXT_SCHEMA)
 
 
 def boilerplate_page(doc_id: Column, text: Column) -> Column:

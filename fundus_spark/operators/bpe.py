@@ -106,6 +106,7 @@ def bpe_train(
     n_merges: int = 24,
     text_col: str = "text",
     local_vocab_max_rows: int = 1_000_000,
+    word_freq: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the model
     as a DataFrame ``(rank, left, right, pair_count)`` ordered by rank
@@ -127,13 +128,21 @@ def bpe_train(
 
     Stops early only when no adjacent pair remains (every word fully
     merged); a best pair of count 1 is still applied, keeping the
-    unrolled SQL oracle's fixed iteration count exactly equivalent."""
+    unrolled SQL oracle's fixed iteration count exactly equivalent.
+
+    Pass ``word_freq`` (a materialized ``(word, cnt)`` relation for the
+    SAME corpus) to skip rebuilding the frequency table — the shape
+    :func:`bpe_token_count` uses so train + apply share one distributed
+    agg instead of running it twice."""
+    from .adaptive import is_cheap_rescan
+
     spark = df.sparkSession
-    words = (
-        _word_freq(df, text_col)
-        .withColumn("s", _spaced(F.col("word")))
-        .localCheckpoint(eager=True)
-    )
+    base = word_freq if word_freq is not None else _word_freq(df, text_col)
+    words = base.withColumn("s", _spaced(F.col("word")))
+    if not is_cheap_rescan(base):
+        # materialize once for the count guard + collect/iterations; an
+        # already-materialized caller relation needs no second copy
+        words = words.localCheckpoint(eager=True)
     if words.count() <= local_vocab_max_rows:
         merges = _train_local(
             [(row["word"], int(row["cnt"])) for row in words.select("word", "cnt").collect()],
@@ -151,24 +160,36 @@ def _train_local(
 ) -> List[Tuple[int, str, str, int]]:
     """Driver-local merge iterations over the collected word-frequency
     table — same algorithm, arg-max and merge step as the distributed
-    path (left-to-right non-overlapping, identical tie-break)."""
+    path (left-to-right non-overlapping, identical tie-break).
+
+    Pair counts are maintained INCREMENTALLY (the standard BPE-trainer
+    trick): the full count pass runs once, then each merge only
+    re-counts the words that actually contain the merged pair (tracked
+    via a pair -> words index), subtracting their old pair multiset and
+    adding the new one. Counts after every round are identical to a
+    full recount — keys are dropped when they reach zero so the
+    emptiness stop and the (max count, min pair) arg-max see exactly
+    the relation the recount would — while the per-round cost falls
+    from O(corpus vocabulary) to O(affected words)."""
     from collections import Counter
 
     vocab = {w: (tuple(w) + (EOW,), c) for w, c in word_freq}
+    pc: Counter = Counter()
+    where: dict = {}  # pair -> set of words currently containing it
+    for w, (syms, cnt) in vocab.items():
+        for i in range(len(syms) - 1):
+            pair = (syms[i], syms[i + 1])
+            pc[pair] += cnt
+            where.setdefault(pair, set()).add(w)
     merges: List[Tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        pc: Counter = Counter()
-        for syms, cnt in vocab.values():
-            for i in range(len(syms) - 1):
-                pc[(syms[i], syms[i + 1])] += cnt
         if not pc:
             break
         mx = max(pc.values())
         l, r = min(k for k, v in pc.items() if v == mx)
         merges.append((rank, l, r, mx))
-        for w, (syms, cnt) in vocab.items():
-            if (l, r) not in zip(syms, syms[1:]):
-                continue
+        for w in list(where.get((l, r), ())):
+            syms, cnt = vocab[w]
             ns: List[str] = []
             i = 0
             while i < len(syms):
@@ -178,7 +199,22 @@ def _train_local(
                 else:
                     ns.append(syms[i])
                     i += 1
-            vocab[w] = (tuple(ns), cnt)
+            new_syms = tuple(ns)
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                pc[pair] -= cnt
+                if pc[pair] == 0:
+                    del pc[pair]
+                occ = where.get(pair)
+                if occ is not None:
+                    occ.discard(w)
+                    if not occ:
+                        del where[pair]
+            for i in range(len(new_syms) - 1):
+                pair = (new_syms[i], new_syms[i + 1])
+                pc[pair] += cnt
+                where.setdefault(pair, set()).add(w)
+            vocab[w] = (new_syms, cnt)
     return merges
 
 
@@ -263,15 +299,17 @@ def bpe_token_count(
     join above — vocabularies usually fit, web-scale tail vocabularies
     may not) -> one map-side-combinable per-doc sum. No UDF anywhere.
     """
+    vocab = _word_freq(df, text_col).localCheckpoint(eager=True)
     if merges is None:
-        merges = bpe_train(df, n_merges=n_merges, text_col=text_col)
+        # train on the SAME materialized frequency table the apply side
+        # uses — one distributed agg for both, not two
+        merges = bpe_train(df, n_merges=n_merges, text_col=text_col, word_freq=vocab)
     # the model is by construction n_merges rows — bounded driver-side
     # metadata, same contract as the job manifest reads in plans/job.py
     merge_list = [
         (row["left"], row["right"])
         for row in merges.orderBy("rank").collect()
     ]
-    vocab = _word_freq(df, text_col).localCheckpoint(eager=True)
     counted = bpe_apply_to_vocab(vocab, merge_list).select("word", "n_tokens")
     side = (
         F.broadcast(counted)

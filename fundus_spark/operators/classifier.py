@@ -123,7 +123,9 @@ def classifier_features(
     # bucket md5(salt)%n_features on every empty doc (review finding —
     # an empty doc must score bias-only, not inherit whatever real
     # token collides with hash(''))
-    toks = docs.select(
+    from .adaptive import adaptive_repartition
+
+    toks = adaptive_repartition(docs, cols=(id_col,)).select(
         *cols,
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
@@ -154,6 +156,15 @@ def classifier_features(
     return feats.unionByName(bias)
 
 
+
+def _lit_long_array(vals) -> F.Column:
+    """Literal ``array<bigint>`` as ONE parsed SQL expression instead of
+    one py4j round trip per element (the lit_double_array device from
+    operators.similarity, exact-integer flavor) — plan-build time only,
+    identical plan values."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
 def _update_weights(
     wq: List[int], a: Dict[int, int], lr: float, n_docs: int
 ) -> List[int]:
@@ -174,6 +185,13 @@ def _fit_gram(
     """One corpus pass -> exact integer sufficient statistics
     (Gram = XᵀX, moment = Xᵀy, n), then the whole GD loop driver-local
     on Python big ints (exact at any magnitude)."""
+    # the Gram self-join multiplies each doc's features quadratically —
+    # per-row compute dwarfs bytes, so a byte-coalesced single partition
+    # would serialize it; lift a small under-partitioned (checkpointed)
+    # relation to full parallelism first (no-op for big inputs)
+    from .adaptive import adaptive_repartition
+
+    feats = adaptive_repartition(feats, cols=("doc_id",))
     a = feats.select("doc_id", F.col("j").alias("ja"), F.col("x_q").alias("xa"))
     b = feats.select("doc_id", F.col("j").alias("jb"), F.col("x_q").alias("xb"))
     gram_rows = (
@@ -235,7 +253,7 @@ def _fit_iterative(
     sxy = W_SCALE * X_SCALE
     wq = [0] * d
     for _ in range(n_iter):
-        wlit = F.array(*[F.lit(int(v)).cast("long") for v in wq])
+        wlit = _lit_long_array(wq)
         yq = F.aggregate(
             F.col("fs"),
             F.lit(0).cast("long"),
@@ -358,7 +376,7 @@ def quality_classifier_score(
     """
     wq = _model_weights(model)
     n_features = len(wq) - 1
-    wlit = F.array(*[F.lit(int(v)).cast("long") for v in wq])
+    wlit = _lit_long_array(wq)
     thr_q2 = int(round(2 * threshold * W_SCALE * X_SCALE))
     if plan not in ("grouped", "narrow"):
         raise ValueError(f"unknown plan {plan!r}: expected 'grouped' or 'narrow'")

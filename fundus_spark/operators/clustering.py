@@ -37,7 +37,7 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _dot, ivf_centroids
+from .similarity import _dot, ivf_centroids, lit_double_array
 
 #: fixed-point scale for the exact integer centroid update
 _FP_SCALE = 1_000_000
@@ -49,7 +49,7 @@ def _argmax_cell(vec_col, cents: Sequence[Sequence[float]]):
     scores = F.array(
         *[
             F.struct(
-                _dot(vec_col, F.array(*[F.lit(w) for w in c])).alias("s"),
+                _dot(vec_col, lit_double_array(c)).alias("s"),
                 F.lit(i).alias("i"),
             )
             for i, c in enumerate(cents)

@@ -85,6 +85,12 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingle_relation(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4) -> DataFrame:
+    # the explode multiplies per-row work ~|tokens|-fold and every
+    # consumer hashes each shingle — lift a small under-partitioned
+    # input to full parallelism first (no-op at scale)
+    from .adaptive import adaptive_repartition
+
+    df = adaptive_repartition(df, cols=(id_col,))
     return df.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
 
 
@@ -350,18 +356,32 @@ def connected_components(
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` and swap
     ``localCheckpoint`` for ``checkpoint``.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    # No distinct() on the edge relation: min-label propagation is
+    # idempotent under duplicate edges (groupBy-min absorbs them), and
+    # verified pair inputs (ngram_jaccard_pairs & co.) are distinct by
+    # construction — the old full dedup shuffle of the edge relation
+    # bought nothing. A caller with a pathologically duplicated pair
+    # relation should dedup at the source.
     # materialize the edge relation ONCE: without this, every
     # propagation round re-executes the whole upstream pair-producing
     # pipeline (LSH banding + verify) inside its join — measured 43s ->
     # 9s on the sf0.1 curation chain
     edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    labels = labels.localCheckpoint(eager=True)
+    # fused first round: the identity labeling's first propagation is
+    # exactly min(own id, neighbor ids), which one groupBy over the
+    # edge relation computes directly — saving the identity-label
+    # materialization plus a full join+agg round (every node appears as
+    # ``src`` since edges carry both directions, so the node set is
+    # identical to the old select-distinct init)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("lbl"))
+        .select(F.col("src").alias("node"), "lbl")
+        .localCheckpoint(eager=True)
+    )
     converged = False
     for _ in range(max_rounds):
         neighbor_min = (
@@ -779,10 +799,20 @@ def dup_substring_spans(
         df, k=k, window=window, max_chars=max_chars, text_col=text_col,
         emit_positions=True,
     )
-    dup_fps = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ")).where(
-        F.col("n_occ") > 1
+    # corpus-wide occurrence count as a COUNT window over the fp
+    # partitioning instead of groupBy + join-back: the winnowing
+    # pipeline (the expensive per-character hash stage) is evaluated
+    # ONCE instead of twice, and the count rides the single fp shuffle
+    # the old join needed anyway. Skew shape is unchanged — a hot
+    # fingerprint concentrates on one task exactly as the groupBy did,
+    # and each occurrence still yields exactly one row (no pair
+    # explosion).
+    by_fp = Window.partitionBy("fp")
+    dups = (
+        fps.withColumn("n_occ", F.count(F.lit(1)).over(by_fp))
+        .where(F.col("n_occ") > 1)
+        .select("doc_id", "pos")
     )
-    dups = fps.join(dup_fps.select("fp"), "fp").select("doc_id", "pos")
     by_pos = Window.partitionBy("doc_id").orderBy("pos")
     # Winnowing guarantees consecutive SELECTED positions inside one
     # duplicated region are <= window apart (one selection per window),

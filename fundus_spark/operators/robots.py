@@ -68,5 +68,9 @@ def robots_gate(
     """``urls (url_id, source, url)`` x ``robots (source, robots_txt)``
     -> per-URL ``allowed`` + ``crawl_delay`` under RFC 9309 semantics
     (kernel/robots.py). The robots dimension broadcasts."""
-    joined = urls.join(F.broadcast(robots), "source", "left")
+    from .adaptive import adaptive_repartition
+
+    joined = adaptive_repartition(urls, cols=("url_id",)).join(
+        F.broadcast(robots), "source", "left"
+    )
     return joined.mapInPandas(_gate_batches(user_agent), schema=ROBOTS_GATE_SCHEMA)

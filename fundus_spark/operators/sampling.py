@@ -136,6 +136,9 @@ def _hashed_ngram_features(
     bucket primitive (engine-portable, so the DuckDB oracle recomputes
     the exact same buckets). One row per token/bigram OCCURRENCE —
     DSIR's feature counts are occurrence counts, not presence."""
+    from .adaptive import adaptive_repartition
+
+    df = adaptive_repartition(df, cols=(id_col,))
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # bind the token array: referencing the split expression inside the
     # per-position lambda would re-evaluate it per element (O(tokens^2))
@@ -184,25 +187,44 @@ def dsir_log_weights(
     ratio table can be persisted once and reused to score appends —
     the same frozen-model contract as ``incremental_assign``.
     """
+    from pyspark.sql import Window
+
     raw_inst = _hashed_ngram_features(raw, text_col, id_col, n_buckets)
     tgt_inst = _hashed_ngram_features(target, text_col, id_col, n_buckets)
-    raw_counts = raw_inst.groupBy("feature").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_counts = tgt_inst.groupBy("feature").agg(F.count(F.lit(1)).alias("ct"))
-    raw_total = raw_inst.agg(F.count(F.lit(1)).alias("nr"))
-    tgt_total = tgt_inst.agg(F.count(F.lit(1)).alias("nt"))
+    # BOTH models from ONE pass over each instance relation: union the
+    # sides with a tag, count per (feature, side) in a single map-side-
+    # combinable agg, and take the corpus totals as unpartitioned-window
+    # sums over the <= n_buckets count rows (bounded by construction,
+    # the round_robin_merge precedent — never a window over instances).
+    # Values are identical to the previous two-agg + crossJoin-totals
+    # plan: cr/ct/nr/nt are the same exact integers, the log-ratio the
+    # same doubles. What changed is evaluation count: the raw explode
+    # pipeline ran 3x (counts, total, scoring) and the target's 2x —
+    # now 2x and 1x.
+    inst = raw_inst.select("feature", F.lit(1).alias("_r")).unionAll(
+        tgt_inst.select("feature", F.lit(0).alias("_r"))
+    )
+    counts = inst.groupBy("feature").agg(
+        F.sum("_r").alias("cr"),
+        F.sum(F.lit(1) - F.col("_r")).alias("ct"),
+    )
+    wall = Window.partitionBy()
+    counts = (
+        counts.withColumn("nr", F.sum("cr").over(wall))
+        .withColumn("nt", F.sum("ct").over(wall))
+        # the ratio table keeps features present in the RAW corpus (the
+        # old left join from raw_counts); totals above already include
+        # target-only features, exactly like the old full-corpus counts
+        .where(F.col("cr") > 0)
+    )
     b = F.lit(float(n_buckets))
     a = F.lit(float(alpha))
-    ratio = (
-        raw_counts.join(tgt_counts, "feature", "left")
-        .crossJoin(F.broadcast(raw_total))
-        .crossJoin(F.broadcast(tgt_total))
-        .select(
-            "feature",
-            (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + a) / (F.col("nt") + a * b))
-                - F.log((F.col("cr") + a) / (F.col("nr") + a * b))
-            ).alias("log_ratio"),
-        )
+    ratio = counts.select(
+        "feature",
+        (
+            F.log((F.col("ct") + a) / (F.col("nt") + a * b))
+            - F.log((F.col("cr") + a) / (F.col("nr") + a * b))
+        ).alias("log_ratio"),
     )
     return (
         raw_inst.join(F.broadcast(ratio), "feature")

@@ -21,6 +21,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def lit_double_array(vals) -> Column:
+    """Literal ``array<double>`` as ONE parsed SQL expression instead of
+    one py4j round trip per element — at codebook/hyperplane sizes
+    (k x dim = thousands of literals) the per-element path costs
+    seconds of driver-side plan-build time per query. ``repr`` is the
+    shortest exact decimal for an IEEE double and Spark's ``<x>D``
+    literal parses back to the identical bits (verified down to
+    subnormals), so plans and results are unchanged. Non-finite values
+    (no codebook has them) fall back to per-element lits."""
+    vs = [float(v) for v in vals]
+    if all(math.isfinite(v) for v in vs):
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vs) + ")")
+    return F.array(*[F.lit(v) for v in vs])
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -104,7 +119,7 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
 
 def lsh_bucket_key(vec_col: Column, planes: List[List[float]]) -> Column:
     bits = [
-        F.when(_dot(vec_col, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(_dot(vec_col, lit_double_array(plane)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for plane in planes
     ]
     return F.concat(*bits)
@@ -224,7 +239,7 @@ def ivf_topk(
     scores = F.array(
         *[
             F.struct(
-                _dot(F.col("vec"), F.array(*[F.lit(w) for w in c])).alias("s"),
+                _dot(F.col("vec"), lit_double_array(c)).alias("s"),
                 F.lit(i).alias("i"),
             )
             for i, c in enumerate(cents)
@@ -483,7 +498,7 @@ def semantic_dedup(
     scores = F.array(
         *[
             F.struct(
-                _dot(F.col("vec"), F.array(*[F.lit(w) for w in c])).alias("s"),
+                _dot(F.col("vec"), lit_double_array(c)).alias("s"),
                 F.lit(i).alias("i"),
             )
             for i, c in enumerate(cents)
@@ -491,7 +506,22 @@ def semantic_dedup(
     )
     base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     assigned = base.withColumn("cell", F.reverse(F.sort_array(scores))[0]["i"])
-    members = assigned.select("vid", "vec", _norm(F.col("vec")).alias("nrm"), "cell")
+    # materialize the assignment ONCE: three consumers follow (both
+    # sides of the within-cell pair join and the output join-back), and
+    # each would otherwise re-plan and re-execute the k x dim literal
+    # codebook scoring — the dominant plan-build AND compute cost of
+    # this operator. The relation is one (id, vec, cell) row per input
+    # vector; a production run would persist this table anyway (it IS
+    # the cluster assignment artifact).
+    assigned = assigned.localCheckpoint(eager=True)
+    # the within-cell pair join is quadratic per cell — compute-bound,
+    # not byte-bound — so keep it parallel when the (small) checkpointed
+    # assignment would otherwise ride one byte-coalesced partition
+    from .adaptive import adaptive_repartition
+
+    members = adaptive_repartition(assigned, cols=("cell",)).select(
+        "vid", "vec", _norm(F.col("vec")).alias("nrm"), "cell"
+    )
     if cell_cap is not None:
         wcell = Window.partitionBy("cell").orderBy(F.asc("vid"))
         members = (

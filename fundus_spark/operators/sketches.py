@@ -179,8 +179,10 @@ def hll_ngram_distinct(
     path is :func:`hll_registers` + :func:`hll_merge` alone — O(2^p)
     state per group, no distinct-shuffle of the grams themselves.
     """
+    from .adaptive import adaptive_repartition
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = df.select(
+    grams = adaptive_repartition(df).select(
         F.col(group_col).alias("grp"),
         F.explode(
             F.transform(
@@ -273,7 +275,9 @@ def countmin_heavy_hitters(
     in one bounded agg, merged across shards by ``sum`` — and point
     queries come from a small candidate list, not a vocabulary scan.
     """
-    toks = df.select(
+    from .adaptive import adaptive_repartition
+
+    toks = adaptive_repartition(df).select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("item")
     ).where(F.col("item") != "")
     sketch = countmin_sketch(toks, "item", d, w)

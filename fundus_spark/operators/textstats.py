@@ -83,19 +83,46 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language heuristic over the full Latin-script
     profile set — deterministic (ties break toward the earlier
     profile), SQL-portable, pure column algebra (one pass over the
-    token array per profile, no shuffle)."""
-    toks = tokens(F.col(text_col))
-    # lowercase once; profiles are lowercase function words
-    low = F.transform(toks, lambda x: F.lower(x))
-    hit_cols = [(code, _hits(low, words)) for code, words in LANG_PROFILES]
-    best = F.greatest(*[h for _, h in hit_cols])
-    pred = F.when(best == F.lit(0), F.lit("und"))
-    for code, h in hit_cols:
-        pred = pred.when(h == best, F.lit(code))
-    out_cols = ["doc_id", pred.otherwise(F.lit("und")).alias("lang_pred")]
-    for code, h in hit_cols[:3]:  # keep the original diagnostic columns
-        out_cols.append(h.cast("long").alias(f"{code}_hits"))
-    return df.select(*out_cols)
+    token array per profile, no shuffle).
+
+    The 55-profile expression tree is built as SQL strings parsed once
+    per column instead of thousands of py4j ``Column`` calls — the
+    old construction cost ~2 s of driver time PER QUERY BUILD at any
+    data size; the parsed expressions are semantically identical
+    (same ``size(filter(...))`` hits, same greatest/tie-break)."""
+
+    def _sql_quote(w: str) -> str:
+        return "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    # one two-stage select, mirroring the oracle's hits-CTE shape: the
+    # hit counts are computed once as named columns, then the argmax /
+    # tie-break reads the plain column refs
+    low = f"transform(split(trim({text_col}), '\\\\s+'), x -> lower(x))"
+    hit_exprs = [
+        (
+            code,
+            f"size(filter({low}, x -> array_contains(array("
+            + ",".join(_sql_quote(w) for w in words)
+            + "), x)))",
+        )
+        for code, words in LANG_PROFILES
+    ]
+    hits = df.select(
+        "doc_id",
+        *[F.expr(e).alias(f"_h_{code}") for code, e in hit_exprs],
+    )
+    all_hits = ", ".join(f"_h_{code}" for code, _ in LANG_PROFILES)
+    whens = " ".join(
+        f"WHEN _h_{code} = greatest({all_hits}) THEN '{code}'"
+        for code, _ in LANG_PROFILES
+    )
+    pred = F.expr(
+        f"CASE WHEN greatest({all_hits}) = 0 THEN 'und' {whens} ELSE 'und' END"
+    )
+    out_cols = ["doc_id", pred.alias("lang_pred")]
+    for code, _ in LANG_PROFILES[:3]:  # keep the original diagnostic columns
+        out_cols.append(F.col(f"_h_{code}").cast("long").alias(f"{code}_hits"))
+    return hits.select(*out_cols)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -153,10 +180,17 @@ def winnowing_fingerprints(
     """
     from pyspark.sql.window import Window
 
+    from .adaptive import adaptive_repartition
+
     normalized = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     clipped = F.substring(normalized, 1, max_chars)
     ng = F.length("_wt") - F.lit(k - 1)
-    base = df.select("doc_id", clipped.alias("_wt")).where(F.length("_wt") >= k)
+    # the per-character hash projection below is the compute-bound part;
+    # lift a small under-partitioned input to full parallelism first
+    base = adaptive_repartition(
+        df.select("doc_id", clipped.alias("_wt")).where(F.length("_wt") >= k),
+        cols=("doc_id",),
+    )
     grams = base.select(
         "doc_id",
         "_wt",
@@ -211,13 +245,16 @@ def repetition_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     O(grams²). Ties in ``top_gram_frac`` need no tiebreak — only the
     maximal char mass is reported, not the gram.
     """
+    from .adaptive import adaptive_repartition
     from .dedup import word_shingles
 
     # word_shingles binds the token array (one-element-array wrapper)
     # so Catalyst cannot inline the split per gram — O(tokens^2)
     # otherwise (one 40k-token doc took 196s; bound, <2s)
     grams = word_shingles(F.col(text_col), n)
-    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+    exploded = adaptive_repartition(df, cols=(id_col,)).select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
     per_gram = exploded.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("c"), F.length(F.col("gram")).alias("glen")
     )

@@ -43,22 +43,10 @@ from ..operators import (
 from ..operators.dedup import shingle_relation
 
 
-def _is_cheap_rescan(df: DataFrame) -> bool:
-    """True when evaluating ``df`` twice costs ~one scan: it is already
-    persisted/cached, or its optimized plan is a bare file-source read
-    (scan/project/filter only — a count on it is parquet-metadata-cheap).
-    Anything with a shuffle- or generate-class node (Aggregate, Join,
-    Window, Distinct, ...) re-runs the whole job per evaluation and
-    should be checkpointed by the caller of this predicate."""
-    lvl = df.storageLevel
-    if lvl.useMemory or lvl.useDisk:
-        return True
-    try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-    except Exception:  # noqa: BLE001 — conservatively treat as expensive
-        return False
-    expensive = ("Aggregate", "Join", "Window", "Deduplicate", "Distinct", "Generate", "Sort")
-    return not any(tok in plan for tok in expensive)
+# shared plan predicate (moved to operators.adaptive in round 8 so the
+# Bloom/sketch operators can use it without importing plans); the name
+# here is kept for existing callers/tests
+from ..operators.adaptive import is_cheap_rescan as _is_cheap_rescan  # noqa: E402
 
 
 def decontaminate(

@@ -247,7 +247,17 @@ def extract_articles(transcripts: DataFrame, salt_partitions: Optional[int] = No
     uniform (e.g. a bucketed table scan), pass None: the stage is then
     a pure narrow map over the scan — no shuffle at all, which is the
     plan you want at 100 TB.
+
+    With ``salt_partitions=None`` a SMALL under-partitioned input (a
+    single-row-group file, or a byte-coalesced upstream shuffle) is
+    still lifted to full parallelism by
+    :func:`operators.adaptive.adaptive_repartition` — size-gated, so a
+    genuinely large scan keeps the zero-shuffle narrow-map plan.
     """
     if salt_partitions:
         transcripts = transcripts.repartition(salt_partitions, F.col("conv_id"), F.col("turn_idx"))
+    else:
+        from ..operators.adaptive import adaptive_repartition
+
+        transcripts = adaptive_repartition(transcripts, cols=("conv_id", "turn_idx"))
     return transcripts.mapInArrow(_extract_batches_arrow, schema=EXTRACTION_SCHEMA)

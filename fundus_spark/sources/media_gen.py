@@ -163,4 +163,7 @@ def _build_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
-    return documents.select("doc_id").mapInPandas(_build_batches, schema=MEDIA_SCHEMA)
+    from ..operators.adaptive import adaptive_repartition
+
+    base = adaptive_repartition(documents.select("doc_id"), cols=("doc_id",))
+    return base.mapInPandas(_build_batches, schema=MEDIA_SCHEMA)

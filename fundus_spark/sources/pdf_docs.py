@@ -38,4 +38,7 @@ def _build_batches(batches):
 
 
 def documents_as_pdfs(documents: DataFrame) -> DataFrame:
-    return documents.select("doc_id", "text").mapInArrow(_build_batches, schema=_PDF_DOCS_SCHEMA)
+    from ..operators.adaptive import adaptive_repartition
+
+    base = adaptive_repartition(documents.select("doc_id", "text"), cols=("doc_id",))
+    return base.mapInArrow(_build_batches, schema=_PDF_DOCS_SCHEMA)
