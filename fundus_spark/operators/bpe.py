@@ -60,8 +60,11 @@ def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
     """Whitespace pre-tokenization -> (word, cnt). Words containing
     the two control characters the encoding reserves are excluded
     (they cannot be represented; real text never contains them)."""
+    from .adaptive import adaptive_repartition
+
     return (
-        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        adaptive_repartition(df)
+        .select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
         .where(F.length("word") > 0)
         .where(~F.col("word").contains(SEP) & ~F.col("word").contains(EOW))
         .groupBy("word")
@@ -316,7 +319,9 @@ def bpe_token_count(
         if vocab.count() <= broadcast_max_rows
         else counted
     )
-    doc_words = df.select(
+    from .adaptive import adaptive_repartition
+
+    doc_words = adaptive_repartition(df, cols=(id_col,)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     ).where(F.length("word") > 0)

@@ -252,7 +252,14 @@ def ngram_jaccard_pairs(
     with the banding phase (see minhash_signatures scale note).
     """
     if shingles is None:
-        shingles = shingle_relation(df, text_col, id_col, k).distinct()
+        # the distinct shingle relation feeds the sizes agg AND both
+        # sides of the intersection — materialize it once instead of
+        # re-running the explode+distinct per consumer (the same
+        # compute-once contract callers get by passing ``shingles``;
+        # a production run persists this relation to the lake anyway)
+        shingles = shingle_relation(df, text_col, id_col, k).distinct().localCheckpoint(
+            eager=True
+        )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     if candidates is not None:

@@ -36,6 +36,15 @@ def lit_double_array(vals) -> Column:
     return F.array(*[F.lit(v) for v in vs])
 
 
+def _adaptive(df: DataFrame, cols=None) -> DataFrame:
+    """Size-gated parallelism lift for the interpreted per-vector math
+    below (hyperplane/centroid scoring is a higher-order-function
+    expression — compute-bound however few bytes the vectors are)."""
+    from .adaptive import adaptive_repartition
+
+    return adaptive_repartition(df, cols=cols)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -80,7 +89,9 @@ def cosine_topk(
     # them inside the pair loop costs two extra interpreted array folds
     # PER PAIR (higher-order functions are not codegen'd) — 3x the hot
     # path for identical arithmetic.
-    corpus = embeddings.select(
+    from .adaptive import adaptive_repartition
+
+    corpus = adaptive_repartition(embeddings, cols=(id_col,)).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), _norm(F.col(vec_col)).alias("cnorm")
     )
     scored = (
@@ -153,7 +164,7 @@ def cosine_neardup_pairs(
         for b in range(bands)
     ]
     banded = (
-        embeddings.select(
+        _adaptive(embeddings, cols=(id_col,)).select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), _norm(F.col(vec_col)).alias("nrm")
         )
         .select("vid", "vec", "nrm", F.explode(F.array(*band_keys)).alias("bk"))
@@ -249,9 +260,9 @@ def ivf_topk(
     # ties (exactly equal dots) break toward the LOWER centroid id on
     # both engines because (s, i) sorts lexicographically.
     ranked = F.reverse(F.sort_array(scores))
-    base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).withColumn(
-        "_ranked", ranked
-    )
+    base = _adaptive(embeddings, cols=(id_col,)).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("_ranked", ranked)
     assigned = base.select("vid", "vec", F.col("_ranked")[0]["i"].alias("cell"))
     cand_side = assigned.select(
         F.col("vid").alias("cand_id"), F.col("vec").alias("cvec"), _norm(F.col("vec")).alias("cnorm"), "cell"
@@ -323,7 +334,7 @@ def lsh_bucketed_topk(
         for b in range(bands)
     ]
     banded = (
-        embeddings.select(
+        _adaptive(embeddings, cols=(id_col,)).select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), _norm(F.col(vec_col)).alias("nrm")
         )
         .select("vid", "vec", "nrm", F.explode(F.array(*band_keys)).alias("bk"))
