@@ -97,9 +97,14 @@ def bloom_build(
     filter is ≤ ``n_bits/32`` rows. Map-side ``bit_or`` combine means
     the shuffle after the explode carries at most
     ``partitions × n_bits/32`` rows regardless of corpus size.
+
+    NULL policy (round-8): NULL-text docs have no content key and
+    contribute no bits (they previously leaked one junk
+    ``(NULL, NULL)`` word row into the filter relation).
     """
-    pos = df.select(
-        F.explode(bloom_positions(_normalized_key(text_col), n_bits, n_hashes)).alias("pos")
+    key = _normalized_key(text_col)
+    pos = df.where(key.isNotNull()).select(
+        F.explode(bloom_positions(key, n_bits, n_hashes)).alias("pos")
     )
     return (
         pos.select(
@@ -151,10 +156,17 @@ def bloom_probe(
     words = 2^25 bits comfortably; a 2^34-bit production filter falls
     back to a shuffle join on ``word_idx`` — same result). The count
     guard is one action over the (small, usually cached) filter.
+
+    NULL policy (round-8, closing the round-7 verdict corner): a doc
+    whose ``text_col`` is NULL has no content key — it cannot be in
+    any filter (:func:`bloom_build` hashes nothing for it), so it
+    probes ``possibly_seen = false`` EXPLICITLY rather than silently
+    vanishing from the output (the old explode dropped its row).
     """
-    pos = batch.select(
+    key = _normalized_key(text_col)
+    pos = batch.where(key.isNotNull()).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(bloom_positions(_normalized_key(text_col), n_bits, n_hashes)).alias("pos"),
+        F.explode(bloom_positions(key, n_bits, n_hashes)).alias("pos"),
     ).select(
         "doc_id",
         # integer DIV — see bloom_build
@@ -182,9 +194,13 @@ def bloom_probe(
         .otherwise(F.lit(0))
         .alias("bit_set"),
     )
-    return hit.groupBy("doc_id").agg(
+    probed = hit.groupBy("doc_id").agg(
         (F.min("bit_set") == 1).alias("possibly_seen"),
     )
+    null_keyed = batch.where(key.isNull()).select(
+        F.col(id_col).alias("doc_id"), F.lit(False).alias("possibly_seen")
+    )
+    return probed.unionByName(null_keyed)
 
 
 def bloom_dedup_increment(
@@ -209,6 +225,13 @@ def bloom_dedup_increment(
     batch to the flagged sliver, and the frozen side is only scanned
     for fingerprints that can possibly match (a semi-join-friendly
     shape for a bucketed store).
+
+    NULL policy (round-8): a NULL-text batch doc has a NULL
+    fingerprint, which a plain anti-join can never match — it survives
+    there, so it survives here too (it probes ``possibly_seen=false``
+    and lands in the clear set). The ``≡ anti-join`` contract now
+    holds for NULL text as well, where previously such docs vanished
+    from the output entirely.
 
     Pass a pre-built ``bloom`` (the persisted artifact) to skip the
     build — the production path; building here is the convenience path.

@@ -300,13 +300,20 @@ def temperature_proportions(
     )
     rows = (
         df.groupBy(F.col(domain_col).alias("_d"))
-        .agg(F.sum(toks.cast("long")).alias("_t"))
+        # coalesce: a domain whose text is all NULL sums to NULL, which
+        # crashed the Python total below (round-7 advice)
+        .agg(F.coalesce(F.sum(toks.cast("long")), F.lit(0)).alias("_t"))
         .collect()
     )
     total = sum(r["_t"] for r in rows) or 1
     weighted = {r["_d"]: (r["_t"] / total) ** alpha for r in rows}
     z = sum(weighted.values()) or 1.0
-    return {d: w / z for d, w in sorted(weighted.items())}
+    # NULL domain keys sort before strings explicitly (None vs str
+    # comparison raised; round-7 advice) — the weight itself is kept
+    return {
+        d: w / z
+        for d, w in sorted(weighted.items(), key=lambda kv: (kv[0] is not None, kv[0]))
+    }
 
 
 def domain_mix(

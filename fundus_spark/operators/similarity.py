@@ -175,27 +175,29 @@ def cosine_neardup_pairs(
         wsub = Window.partitionBy("band", "key").orderBy(F.asc("vid"))
         banded = banded.withColumn("sub", ((F.row_number().over(wsub) - 1) / F.lit(bucket_cap)).cast("int"))
         join_cols.append("sub")
-    pairs = (
+    # Score INSIDE the band join and dedup afterwards on (a, b, cos):
+    # the cross-band dedup shuffle then carries ~24 bytes per candidate
+    # instead of both 64-dim vectors (~1 KB) — shuffle the proxy, not
+    # the payload (guide §8). A pair colliding in several bands pays at
+    # most bands-1 redundant interpreted dots, each far cheaper than
+    # shipping its vectors through the exchange; the cosine is a pure
+    # function of the pair, so every duplicate carries the identical
+    # rounded value and the kept row is unchanged. Filtering by the
+    # threshold BEFORE the dedup shrinks it further (all duplicates
+    # pass or fail together).
+    return (
         banded.alias("l")
         .join(banded.alias("r"), join_cols)
         .where(F.col("l.vid") < F.col("r.vid"))
         .select(
             F.col("l.vid").alias("a"),
             F.col("r.vid").alias("b"),
-            F.col("l.vec").alias("avec"),
-            F.col("r.vec").alias("bvec"),
-            F.col("l.nrm").alias("anrm"),
-            F.col("r.nrm").alias("bnrm"),
-        )
-        .dropDuplicates(["a", "b"])
-    )
-    return (
-        pairs.select(
-            "a",
-            "b",
-            F.round(_dot(F.col("avec"), F.col("bvec")) / (F.col("anrm") * F.col("bnrm")), 4).alias("cos"),
+            F.round(
+                _dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nrm") * F.col("r.nrm")), 4
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
+        .dropDuplicates(["a", "b"])
     )
 
 

@@ -49,6 +49,24 @@ from ..operators.dedup import shingle_relation
 from ..operators.adaptive import is_cheap_rescan as _is_cheap_rescan  # noqa: E402
 
 
+def _check_ccnet_drop_tiers(ccnet_drop_tiers: Sequence[str], n_buckets: int) -> None:
+    """Fail fast on a drop-tier label the chosen ``n_buckets`` can never
+    produce (round-7 advice: with ``n_buckets != 3`` the labels are
+    ``b<k>``, so the default ``("tail",)`` silently matched nothing and
+    the CCNet stage became a quiet no-op)."""
+    producible = (
+        {"head", "middle", "tail"}
+        if n_buckets == 3
+        else {f"b{k}" for k in range(1, n_buckets + 1)}
+    )
+    bad = [t for t in ccnet_drop_tiers if t not in producible]
+    if bad:
+        raise ValueError(
+            f"ccnet_drop_tiers {bad} can never match a tier produced with "
+            f"ccnet_n_buckets={n_buckets} (producible: {sorted(producible)})"
+        )
+
+
 def decontaminate(
     survivors: DataFrame,
     benchmark: DataFrame,
@@ -237,6 +255,7 @@ def curate_corpus(
         # regime (no corpus-wide sort) at scale.
         from ..operators.textstats import ccnet_perplexity_buckets
 
+        _check_ccnet_drop_tiers(ccnet_drop_tiers, ccnet_n_buckets)
         tiers = ccnet_perplexity_buckets(
             deduped, ccnet_target, text_col=text_col, id_col=id_col,
             n_buckets=ccnet_n_buckets, cutoff_sample_mod=ccnet_sample_mod,
@@ -388,6 +407,7 @@ def curate_increment(
             )
         from ..operators.textstats import ccnet_perplexity_buckets
 
+        _check_ccnet_drop_tiers(ccnet_drop_tiers, ccnet_n_buckets)
         tiers = ccnet_perplexity_buckets(
             gated, ccnet_target, text_col=text_col, id_col=id_col,
             n_buckets=ccnet_n_buckets, cutoffs=ccnet_cutoffs,

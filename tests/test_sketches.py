@@ -148,6 +148,36 @@ def test_bloom_increment_is_exactly_the_anti_join(spark, n_bits):
     assert {200 + i for i in range(25)} == got  # and it is the new docs
 
 
+def test_bloom_null_text_policy(spark):
+    """Round-8 NULL policy (round-7 verdict #2): NULL-text docs have no
+    content key — they contribute no filter bits, probe
+    possibly_seen=false explicitly, and SURVIVE the increment exactly
+    like the plain anti-join (whose NULL fingerprint never matches)."""
+    frozen = _docs(spark, [(1, "frozen doc"), (2, None)])
+    batch = _docs(spark, [(10, "frozen doc"), (11, None), (12, None), (13, "new doc")])
+    bloom = bloom_build(frozen, n_bits=1 << 14, n_hashes=5)
+    # build: the NULL-text frozen doc leaks no junk word row
+    assert all(r["word_idx"] is not None for r in bloom.collect())
+    probed = {
+        r["doc_id"]: r["possibly_seen"]
+        for r in bloom_probe(batch, bloom, n_bits=1 << 14, n_hashes=5).collect()
+    }
+    assert set(probed) == {10, 11, 12, 13}  # NULL docs no longer vanish
+    assert probed[11] is False and probed[12] is False
+    got = {
+        r["doc_id"]
+        for r in bloom_dedup_increment(frozen, batch, n_bits=1 << 14, n_hashes=5).collect()
+    }
+    key = F.md5(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    want = {
+        r["doc_id"]
+        for r in batch.withColumn("fp", key)
+        .join(frozen.select(key.alias("fp")).distinct(), "fp", "left_anti")
+        .collect()
+    }
+    assert got == want == {11, 12, 13}
+
+
 def test_bloom_merge_equals_build_of_union(spark):
     a = _docs(spark, [(i, f"shard-a doc {i}") for i in range(30)])
     b = _docs(spark, [(i, f"shard-b doc {i}") for i in range(30)])
