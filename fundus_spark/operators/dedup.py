@@ -238,9 +238,19 @@ def ngram_jaccard_pairs(
 
     Scale shape — three regimes, most-scalable first:
     * ``candidates`` (a, b) given (the LSH two-phase path): the
-      intersection is computed FROM the candidate list (join each side
-      to its shingles, count matches) — never from a shingle self-join,
-      so hot shingles cannot blow up the plan.
+      intersection is computed FROM the candidate list — never from a
+      shingle self-join, so hot shingles cannot blow up the plan.
+      Since round 8 this joins per-doc distinct-shingle ARRAYS and
+      takes ``size(array_intersect(...))`` per pair: two joins, no
+      post-join aggregation, and both set sizes ride the same rows
+      (plan went 6 exchanges + groupBy -> 3 exchanges). Bytes through
+      the candidate joins are the same order as the old
+      pairs x shingles row expansion; the granularity trade is one
+      array row per (pair, side) instead of |shingles| small rows.
+      For web-scale text (documents up to a few hundred KB) an array
+      row is tens of KB — harmless; a corpus with pathological
+      multi-MB single documents should clip or split them before
+      shingling (the winnowing operators' ``max_chars`` precedent).
     * ``partition_col`` given: pairs are formed only within a partition
       value (dedup within a domain / crawl batch — how a 100 TB job is
       sharded anyway); the self-join keys on (partition, shingle), so
@@ -263,10 +273,42 @@ def ngram_jaccard_pairs(
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     if candidates is not None:
-        sa = shingles.select(F.col("doc_id").alias("a"), "shingle")
-        sb = shingles.select(F.col("doc_id").alias("b"), "shingle")
-        pair_intersections = (
-            candidates.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+        # candidates path (round 8): verify via per-doc DISTINCT shingle
+        # ARRAYS instead of the row-expansion join. The old plan shuffled
+        # the pairs x |shingles(a)| expansion by (b, shingle), shuffled
+        # the full shingle relation twice, aggregated it back by (a, b),
+        # and then joined two separate size relations; this plan is one
+        # collect_set agg over the (materialized) shingle relation plus
+        # two joins — the intersection AND both sizes fall out of the
+        # same row (|arr| is the doc's distinct-shingle count, exactly
+        # the old sizes value), with no groupBy after the joins. Bytes
+        # through the candidate joins are the same order (a doc's full
+        # shingle set traveled per pair before too, as rows); per-pair
+        # values are identical: array_intersect over distinct arrays ==
+        # the old count of matching distinct shingles, and inter > 0
+        # reproduces the old inner join's "no row for disjoint pairs".
+        arrays = shingles.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("arr")
+        )
+        aa = arrays.select(F.col("doc_id").alias("a"), F.col("arr").alias("arr_a"))
+        ab = arrays.select(F.col("doc_id").alias("b"), F.col("arr").alias("arr_b"))
+        return (
+            candidates.join(aa, "a")
+            .join(ab, "b")
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("arr_a", "arr_b")).alias("inter"),
+                F.size("arr_a").alias("na"),
+                F.size("arr_b").alias("nb"),
+            )
+            .where(F.col("inter") > 0)
+            .select(
+                "a",
+                "b",
+                F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
         )
     else:
         join_keys = ["shingle"]
