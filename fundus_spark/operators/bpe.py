@@ -110,6 +110,7 @@ def bpe_train(
     text_col: str = "text",
     local_vocab_max_rows: int = 1_000_000,
     word_freq: Optional[DataFrame] = None,
+    word_freq_count: Optional[int] = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the model
     as a DataFrame ``(rank, left, right, pair_count)`` ordered by rank
@@ -136,7 +137,9 @@ def bpe_train(
     Pass ``word_freq`` (a materialized ``(word, cnt)`` relation for the
     SAME corpus) to skip rebuilding the frequency table — the shape
     :func:`bpe_token_count` uses so train + apply share one distributed
-    agg instead of running it twice."""
+    agg instead of running it twice — and ``word_freq_count`` (its row
+    count, when the caller already ran one for its own broadcast guard)
+    to skip the local-vs-distributed guard's count job too."""
     from .adaptive import is_cheap_rescan
 
     spark = df.sparkSession
@@ -146,7 +149,8 @@ def bpe_train(
         # materialize once for the count guard + collect/iterations; an
         # already-materialized caller relation needs no second copy
         words = words.localCheckpoint(eager=True)
-    if words.count() <= local_vocab_max_rows:
+    n_words = word_freq_count if word_freq_count is not None else words.count()
+    if n_words <= local_vocab_max_rows:
         merges = _train_local(
             [(row["word"], int(row["cnt"])) for row in words.select("word", "cnt").collect()],
             n_merges,
@@ -303,20 +307,31 @@ def bpe_token_count(
     may not) -> one map-side-combinable per-doc sum. No UDF anywhere.
     """
     vocab = _word_freq(df, text_col).localCheckpoint(eager=True)
+    # ONE count job serves the training local-vs-distributed guard AND
+    # the broadcast guard below (round 8: it ran twice on the same
+    # checkpointed relation)
+    n_vocab = vocab.count()
     if merges is None:
         # train on the SAME materialized frequency table the apply side
         # uses — one distributed agg for both, not two
-        merges = bpe_train(df, n_merges=n_merges, text_col=text_col, word_freq=vocab)
+        merges = bpe_train(
+            df, n_merges=n_merges, text_col=text_col,
+            word_freq=vocab, word_freq_count=n_vocab,
+        )
     # the model is by construction n_merges rows — bounded driver-side
-    # metadata, same contract as the job manifest reads in plans/job.py
+    # metadata, same contract as the job manifest reads in plans/job.py.
+    # Sort driver-side: rank is a unique int, so sorting the collected
+    # rows is identical to orderBy("rank") — which on a tiny relation
+    # cost a full range-partitioned sort job (~1.5 s measured at first
+    # call: sample job + sort + first-use codegen, for 24 rows).
     merge_list = [
         (row["left"], row["right"])
-        for row in merges.orderBy("rank").collect()
+        for row in sorted(merges.collect(), key=lambda r: int(r["rank"]))
     ]
     counted = bpe_apply_to_vocab(vocab, merge_list).select("word", "n_tokens")
     side = (
         F.broadcast(counted)
-        if vocab.count() <= broadcast_max_rows
+        if n_vocab <= broadcast_max_rows
         else counted
     )
     from .adaptive import adaptive_repartition

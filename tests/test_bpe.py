@@ -113,6 +113,24 @@ def test_bpe_frozen_merges_segment_oov_like_standard_encoder(spark):
         assert got[i] == want, (i, t)
 
 
+def test_bpe_merge_order_is_rank_not_row_order(spark):
+    """A stored model arriving with its rows SHUFFLED must apply in
+    rank order regardless (round 8: the tiny-relation orderBy+collect
+    became a driver-side sort of the collected rows — this pins that
+    the sort actually happens and row order is irrelevant)."""
+    from fundus_spark.operators import bpe_token_count, bpe_train
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    model = bpe_train(df, n_merges=12)
+    shuffled = spark.createDataFrame(
+        sorted(model.collect(), key=lambda r: (r["left"], r["right"]), reverse=True),
+        model.schema,
+    )
+    want = {r.doc_id: r.n_tokens for r in bpe_token_count(df, merges=model).collect()}
+    got = {r.doc_id: r.n_tokens for r in bpe_token_count(df, merges=shuffled).collect()}
+    assert got == want
+
+
 def test_bpe_exhaustion_stops_cleanly(spark):
     """A corpus tiny enough that every word fully merges before the
     merge budget runs out: training stops (no pairs left), single-
